@@ -1,0 +1,24 @@
+"""cefspark — a PySpark-native CEF (ArcSight Common Event Format) analytics engine.
+
+A from-scratch re-expression of the capabilities of the reference codec
+``logstash-plugins/logstash-codec-cef`` (read-only at /root/reference) as a
+Spark-first parse -> enrich -> route -> aggregate pipeline:
+
+* ``cefspark.mappings``   — the CEF field dictionary (broadcast lookup tables)
+* ``cefspark.parser``     — vectorized pandas-native decode (bytes -> events)
+* ``cefspark.timestamps`` — CEF timestamp normalization (epoch / CEF format / year inference)
+* ``cefspark.encoder``    — event -> CEF line encoding
+* ``cefspark.udfs``       — Arrow-batched pandas UDF wrappers (no per-row Python)
+* ``cefspark.pipeline``   — enrich (broadcast join), route (salted), windowed aggregation
+* ``cefspark.storage``    — snapshot/manifest storage adapter (Iceberg-shaped on Parquet)
+* ``cefspark.fixtures``   — deterministic transcript-table synthesis for tests/bench
+* ``cefspark.textops``    — training-data text analysis (lang-id, quality, tokens, fingerprints)
+* ``cefspark.dedup``      — exact / MinHash-LSH / SimHash / n-gram-Jaccard deduplication
+* ``cefspark.similarity`` — embedding cosine top-k + LSH-bucketed ANN
+* ``cefspark.multimodal`` — opaque-binary multimodal column plumbing (decode stubs)
+
+Everything here derives only from public knowledge: the Apache Spark / PySpark
+API and the behavior of the public reference repo.
+"""
+
+__version__ = "0.1.0"

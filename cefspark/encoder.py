@@ -1,0 +1,168 @@
+"""CEF encode: events -> CEF-formatted lines.
+
+From-scratch batch implementation of the encode semantics of the reference
+codec (/root/reference/lib/logstash/codecs/cef.rb:330-355 and the sanitizers
+at cef.rb:144-162, 580-648). Operates on batches (list of event dicts or a
+pandas DataFrame); wrapped into an Arrow-batched pandas UDF by
+:mod:`cefspark.udfs`.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import pandas as pd
+
+from .mappings import Mappings, get_mappings
+
+# header sanitizer (cef.rb:144-151, 580-584): \r\n -> \n first, then
+# \ -> \\, | -> \|, \n -> ' ', \r -> ' '
+_HEADER_SAN = re.compile(r"\\|\||\n|\r")
+_HEADER_SAN_MAP = {"\\": "\\\\", "|": "\\|", "\n": " ", "\r": " "}
+
+# extension value sanitizer (cef.rb:155-162, 596-600): \r\n -> \n first, then
+# \ -> \\, = -> \=, \n -> '\n' literal, \r -> '\n' literal
+_EXT_SAN = re.compile(r"\\|=|\n|\r")
+_EXT_SAN_MAP = {"\\": "\\\\", "=": "\\=", "\n": "\\n", "\r": "\\n"}
+
+# extension keys must be alphanumeric (cef.rb:588-591)
+_KEY_SAN = re.compile(r"[^a-zA-Z0-9]")
+
+# %{fieldref} sprintf-style interpolation (Logstash event templating)
+_SPRINTF = re.compile(r"%\{([^}]+)\}")
+
+_DEFAULTS = {
+    "vendor": "Elasticsearch",
+    "product": "Logstash",
+    "version": "1.0",
+    "signature": "Logstash",
+    "name": "Logstash",
+    "severity": "6",
+}
+
+
+def sanitize_header_field(value: Any) -> str:
+    s = "" if value is None else str(value)
+    s = s.replace("\r\n", "\n")
+    return _HEADER_SAN.sub(lambda m: _HEADER_SAN_MAP[m.group(0)], s)
+
+
+def sanitize_extension_key(value: Any) -> str:
+    return _KEY_SAN.sub("", "" if value is None else str(value))
+
+
+def sanitize_extension_val(value: Any) -> str:
+    s = "" if value is None else str(value)
+    s = s.replace("\r\n", "\n")
+    return _EXT_SAN.sub(lambda m: _EXT_SAN_MAP[m.group(0)], s)
+
+
+def valid_severity(sev: Any) -> bool:
+    """Integer-valued number within [0, 10] (cef.rb:641-648)."""
+    try:
+        f = float(sev)
+    except (TypeError, ValueError):
+        return False
+    return not math.isnan(f) and f % 1 == 0 and 0 <= f <= 10
+
+
+@dataclass
+class EncoderConfig:
+    """Encode-side plugin configuration (cef.rb:27-60). Header settings
+    support ``%{field}`` interpolation against the event."""
+
+    vendor: str = _DEFAULTS["vendor"]
+    product: str = _DEFAULTS["product"]
+    version: str = _DEFAULTS["version"]
+    signature: str = _DEFAULTS["signature"]
+    name: str = _DEFAULTS["name"]
+    severity: str = _DEFAULTS["severity"]
+    fields: Sequence[str] = field(default_factory=list)
+    reverse_mapping: bool = False
+    ecs_mode: bool = False
+    device: str = "observer"
+    delimiter: str = ""
+
+    def mappings(self) -> Mappings:
+        return get_mappings(self.ecs_mode, self.reverse_mapping, self.device)
+
+
+def _sprintf(template: str, event: dict) -> str:
+    """Interpolate %{field} from the event; unknown fields render the
+    template fragment verbatim (Logstash sprintf behavior)."""
+
+    def repl(m: re.Match) -> str:
+        v = event.get(m.group(1))
+        return m.group(0) if v is None else str(v)
+
+    return _SPRINTF.sub(repl, template)
+
+
+def _stringify(val: Any) -> str:
+    """Encode complex values (cef.rb:625-632): list/dict -> JSON, timestamps
+    -> ISO8601, everything else str()."""
+    if isinstance(val, (list, dict)):
+        return json.dumps(val, separators=(",", ":"), ensure_ascii=False)
+    if isinstance(val, pd.Timestamp):
+        t = val.tz_convert("UTC") if val.tzinfo else val.tz_localize("UTC")
+        ms = t.microsecond // 1000
+        return f"{t.strftime('%Y-%m-%dT%H:%M:%S')}.{ms:03d}Z"
+    if isinstance(val, dt.datetime):
+        return _stringify(pd.Timestamp(val))
+    return str(val)
+
+
+def _sanitize_severity(event: dict, template: str) -> str:
+    sev = sanitize_header_field(_sprintf(template, event)).strip()
+    if not valid_severity(sev):
+        sev = _DEFAULTS["severity"]
+    return str(int(float(sev)))  # "1.0" -> "1" (Ruby to_i, cef.rb:638)
+
+
+def encode_event(event: dict, config: Optional[EncoderConfig] = None) -> str:
+    """Encode one event dict to a CEF line (cef.rb:330-355)."""
+    cfg = config or EncoderConfig()
+    maps = cfg.mappings()
+
+    headers = ["CEF:0"]
+    for attr in ("vendor", "product", "version", "signature", "name"):
+        val = sanitize_header_field(_sprintf(getattr(cfg, attr), event))
+        if not val:
+            val = _DEFAULTS[attr]  # empty -> plugin default (cef.rb:334-346)
+        headers.append(val)
+    headers.append(_sanitize_severity(event, cfg.severity))
+
+    pairs = []
+    for fieldname in cfg.fields:
+        val = event.get(fieldname)
+        if val is None:
+            continue  # nil skip (cef.rb:352)
+        key = maps.encode_map.get(fieldname, fieldname)
+        key = sanitize_extension_key(key)
+        if isinstance(val, (pd.Timestamp, dt.datetime)):
+            pairs.append(f"{key}={_stringify(val)}")  # timestamps not re-sanitized (cef.rb:629)
+        else:
+            pairs.append(f"{key}={sanitize_extension_val(_stringify(val))}")
+
+    return "|".join(headers) + "|" + " ".join(pairs) + cfg.delimiter
+
+
+def encode_batch(events: pd.DataFrame, config: Optional[EncoderConfig] = None) -> pd.Series:
+    """Encode a batch: each DataFrame row is an event (columns = fields).
+
+    NaN/None cells are absent fields. Returns a Series of CEF lines aligned
+    with the input index.
+    """
+    cfg = config or EncoderConfig()
+    recs = events.to_dict("records")
+    out = []
+    for rec in recs:
+        clean = {k: v for k, v in rec.items()
+                 if v is not None and not (isinstance(v, float) and math.isnan(v))}
+        out.append(encode_event(clean, cfg))
+    return pd.Series(out, index=events.index, dtype=object)

@@ -1,0 +1,214 @@
+"""CEF timestamp normalization.
+
+From-scratch Python implementation of the semantics of the reference's
+TimestampNormalizer (/root/reference/lib/logstash/codecs/cef/timestamp_normalizer.rb):
+
+* T1 epoch-millis fast path: numeric values / fully-numeric strings are millis
+  since epoch, decimals carrying sub-milli precision down to nanoseconds
+  (timestamp_normalizer.rb:38,52-61).
+* T2 CEF format parse: ``MMM dd[ yyyy] HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][ zzz]``
+  with configurable locale for month abbreviations (timestamp_normalizer.rb:32-36).
+* T3 zone resolution: offset embedded in the string > device timezone
+  side-channel > configured default timezone > UTC (timestamp_normalizer.rb:76-87;
+  we pin the "system default zone" to UTC for cluster determinism).
+* T4 year inference for yearless dates with an *injected* clock
+  (timestamp_normalizer.rb:89-111): assume the current year; a result more
+  than 2 days in the future is from the previous year; in December, a result
+  that lands ≤ now+2d when pushed a year forward is from the next year.
+
+Results are timezone-aware pandas Timestamps (nanosecond precision — Spark's
+TimestampType is microseconds, so the typed column truncates; the ISO string
+rendering preserves all 9 digits).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from decimal import Decimal
+from typing import Optional, Union
+from zoneinfo import ZoneInfo
+
+import pandas as pd
+
+__all__ = ["InvalidTimestamp", "TimestampNormalizer"]
+
+
+class InvalidTimestamp(ValueError):
+    """Raised for values no supported CEF timestamp format can parse
+    (mirrors the reference's InvalidTimestamp, cef.rb:23, cef.rb:612-614)."""
+
+
+# integer-or-decimal epoch-millis detector (timestamp_normalizer.rb:38)
+_NUMERIC = re.compile(r"\A[1-9][0-9]*(?:\.[0-9]+)?\Z")
+
+# MMM dd[ yyyy] HH:mm:ss[.SSS|.SSSSSS|.SSSSSSSSS][ zzz]
+_CEF_TS = re.compile(
+    r"\A(?P<mon>\S+)\s(?P<day>\d{1,2})"
+    r"(?:\s(?P<year>\d{4}))?"
+    r"\s(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})"
+    r"(?:\.(?P<frac>\d{9}|\d{6}|\d{3}))?"
+    r"(?:\s(?P<zone>\S+))?\Z"
+)
+
+_OFFSET = re.compile(r"\A(?P<sign>[+-])(?P<h>\d{2}):?(?P<m>\d{2})(?::?(?P<s>\d{2}))?\Z")
+
+# Abbreviated month names per locale (the reference delegates to java.time's
+# locale data; we carry the tables for the locales the CEF corpus uses, and
+# fall back to English). de has both pre- and post-CLDR-33 March/"Mrz" forms.
+_MONTHS: dict[str, dict[str, int]] = {
+    "en": {m: i + 1 for i, m in enumerate(
+        ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])},
+    "de": {m: i + 1 for i, m in enumerate(
+        ["Jan", "Feb", "Mär", "Apr", "Mai", "Jun",
+         "Jul", "Aug", "Sep", "Okt", "Nov", "Dez"])},
+    "fr": {m: i + 1 for i, m in enumerate(
+        ["janv.", "févr.", "mars", "avr.", "mai", "juin",
+         "juil.", "août", "sept.", "oct.", "nov.", "déc."])},
+    "es": {m: i + 1 for i, m in enumerate(
+        ["ene.", "feb.", "mar.", "abr.", "may.", "jun.",
+         "jul.", "ago.", "sept.", "oct.", "nov.", "dic."])},
+}
+_MONTHS["de"]["Mrz"] = 3
+
+_DAYS_IN_MONTH = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def _month_table(locale: Optional[str]) -> dict[str, int]:
+    if not locale:
+        return _MONTHS["en"]
+    lang = locale.replace("-", "_").split("_")[0].lower()
+    return _MONTHS.get(lang, _MONTHS["en"])
+
+
+def _zone_of(name: str) -> dt.tzinfo:
+    m = _OFFSET.match(name)
+    if m:
+        sign = 1 if m.group("sign") == "+" else -1
+        delta = dt.timedelta(
+            hours=int(m.group("h")), minutes=int(m.group("m")),
+            seconds=int(m.group("s") or 0))
+        return dt.timezone(sign * delta)
+    if name in ("Z", "UTC", "GMT", "UT"):
+        return dt.timezone.utc
+    try:
+        return ZoneInfo(name)
+    except Exception as e:  # noqa: BLE001 — normalized to InvalidTimestamp
+        raise InvalidTimestamp(f"unknown zone `{name}`") from e
+
+
+def _clamp_day(year: int, month: int, day: int) -> int:
+    """MonthDay#atYear clamps Feb 29 to Feb 28 in non-leap years."""
+    if month == 2 and day == 29:
+        leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+        if not leap:
+            return 28
+    return min(day, _DAYS_IN_MONTH[month - 1])
+
+
+class TimestampNormalizer:
+    """Normalize CEF timestamp strings to UTC instants.
+
+    ``now`` injects the clock used for year inference (epoch seconds, ISO8601
+    string, datetime, or pandas Timestamp); defaults to the wall clock. Inject
+    a fixed value in distributed jobs so every executor infers identically.
+    """
+
+    def __init__(self, locale: Optional[str] = None, timezone: Optional[str] = None,
+                 now: Union[None, str, int, float, dt.datetime, pd.Timestamp] = None):
+        self._months = _month_table(locale)
+        self._default_zone: dt.tzinfo = _zone_of(timezone) if timezone else dt.timezone.utc
+        if now is None:
+            self._now = pd.Timestamp.now(tz="UTC")
+        elif isinstance(now, (int, float)):
+            self._now = pd.Timestamp(now, unit="s", tz="UTC")
+        else:
+            t = pd.Timestamp(now)
+            self._now = t.tz_convert("UTC") if t.tzinfo else t.tz_localize("UTC")
+
+    # -- public API -----------------------------------------------------------
+
+    def normalize(self, value, device_timezone: Optional[str] = None) -> pd.Timestamp:
+        """Parse ``value`` to a tz-aware UTC pandas Timestamp (ns precision)."""
+        if isinstance(value, pd.Timestamp):
+            return value.tz_convert("UTC") if value.tzinfo else value.tz_localize("UTC")
+        if isinstance(value, dt.datetime):
+            return self.normalize(pd.Timestamp(value), device_timezone)
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return self._from_epoch_millis(Decimal(str(value)))
+        s = str(value)
+        if _NUMERIC.match(s):
+            return self._from_epoch_millis(Decimal(s))
+        return self._parse_cef_format(s, device_timezone)
+
+    def normalize_iso(self, value, device_timezone: Optional[str] = None) -> str:
+        """Normalize and render as ISO8601 UTC with 9 fractional digits
+        (the reference renders via ``.iso8601(9)``, cef.rb:609)."""
+        t = self.normalize(value, device_timezone)
+        ns = t.microsecond * 1000 + t.nanosecond
+        return f"{t.strftime('%Y-%m-%dT%H:%M:%S')}.{ns:09d}Z"
+
+    # -- internals --------------------------------------------------------------
+
+    def _from_epoch_millis(self, millis: Decimal) -> pd.Timestamp:
+        ns = int(millis * 1_000_000)
+        return pd.Timestamp(ns, unit="ns", tz="UTC")
+
+    def _parse_cef_format(self, value: str, device_timezone: Optional[str]) -> pd.Timestamp:
+        m = _CEF_TS.match(value)
+        if m is None:
+            raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}`")
+        mon = self._months.get(m.group("mon"))
+        if mon is None:
+            # case-insensitive fallback (java.time SMART resolution is
+            # case-sensitive, but real-world CEF producers vary)
+            lowered = {k.lower(): v for k, v in self._months.items()}
+            mon = lowered.get(m.group("mon").lower())
+        if mon is None:
+            raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}` (bad month)")
+
+        # T3 zone resolution order (timestamp_normalizer.rb:76-87)
+        if m.group("zone"):
+            zone = _zone_of(m.group("zone"))
+        elif device_timezone:
+            zone = _zone_of(device_timezone)
+        else:
+            zone = self._default_zone
+
+        frac = m.group("frac") or ""
+        micro = int(frac[:6].ljust(6, "0")) if frac else 0
+        extra_ns = int(frac[6:9].ljust(3, "0")) if len(frac) > 6 else 0
+        hh, mi, ss = int(m.group("h")), int(m.group("mi")), int(m.group("s"))
+        day = int(m.group("day"))
+
+        if m.group("year"):
+            year = int(m.group("year"))
+        else:
+            year = self._infer_year(mon, day, hh, mi, ss, micro, zone)
+
+        local = dt.datetime(year, mon, _clamp_day(year, mon, day), hh, mi, ss,
+                            micro, tzinfo=zone)
+        out = pd.Timestamp(local).tz_convert("UTC")
+        if extra_ns:
+            out = out + pd.Timedelta(extra_ns, unit="ns")
+        return out
+
+    def _infer_year(self, mon: int, day: int, hh: int, mi: int, ss: int,
+                    micro: int, zone: dt.tzinfo) -> int:
+        """T4 year inference (timestamp_normalizer.rb:89-111)."""
+        now = self._now.tz_convert(zone) if hasattr(zone, "key") else self._now.astimezone(zone)
+        horizon = now + pd.Timedelta(days=2)
+
+        def at_year(y: int) -> pd.Timestamp:
+            return pd.Timestamp(dt.datetime(y, mon, _clamp_day(y, mon, day),
+                                            hh, mi, ss, micro, tzinfo=zone))
+
+        current = at_year(now.year)
+        if current > horizon:
+            # e.g. on May 12, a May 15 date is from the prior year
+            return now.year - 1
+        if now.month == 12 and at_year(now.year + 1) <= horizon:
+            # e.g. on Dec 31, a Jan 1 date is from the very-near next year
+            return now.year + 1
+        return now.year

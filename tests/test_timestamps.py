@@ -1,0 +1,166 @@
+"""Timestamp normalizer corpus — transliteration of
+/root/reference/spec/codecs/cef/timestamp_normalizer_spec.rb, including the
+year-inference sweep with an injected clock."""
+
+import pandas as pd
+import pytest
+
+from cefspark.timestamps import InvalidTimestamp, TimestampNormalizer
+
+
+def iso(t: pd.Timestamp) -> str:
+    ns = t.microsecond * 1000 + t.nanosecond
+    return f"{t.strftime('%Y-%m-%dT%H:%M:%S')}.{ns:09d}Z"
+
+
+def test_explicit_year_with_default_zone():
+    # spec :14-19 (zone comes from configured timezone)
+    n = TimestampNormalizer(timezone="America/New_York")
+    assert iso(n.normalize("Jun 17 2027 17:57:06.456")) == "2027-06-17T21:57:06.456000000Z"
+
+
+def test_unparsable_raises():
+    # spec :21-26
+    n = TimestampNormalizer()
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Last Thursday")
+
+
+def test_device_timezone_side_channel():
+    # spec :28-38
+    n = TimestampNormalizer()
+    got = n.normalize("Jun 17 2027 17:57:06.456", "America/New_York")
+    assert iso(got) == "2027-06-17T21:57:06.456000000Z"
+
+
+def test_embedded_offset_beats_side_channel():
+    # spec :39-45
+    n = TimestampNormalizer()
+    got = n.normalize("Jun 17 2027 17:57:06.456 -07:00", "America/New_York")
+    assert iso(got) == "2027-06-18T00:57:06.456000000Z"
+
+
+def test_epoch_millis():
+    # spec :46-53
+    n = TimestampNormalizer()
+    got = n.normalize("1616623591694")
+    assert got == pd.Timestamp("2021-03-24T22:06:31.694", tz="UTC")
+
+
+def test_epoch_millis_sub_milli_precision():
+    # spec :54-69
+    n = TimestampNormalizer()
+    assert iso(n.normalize("1616623591694.176")) == "2021-03-24T22:06:31.694176000Z"
+    assert iso(n.normalize("1616623591694.176789")) == "2021-03-24T22:06:31.694176789Z"
+
+
+def test_numeric_input():
+    n = TimestampNormalizer()
+    assert n.normalize(1616623591694) == pd.Timestamp("2021-03-24T22:06:31.694", tz="UTC")
+
+
+def test_locale_de_month_abbreviations():
+    # spec :72-95
+    n = TimestampNormalizer(locale="de_DE")
+    got = n.normalize("Mär 17 2019 17:57:06.456 +01:00")
+    assert iso(got) == "2019-03-17T16:57:06.456000000Z"
+    # post-CLDR "Mrz" form also accepted
+    got2 = n.normalize("Mrz 17 2019 17:57:06.456 +01:00")
+    assert iso(got2) == "2019-03-17T16:57:06.456000000Z"
+
+
+@pytest.mark.parametrize("frac,expected_iso", [
+    ("", "2021-03-17T12:34:56.000000000Z"),
+    (".987", "2021-03-17T12:34:56.987000000Z"),
+    (".987654", "2021-03-17T12:34:56.987654000Z"),
+    (".987654321", "2021-03-17T12:34:56.987654321Z"),
+])
+def test_subsecond_precision(frac, expected_iso):
+    # spec :97-129
+    n = TimestampNormalizer()
+    assert iso(n.normalize(f"Mar 17 2021 12:34:56{frac} +00:00")) == expected_iso
+
+
+# --- year inference (spec :131-272) ------------------------------------------
+# The spec sweeps 78 dates x 4 simulated "now" offsets with a fixed injected
+# Clock; we reproduce the decision table directly.
+
+def infer(value, now):
+    return TimestampNormalizer(now=now).normalize(value)
+
+
+def test_yearless_recent_past_is_current_year():
+    # parsing a date ~30s in the past
+    got = infer("Jun 15 10:00:00.000", now="2026-06-15T10:00:30Z")
+    assert got.year == 2026
+
+
+def test_yearless_slightly_future_within_2d_is_current_year():
+    got = infer("Jun 16 10:00:00.000", now="2026-06-15T10:00:00Z")
+    assert got.year == 2026
+
+
+def test_yearless_far_future_is_previous_year():
+    # on May 12, a date from May 15+ is plausibly from the prior year
+    got = infer("May 20 10:00:00.000", now="2026-05-12T00:00:00Z")
+    assert got.year == 2025
+
+
+def test_yearless_december_rollover_to_next_year():
+    # on Dec 31, a Jan 1 date is from the very-near next year
+    got = infer("Jan 01 00:10:00.000", now="2026-12-31T23:59:00Z")
+    assert got.year == 2027
+
+
+def test_yearless_december_far_date_stays_current_year():
+    got = infer("Dec 30 10:00:00.000", now="2026-12-31T23:59:00Z")
+    assert got.year == 2026
+
+
+def test_yearless_11_5_months_ago_is_previous_year():
+    # now ~11.5 months after the date -> previous calendar year
+    got = infer("Jul 01 12:00:00.000", now="2026-06-15T00:00:00Z")
+    assert got.year == 2025
+
+
+def test_feb29_clamps_in_non_leap_year():
+    got = infer("Feb 29 12:00:00.000", now="2026-03-01T00:00:00Z")
+    assert (got.month, got.day) == (2, 28)
+    assert got.year == 2026
+
+
+def test_year_inference_respects_zone():
+    # moments around midnight differ by zone; ensure comparison happens in the
+    # parsed zone like the reference (timestamp_normalizer.rb:94)
+    got = infer("Jan 01 00:10:00.000 +00:00", now="2026-12-31T23:59:00Z")
+    assert got.year == 2027
+
+
+def test_sweep_against_pure_python_reference():
+    """Dense sweep (like spec :131-272): every ~5 days x 4 'now' offsets,
+    validated against an independent implementation of the rule."""
+    import datetime as dt
+
+    def expected_year(mon, day, now):
+        def at(y):
+            d = day
+            if mon == 2 and d == 29 and not (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)):
+                d = 28
+            return dt.datetime(y, mon, d, 12, 0, 0, tzinfo=dt.timezone.utc)
+        horizon = now + dt.timedelta(days=2)
+        if at(now.year) > horizon:
+            return now.year - 1
+        if now.month == 12 and at(now.year + 1) <= horizon:
+            return now.year + 1
+        return now.year
+
+    months_days = [(m, d) for m in range(1, 13) for d in (1, 10, 20, 28)]
+    offsets = [dt.timedelta(seconds=-30), dt.timedelta(weeks=-1),
+               dt.timedelta(days=-350), dt.timedelta(days=1, hours=12)]
+    for mon, day in months_days:
+        base = dt.datetime(2026, mon, day, 12, 0, 0, tzinfo=dt.timezone.utc)
+        for off in offsets:
+            now = base - off  # now = event_time - offset (offset<0 => now after event)
+            got = infer(f"{['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][mon-1]}"
+                        f" {day:02d} 12:00:00.000 +00:00", now=pd.Timestamp(now))
+            assert got.year == expected_year(mon, day, now), (mon, day, now)
