@@ -1,0 +1,172 @@
+"""The parse -> enrich -> route -> aggregate pipeline.
+
+Spark-first expression of the north-star pipeline around the codec
+(BASELINE.json north_star): decode transcripts' ``text`` as CEF, enrich via a
+genuine broadcast hash join against tiny vendor/severity dimension tables,
+fan out to per-sink tables routed on deviceVendor x severity_band with salted
+repartitioning (hot-vendor skew is a *write-side* skew AQE can't fix —
+explicit salt, SURVEY.md §4), and aggregate per-sink counts windowed by ts.
+
+Scale notes (the 100 TB design):
+- decode is embarrassingly parallel; cost scales with input partitions only.
+- both joins broadcast (dimension tables are O(10) rows) — zero shuffles
+  until the route/write repartition.
+- the single shuffle is ``repartition(sink_id, salt)``: the salt spreads a
+  hot vendor over ``salt_buckets`` reducers, bounding any one task at
+  ~1/salt_buckets of the hottest sink instead of the whole sink.
+- the windowed count is a partial (map-side) + final hash aggregation on
+  (sink_id, window) — cardinality = sinks x hours, tiny at any scale.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .mappings import PARSE_FAILURE_TAG
+from .parser import DecodeConfig
+from .udfs import decode_dataframe
+
+FAILURE_SINK = PARSE_FAILURE_TAG
+
+# --- dimension tables (FIXTURES.md §2) ----------------------------------------
+
+VENDOR_TIERS = [
+    ("security", "tier1"), ("threatmanager", "tier1"), ("FooBar", "tier2"),
+    ("Vendor", "tier2"), ("fun", "tier3"), ("acme", "tier3"),
+    ("Elasticsearch", "tier1"), ("CyberArk", "tier2"), ("Imperva", "tier2"),
+    ("TrendMicro", "tier3"),
+]
+
+
+def severity_band_rows() -> list[tuple[str, str]]:
+    rows = []
+    for i in range(11):
+        band = "low" if i <= 3 else ("med" if i <= 6 else "high")
+        rows.append((str(i), band))
+    return rows
+
+
+def vendor_lookup_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(VENDOR_TIERS, "deviceVendor string, vendor_tier string")
+
+
+def severity_lookup_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(severity_band_rows(), "severity string, severity_band string")
+
+
+# --- stages -------------------------------------------------------------------
+
+def decode(df: DataFrame, text_col: str = "text",
+           config: Optional[DecodeConfig] = None) -> DataFrame:
+    return decode_dataframe(df, text_col=text_col, config=config)
+
+
+def enrich(decoded: DataFrame, spark: SparkSession,
+           vendors: Optional[DataFrame] = None,
+           severities: Optional[DataFrame] = None) -> DataFrame:
+    """Broadcast hash joins against the vendor-tier and severity-band dims.
+
+    Both sides are explicitly ``F.broadcast`` — never a shuffle join for a
+    10-row dimension. Missing/unmatched keys land in band/tier 'unknown'.
+    """
+    vendors = vendors if vendors is not None else vendor_lookup_df(spark)
+    severities = severities if severities is not None else severity_lookup_df(spark)
+    out = (
+        decoded
+        .join(F.broadcast(vendors), on="deviceVendor", how="left")
+        .join(F.broadcast(severities), on="severity", how="left")
+        .withColumn("vendor_tier", F.coalesce("vendor_tier", F.lit("unknown")))
+        .withColumn("severity_band", F.coalesce("severity_band", F.lit("unknown")))
+    )
+    return out
+
+
+def route(enriched: DataFrame) -> DataFrame:
+    """Assign sink_id = deviceVendor x severity_band; failures route to the
+    parse-failure sink."""
+    is_failure = F.col("error").isNotNull()
+    sink = F.when(is_failure, F.lit(FAILURE_SINK)).otherwise(
+        F.concat_ws("/", F.coalesce(F.col("deviceVendor"), F.lit("_")), F.col("severity_band"))
+    )
+    return enriched.withColumn("sink_id", sink)
+
+
+def salted_repartition(routed: DataFrame, salt_buckets: int = 8,
+                       num_partitions: Optional[int] = None,
+                       salt_key: str = "conv_id") -> DataFrame:
+    """Defuse hot-vendor skew: partition by (sink_id, salt) where salt is a
+    stable hash of the row's natural key — a hot sink spreads across
+    ``salt_buckets`` write tasks instead of one straggler."""
+    salted = routed.withColumn(
+        "_salt", (F.crc32(F.col(salt_key).cast("string")) % salt_buckets).cast("int"))
+    if num_partitions:
+        out = salted.repartition(num_partitions, "sink_id", "_salt")
+    else:
+        out = salted.repartition("sink_id", "_salt")
+    return out.drop("_salt")
+
+
+def write_sinks(routed: DataFrame, base_path: str, salt_buckets: int = 8,
+                num_partitions: Optional[int] = None) -> None:
+    """Fan out to per-sink tables: one partitioned write (partition pruning on
+    read), salted to bound per-task write volume."""
+    out = salted_repartition(routed, salt_buckets, num_partitions)
+    # the extensions map is written as-is (parquet MAP); drop nothing — sinks
+    # are the system of record for routed events.
+    out.write.mode("overwrite").partitionBy("sink_id").parquet(base_path)
+
+
+def sink_counts(routed: DataFrame, ts_col: str = "ts",
+                window: str = "1 hour") -> DataFrame:
+    """Per-sink event counts windowed by ts (partial+final hash agg)."""
+    return (
+        routed.groupBy("sink_id", F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("sink_id", F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def lineage(routed: DataFrame) -> DataFrame:
+    """Per-input-file lineage: where did each sink's rows come from, and how
+    many failed — the audit trail for checkpoint/resume."""
+    return (
+        routed.withColumn("_input_file", F.input_file_name())
+        .groupBy("_input_file", "sink_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failed"))
+    )
+
+
+@dataclass
+class PipelineResult:
+    n_input: int
+    n_failed: int
+    counts: list
+    wall_seconds: float
+    lineage_rows: int = 0
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame,
+                 sink_path: Optional[str] = None,
+                 decode_config: Optional[DecodeConfig] = None,
+                 salt_buckets: int = 8,
+                 collect_lineage: bool = False) -> PipelineResult:
+    """decode -> enrich -> route -> (optional sink write) -> windowed counts."""
+    t0 = time.time()
+    routed = route(enrich(decode(transcripts, config=decode_config), spark))
+    routed = routed.persist() if sink_path else routed
+    if sink_path:
+        write_sinks(routed, sink_path, salt_buckets=salt_buckets)
+    counts = sink_counts(routed).collect()
+    n_input = sum(r["n_events"] for r in counts)
+    n_failed = sum(r["n_events"] for r in counts if r["sink_id"] == FAILURE_SINK)
+    lin = lineage(routed).count() if collect_lineage else 0
+    if sink_path:
+        routed.unpersist()
+    return PipelineResult(n_input=n_input, n_failed=n_failed, counts=counts,
+                          wall_seconds=time.time() - t0, lineage_rows=lin)

@@ -1,0 +1,121 @@
+"""Arrow-batched pandas UDF wrappers around the codec.
+
+The whole reference codec becomes two vectorized UDFs (SURVEY.md §2.4): a
+decode UDF producing a wide struct (7 headers + syslog + extension map +
+failure columns) and an encode UDF producing the CEF line. Both are
+Series->batch pandas UDFs — Arrow IPC crosses the JVM/Python boundary once
+per batch, never per row. Mapping dictionaries are module-level and built
+once per executor process (the broadcast-dict analogue of the reference's
+init-time generate_mappings!, cef.rb:206-207; for a 239-entry table a
+closure-captured dict is strictly cheaper than a Spark broadcast join).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, MapType, StringType, StructField,
+                               StructType, TimestampType)
+
+from .encoder import EncoderConfig, encode_batch
+from .parser import DecodeConfig, decode_batch
+
+#: Decoded-event struct: fixed physical columns for the 7 headers (CEF long
+#: names; ECS naming is a view over these), the syslog prelude, one map column
+#: for the open-ended extension space (unknown keys are first-class,
+#: cef_spec.rb:916-924), and error-as-data failure columns.
+DECODED_STRUCT = StructType([
+    StructField("cefVersion", StringType()),
+    StructField("deviceVendor", StringType()),
+    StructField("deviceProduct", StringType()),
+    StructField("deviceVersion", StringType()),
+    StructField("deviceEventClassId", StringType()),
+    StructField("name", StringType()),
+    StructField("severity", StringType()),
+    StructField("syslog", StringType()),
+    StructField("extensions", MapType(StringType(), StringType())),
+    StructField("message", StringType()),
+    StructField("tags", ArrayType(StringType())),
+    StructField("error", StringType()),
+])
+
+_DECODE_OUT_COLS = [f.name for f in DECODED_STRUCT.fields]
+
+
+def make_decode_udf(config: Optional[DecodeConfig] = None):
+    """Build the decode pandas UDF. ``config.now`` is pinned here (on the
+    driver) if unset, so every executor infers yearless timestamps against
+    the same clock."""
+    cfg = config or DecodeConfig()
+    if cfg.ecs_mode and cfg.now is None:
+        cfg.now = pd.Timestamp.now(tz="UTC").isoformat()
+
+    @F.pandas_udf(DECODED_STRUCT)
+    def decode_cef(texts: pd.Series) -> pd.DataFrame:
+        out = decode_batch(texts, cfg)
+        return out[_DECODE_OUT_COLS]
+
+    return decode_cef
+
+
+def decode_dataframe(df: DataFrame, text_col: str = "text",
+                     config: Optional[DecodeConfig] = None,
+                     struct_col: str = "cef", flatten: bool = True) -> DataFrame:
+    """Decode ``df[text_col]`` CEF payloads; appends the decoded columns.
+
+    With ``flatten=True`` the struct is expanded into top-level columns —
+    Catalyst prunes unused ones and the UDF boundary stays a single
+    projection stage.
+    """
+    udf = make_decode_udf(config)
+    out = df.withColumn(struct_col, udf(F.col(text_col)))
+    if flatten:
+        out = out.select("*", f"{struct_col}.*").drop(struct_col)
+    return out
+
+
+def make_encode_udf(config: Optional[EncoderConfig] = None, field_cols: Optional[list] = None):
+    """Encode UDF over a struct of event field columns.
+
+    ``field_cols`` are the event fields fed to the encoder (they also become
+    the default encoded ``fields`` list if the config doesn't set one).
+    """
+    cfg = config or EncoderConfig()
+    if field_cols and not cfg.fields:
+        cfg.fields = list(field_cols)
+
+    @F.pandas_udf(StringType())
+    def encode_cef(event: pd.DataFrame) -> pd.Series:
+        return encode_batch(event, cfg)
+
+    return encode_cef
+
+
+def encode_dataframe(df: DataFrame, field_cols: list,
+                     config: Optional[EncoderConfig] = None,
+                     out_col: str = "cef_line") -> DataFrame:
+    udf = make_encode_udf(config, field_cols)
+    return df.withColumn(out_col, udf(F.struct(*[F.col(c) for c in field_cols])))
+
+
+def ext(key: str) -> Column:
+    """Extension accessor: ``ext('sourceAddress')`` — map lookup the optimizer
+    can see through after the decode projection."""
+    return F.col("extensions").getItem(key)
+
+
+def promote(df: DataFrame, keys: list[str], prefix: str = "") -> DataFrame:
+    """Promote extension-map entries to top-level string columns (for
+    downstream relational work: joins/filters/aggregations on typed columns)."""
+    out = df
+    for k in keys:
+        out = out.withColumn(prefix + k, ext(k))
+    return out
+
+
+#: ECS timestamp string (our 9-digit ISO rendering) -> Spark TimestampType (µs).
+def ecs_timestamp(col: Column) -> Column:
+    return F.to_timestamp(F.regexp_replace(col, r"(\.\d{6})\d{3}Z$", "$1Z"))

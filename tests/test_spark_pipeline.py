@@ -1,0 +1,149 @@
+"""End-to-end Spark tests: decode UDF parity with the pure-pandas parser,
+enrich/route/aggregate against pure-Python goldens, salted-write sinks,
+and snapshot/resume. (North-rule gates: per-turn decoded-text equality under
+stable (conv_id, turn_idx) ordering; routed-row equality; per-sink counts.)"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cefspark import fixtures, pipeline
+from cefspark.parser import DecodeConfig, decode_batch
+from cefspark.storage import ManifestTable, list_input_files
+from cefspark.udfs import decode_dataframe, encode_dataframe, ext
+
+N = 1200
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return spark.createDataFrame(fixtures.transcripts_pdf(N)).cache()
+
+
+@pytest.fixture(scope="module")
+def decoded(spark, transcripts):
+    return decode_dataframe(transcripts).cache()
+
+
+def test_decode_udf_matches_pandas_parser(spark, transcripts, decoded):
+    """Per-turn equality: the Spark UDF result == the pure-pandas parser
+    result, under stable (conv_id, turn_idx) ordering."""
+    pdf = fixtures.transcripts_pdf(N).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    expected = decode_batch(pdf["text"])
+    got = (decoded.orderBy("conv_id", "turn_idx")
+           .select("deviceVendor", "severity", "extensions", "message", "tags")
+           .toPandas())
+    assert list(got["deviceVendor"].fillna("§")) == list(expected["deviceVendor"].fillna("§"))
+    assert list(got["severity"].fillna("§")) == list(expected["severity"].fillna("§"))
+    # extension maps: compare as dicts (Spark returns dict, parser returns dict)
+    for g, e in zip(got["extensions"], expected["extensions"]):
+        assert (g or None) == (e or None)
+    n_failed_exp = expected["tags"].notna().sum()
+    n_failed_got = got["tags"].notna().sum()
+    assert n_failed_got == n_failed_exp and n_failed_exp > 0
+
+
+def test_routed_rows_match_golden(spark, decoded):
+    routed = pipeline.route(pipeline.enrich(decoded, spark))
+    got = {(r["conv_id"], r["turn_idx"]): r["sink_id"]
+           for r in routed.select("conv_id", "turn_idx", "sink_id").collect()}
+
+    # pure-Python golden
+    pdf = fixtures.transcripts_pdf(N)
+    exp_dec = decode_batch(pdf["text"])
+    bands = dict(pipeline.severity_band_rows())
+    for i in range(N):
+        key = (pdf["conv_id"][i], pdf["turn_idx"][i])
+        if exp_dec["error"][i] is not None:
+            assert got[key] == pipeline.FAILURE_SINK, key
+        else:
+            vendor = exp_dec["deviceVendor"][i]
+            band = bands.get(exp_dec["severity"][i], "unknown")
+            assert got[key] == f"{vendor if vendor is not None else '_'}/{band}", key
+
+
+def test_sink_counts_match_golden(spark, decoded):
+    routed = pipeline.route(pipeline.enrich(decoded, spark))
+    counts = {(r["sink_id"], r["window_start"]): r["n_events"]
+              for r in pipeline.sink_counts(routed).collect()}
+
+    pdf = fixtures.transcripts_pdf(N)
+    exp_dec = decode_batch(pdf["text"])
+    bands = dict(pipeline.severity_band_rows())
+    golden: dict = {}
+    for i in range(N):
+        if exp_dec["error"][i] is not None:
+            sink = pipeline.FAILURE_SINK
+        else:
+            v = exp_dec["deviceVendor"][i]
+            sink = f"{v if v is not None else '_'}/{bands.get(exp_dec['severity'][i], 'unknown')}"
+        w = pdf["ts"][i].floor("h").tz_localize(None)
+        golden[(sink, w)] = golden.get((sink, w), 0) + 1
+    assert len(counts) == len(golden)
+    for k, v in golden.items():
+        assert counts[k] == v, k
+
+
+def test_sink_write_partitions_and_failure_sink(spark, decoded, tmp_path):
+    routed = pipeline.route(pipeline.enrich(decoded, spark))
+    base = str(tmp_path / "sinks")
+    pipeline.write_sinks(routed, base, salt_buckets=4)
+    dirs = {d for d in os.listdir(base) if d.startswith("sink_id=")}
+    assert any(pipeline.FAILURE_SINK in d for d in dirs)
+    assert any("security" in d for d in dirs)
+    back = spark.read.parquet(base)
+    assert back.count() == N
+    # partition pruning applies on the sink column
+    one = back.where(F.col("sink_id") == pipeline.FAILURE_SINK)
+    assert one.count() == routed.where(F.col("error").isNotNull()).count()
+
+
+def test_ext_accessor_and_ecs_mode(spark, transcripts):
+    dec = decode_dataframe(transcripts, config=DecodeConfig(ecs_mode=True, now="2026-08-16T00:00:00Z"))
+    row = (dec.where(ext("[source][ip]").isNotNull())
+           .select(ext("[source][ip]").alias("ip")).first())
+    assert row["ip"].startswith(("10.", "127."))
+
+
+def test_encode_dataframe_roundtrip(spark):
+    src = spark.createDataFrame(
+        [("1.2.3.4", "80"), ("5.6.7.8", None)], "sourceAddress string, sourcePort string")
+    enc = encode_dataframe(src, ["sourceAddress", "sourcePort"])
+    lines = [r["cef_line"] for r in enc.collect()]
+    assert lines[0].endswith("|sourceAddress=1.2.3.4 sourcePort=80")
+    dec = decode_dataframe(enc, text_col="cef_line")
+    got = dec.select(ext("sourceAddress").alias("a")).collect()
+    assert {r["a"] for r in got} == {"1.2.3.4", "5.6.7.8"}
+
+
+def test_manifest_snapshot_commit_and_resume(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    pdf = fixtures.transcripts_pdf(100)
+    spark.createDataFrame(pdf[:50]).write.parquet(src_dir + "/batch1")
+    spark.createDataFrame(pdf[50:]).write.parquet(src_dir + "/batch2")
+
+    table = ManifestTable(str(tmp_path / "out"))
+    b1 = spark.read.parquet(src_dir + "/batch1")
+    snap1 = table.commit(b1, inputs=list_input_files(b1))
+    assert table.latest_snapshot_id() == snap1.snapshot_id
+    assert table.read(spark).count() == 50
+
+    # resume: union scan of both batches, already-consumed files filtered out
+    both = spark.read.parquet(src_dir + "/batch1", src_dir + "/batch2")
+    fresh = table.filter_new_inputs(both)
+    assert fresh.count() == 50
+    snap2 = table.commit(fresh, inputs=list_input_files(both))
+    assert snap2.parent_id == snap1.snapshot_id
+    assert table.read(spark).count() == 50
+    assert len(table.consumed_inputs()) == len(list_input_files(both))
+    # nothing left to resume
+    assert table.filter_new_inputs(both).count() == 0
+
+
+def test_run_pipeline_end_to_end(spark, transcripts, tmp_path):
+    res = pipeline.run_pipeline(spark, transcripts, sink_path=str(tmp_path / "s"),
+                                collect_lineage=False)
+    assert res.n_input == N
+    assert 0 < res.n_failed < N * 0.1
