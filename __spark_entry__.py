@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CEF decode->enrich->route->window-count pipeline
+on sf0.001; ``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 (decode D3-D17, timestamps T1-T3, encode E1-E11, the pipeline
+stages, and the training-data ops) paired with DuckDB oracles. Payloads are
+built deterministically from the `events` table with identical expressions on
+both sides; the Spark side genuinely parses them with the engine while the
+oracle states expected values straight from the source columns.
 """
 
 from __future__ import annotations
@@ -15,24 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-sink windowed counts over CEF-decoded transcripts
+    at sf0.001 (driver checks rows > 0)."""
+    from cefspark.queries import q_cef_window_counts
+
+    return q_cef_window_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cefspark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cefspark.queries import REGISTRY
+
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

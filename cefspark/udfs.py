@@ -77,14 +77,19 @@ def decode_dataframe(df: DataFrame, text_col: str = "text",
     return out
 
 
-def make_encode_udf(config: Optional[EncoderConfig] = None, field_cols: Optional[list] = None):
+def make_encode_udf(config: Optional[EncoderConfig] = None, field_cols: Optional[list] = None,
+                    encode_fields: Optional[list] = None):
     """Encode UDF over a struct of event field columns.
 
-    ``field_cols`` are the event fields fed to the encoder (they also become
-    the default encoded ``fields`` list if the config doesn't set one).
+    ``field_cols`` are ALL event fields visible to the encoder (including
+    columns only used by %{field} header templates); ``encode_fields``
+    restricts which become key=value extension pairs (default: field_cols,
+    unless the config already sets ``fields``).
     """
     cfg = config or EncoderConfig()
-    if field_cols and not cfg.fields:
+    if encode_fields is not None:
+        cfg.fields = list(encode_fields)
+    elif field_cols and not cfg.fields:
         cfg.fields = list(field_cols)
 
     @F.pandas_udf(StringType())
@@ -96,9 +101,11 @@ def make_encode_udf(config: Optional[EncoderConfig] = None, field_cols: Optional
 
 def encode_dataframe(df: DataFrame, field_cols: list,
                      config: Optional[EncoderConfig] = None,
-                     out_col: str = "cef_line") -> DataFrame:
-    udf = make_encode_udf(config, field_cols)
-    return df.withColumn(out_col, udf(F.struct(*[F.col(c) for c in field_cols])))
+                     out_col: str = "cef_line",
+                     encode_fields: Optional[list] = None) -> DataFrame:
+    udf = make_encode_udf(config, field_cols, encode_fields)
+    cols = field_cols or df.columns[:1]  # struct() needs >= 1 field
+    return df.withColumn(out_col, udf(F.struct(*[F.col(c) for c in cols])))
 
 
 def ext(key: str) -> Column:
