@@ -74,6 +74,24 @@ CEF_PREFIX = "CEF:"
 _SIMPLE_BLOCK = re.compile(r"\A\w+=(?:[^\s\\=]*)(?:\s+\w+=(?:[^\s\\=]*))*\s*\Z")
 _SIMPLE_PAIR = re.compile(r"(\w+)=([^\s=\\]*)")
 
+# --- hot path: one possessive mega-regex per row ------------------------------
+# The `regex` module's repeated-capture groups let us do the 7-header split,
+# the contiguous key=value scan, AND the keyless-tail validation in a single
+# C-level fullmatch per row (groups 1-7 = headers; captures(8)/(9) = all
+# keys/values). Possessive/atomic constructs make every sub-pattern commit
+# exactly like the reference's finalize-then-advance scanning loops, so the
+# fast path accepts/rejects precisely the same strings as the slow path
+# (which remains the semantics of record and supplies failure diagnostics).
+try:
+    import regex as _rx
+
+    _FAST = _rx.compile(
+        r"\A" + _HEADER_UNIT * 7
+        + r"\s*+(?:(" + _EXT_KEY + r")=((?:\S|\s++(?!" + _EXT_KEY + r"=))*+)\s*+)*+\Z",
+        _rx.DOTALL)
+except ImportError:  # pragma: no cover — regex ships in this environment
+    _FAST = None
+
 
 @dataclass
 class DecodeConfig:
@@ -150,6 +168,25 @@ def desanitize_extension_val(value: str) -> str:
     return _DESANITIZE_PATTERN.sub(lambda m: _DESANITIZE_MAP[m.group(0)], value)
 
 
+def _classify_failure(s: str) -> str:
+    """Diagnose why a payload failed (slow path, failed rows only)."""
+    pos, cnt = 0, 0
+    while cnt < 7:
+        m = HEADER_NEXT_FIELD_PATTERN.search(s, pos)
+        if m is None:
+            break
+        pos = m.end()
+        cnt += 1
+    if cnt < 7:
+        return f"message is not valid CEF; found {cnt} of 7 required pipe-terminated header fields"
+    msg = s[pos:].strip()
+    if msg:
+        _, err = parse_extension_block(msg)
+        if err is not None:
+            return err
+    return "unparseable payload"
+
+
 def decode_batch(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.DataFrame:
     """Decode a batch of CEF payload strings into an event frame.
 
@@ -158,6 +195,118 @@ def decode_batch(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.
     failure), ``message`` + ``tags`` (populated only on parse failure —
     error-as-data, the Spark rendition of the reference's rescue at
     cef.rb:323-327), and ``error`` (diagnostic reason string).
+    """
+    if _FAST is not None:
+        return _decode_batch_fast(texts, config)
+    return _decode_batch_pandas(texts, config)
+
+
+def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.DataFrame:
+    """Single-pass hot path: one possessive mega-regex fullmatch per row."""
+    cfg = config or DecodeConfig()
+    maps = cfg.mappings()
+    decode_map = maps.decode_map
+    ts_fields = maps.timestamp_fields
+    tz_field = maps.device_timezone_field
+    normalizer = ts_mod.TimestampNormalizer(
+        locale=cfg.locale, timezone=cfg.default_timezone, now=cfg.now
+    ) if cfg.ecs_mode else None
+
+    idx = texts.index
+    arr = texts.to_numpy(dtype=object, copy=False)
+    n = len(arr)
+    cols = {c: np.empty(n, dtype=object) for c in DECODED_COLUMNS}
+    if cfg.raw_data_field:
+        cols[cfg.raw_data_field] = np.empty(n, dtype=object)
+
+    fullmatch = _FAST.fullmatch
+    hdr_sub = HEADER_ESCAPE_CAPTURE.sub
+    arr_sub = EXT_KEY_ARRAY_CAPTURE.sub
+    desan_sub = _DESANITIZE_PATTERN.sub
+    desan_map = _DESANITIZE_MAP
+    dmap_get = decode_map.get
+
+    for i in range(n):
+        raw = arr[i]
+        err = None
+        if not isinstance(raw, str):
+            err = "null payload"
+        else:
+            s = raw
+            # D5 quote strip (cef.rb:243-245), D6 chomp + newline guard (cef.rb:248-252)
+            if s[:1] == '"':
+                s = s[1:-1]
+            if s.endswith("\r\n"):
+                s = s[:-2]
+            elif s.endswith(("\n", "\r")):
+                s = s[:-1]
+            if "\n" in s:
+                err = "message is not valid CEF because it contains unescaped newline characters"
+        if err is None:
+            m = fullmatch(s.rstrip())  # rstrip mirrors message.strip (cef.rb:285)
+            if m is None:
+                err = _classify_failure(s)
+            else:
+                h = list(m.groups()[:7])
+                for j in range(7):
+                    if "\\" in h[j]:  # D8 header unescape (cef.rb:263)
+                        h[j] = hdr_sub(r"\1", h[j])
+                v0 = h[0]
+                if " " in v0:  # D9 syslog prelude (cef.rb:272-278)
+                    syslog, _, v0 = v0.rpartition(" ")
+                    cols["syslog"][i] = syslog
+                if v0.startswith(CEF_PREFIX):  # D10 (cef.rb:281)
+                    v0 = v0[4:]
+                cols["cefVersion"][i] = v0
+                cols["deviceVendor"][i] = h[1]
+                cols["deviceProduct"][i] = h[2]
+                cols["deviceVersion"][i] = h[3]
+                cols["deviceEventClassId"][i] = h[4]
+                cols["name"][i] = h[5]
+                cols["severity"][i] = h[6]
+                fields: dict = {}
+                for k, v in zip(m.captures(8), m.captures(9)):
+                    k = dmap_get(k, k)  # D12 key expansion (cef.rb:293)
+                    if k.endswith("]"):  # D13 array-like rewrite (cef.rb:296)
+                        k = arr_sub(r"[\1]\2", k)
+                    if "\\" in v:  # D14 desanitize (cef.rb:299)
+                        v = desan_sub(lambda mm: desan_map[mm.group(0)], v)
+                    fields[k] = v
+                if normalizer is not None and fields:
+                    # D15 ECS timestamp normalization (cef.rb:307-315)
+                    device_tz = fields.get(tz_field)
+                    try:
+                        for tf in ts_fields:
+                            if tf not in fields:
+                                continue
+                            raw_ts = fields.pop(tf)
+                            if raw_ts is None or not raw_ts.strip():
+                                fields[tf] = None
+                            else:
+                                fields[tf] = normalizer.normalize_iso(raw_ts, device_tz)
+                    except ts_mod.InvalidTimestamp as e:
+                        err = str(e)
+                if err is None:
+                    cols["extensions"][i] = fields
+                    if cfg.raw_data_field:
+                        cols[cfg.raw_data_field][i] = raw  # D3 (cef.rb:234)
+        if err is not None:
+            # D17 failure fallback (cef.rb:323-327): wipe partial decode state
+            for c in ("cefVersion", "deviceVendor", "deviceProduct", "deviceVersion",
+                      "deviceEventClassId", "name", "severity", "syslog", "extensions"):
+                cols[c][i] = None
+            if cfg.raw_data_field:
+                cols[cfg.raw_data_field][i] = None
+            cols["message"][i] = raw
+            cols["tags"][i] = [PARSE_FAILURE_TAG]
+            cols["error"][i] = err
+
+    return pd.DataFrame({c: pd.Series(v, index=idx, dtype=object) for c, v in cols.items()})
+
+
+def _decode_batch_pandas(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.DataFrame:
+    """Reference implementation (pandas-vectorized passes + cursor tokenizer).
+    Used as fallback without the `regex` module and for differential testing.
     """
     cfg = config or DecodeConfig()
     maps = cfg.mappings()
