@@ -1,0 +1,71 @@
+"""Structured Streaming mode: the same decode -> enrich -> route -> aggregate
+pipeline over a streaming transcript source.
+
+The batch codec UDF is reused verbatim (pandas UDFs are streaming-safe: no
+per-row state; the only codec state in the reference — the delimiter buffer,
+cef.rb:200 — has no analogue for table-shaped input). Late data is handled
+with an event-time watermark on ts; the windowed per-sink counts run in
+update/append mode with partial aggregation state bounded by
+(sinks x open windows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .parser import DecodeConfig
+from .pipeline import enrich, route
+from .udfs import decode_dataframe
+
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int = 16) -> DataFrame:
+    """File-based streaming source over a transcript parquet directory."""
+    return (spark.readStream.schema(TRANSCRIPT_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def routed_stream(stream: DataFrame, spark: SparkSession,
+                  config: Optional[DecodeConfig] = None) -> DataFrame:
+    return route(enrich(decode_dataframe(stream, config=config), spark))
+
+
+def windowed_sink_counts(routed: DataFrame, watermark: str = "10 minutes",
+                         window: str = "1 hour") -> DataFrame:
+    """Streaming per-sink windowed counts with late-data watermarking."""
+    return (routed.withWatermark("ts", watermark)
+            .groupBy("sink_id", F.window("ts", window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("sink_id", F.col("w.start").alias("window_start"), "n_events"))
+
+
+def run_to_memory(spark: SparkSession, input_path: str, query_name: str,
+                  config: Optional[DecodeConfig] = None,
+                  watermark: str = "10 minutes"):
+    """Drain the stream with availableNow into an in-memory sink (tests /
+    smoke); returns the StreamingQuery (caller awaits termination)."""
+    stream = read_transcript_stream(spark, input_path)
+    counts = windowed_sink_counts(routed_stream(stream, spark, config), watermark)
+    return (counts.writeStream.format("memory").queryName(query_name)
+            .outputMode("complete").trigger(availableNow=True).start())
+
+
+def run_to_parquet(spark: SparkSession, input_path: str, out_path: str,
+                   checkpoint: str, config: Optional[DecodeConfig] = None):
+    """Production shape: append routed events to partitioned parquet with a
+    streaming checkpoint (exactly-once per file source + checkpoint)."""
+    stream = read_transcript_stream(spark, input_path)
+    routed = routed_stream(stream, spark, config)
+    return (routed.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .partitionBy("sink_id")
+            .trigger(availableNow=True)
+            .start())

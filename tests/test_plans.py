@@ -1,0 +1,86 @@
+"""Physical-plan audits: the 100-TB-relevant properties must hold in the
+executed plans, not just in intent — broadcast joins for dimension enrich,
+partial (map-side) aggregation for counts, filter/column pushdown into scans,
+and no unexpected shuffles in narrow pipelines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cefspark import fixtures, pipeline, textops
+from cefspark.udfs import decode_dataframe, ext
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return spark.createDataFrame(fixtures.transcripts_pdf(400))
+
+
+def test_enrich_uses_broadcast_joins(spark, transcripts):
+    routed = pipeline.route(pipeline.enrich(decode_dataframe(transcripts), spark))
+    plan = plan_of(routed)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sink_counts_partial_aggregation_and_single_shuffle(spark, transcripts):
+    routed = pipeline.route(pipeline.enrich(decode_dataframe(transcripts), spark))
+    counts = pipeline.sink_counts(routed)
+    plan = plan_of(counts)
+    # partial + final hash aggregate around exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_decode_projection_prunes_unused_columns(spark):
+    # reading parquet and touching only 2 columns must prune the schema
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "event_type")
+    plan = plan_of(ev)
+    assert "ReadSchema: struct<event_id:bigint,event_type:string>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 10)
+    plan = plan_of(docs)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan
+
+
+def test_textops_stay_whole_stage_codegen(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = textops.quality_metrics(docs)
+    plan = plan_of(q)
+    assert "WholeStageCodegen" in plan
+    assert "Exchange" not in plan          # narrow: no shuffle at all
+    assert "BatchEvalPython" not in plan   # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan   # not even a pandas UDF
+
+
+def test_decode_is_single_arrow_stage(spark, transcripts):
+    dec = decode_dataframe(transcripts).select("deviceVendor", ext("sourceAddress"))
+    plan = plan_of(dec)
+    assert plan.count("ArrowEvalPython") == 1   # one UDF boundary
+    assert "BatchEvalPython" not in plan        # never row-at-a-time
+    assert "Exchange" not in plan               # decode is narrow
+
+
+def test_salted_repartition_partitions_by_sink_and_salt(spark, transcripts):
+    routed = pipeline.route(pipeline.enrich(decode_dataframe(transcripts), spark))
+    salted = pipeline.salted_repartition(routed, salt_buckets=4, num_partitions=8)
+    assert "hashpartitioning(sink_id" in plan_of(salted)
+
+
+def test_decode_failure_branch_no_extra_udf_calls(spark, transcripts):
+    # selecting two decoded columns must not evaluate the UDF twice
+    dec = decode_dataframe(transcripts)
+    plan = plan_of(dec.select("deviceVendor", "severity", "error"))
+    assert plan.count("ArrowEvalPython") == 1
