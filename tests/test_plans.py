@@ -36,10 +36,11 @@ def test_sink_counts_partial_aggregation_and_single_shuffle(spark, transcripts):
     routed = pipeline.route(pipeline.enrich(decode_dataframe(transcripts), spark))
     counts = pipeline.sink_counts(routed)
     plan = plan_of(counts)
-    # partial + final hash aggregate around exactly one exchange
+    # partial + final hash aggregate around exactly one shuffle (broadcast
+    # exchanges for the dimension joins don't count)
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_decode_projection_prunes_unused_columns(spark):
@@ -59,7 +60,8 @@ def test_textops_stay_whole_stage_codegen(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = textops.quality_metrics(docs)
     plan = plan_of(q)
-    assert "WholeStageCodegen" in plan
+    # '*' prefix on operators marks whole-stage-codegen spans in plan strings
+    assert plan.lstrip().startswith("*(")
     assert "Exchange" not in plan          # narrow: no shuffle at all
     assert "BatchEvalPython" not in plan   # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan   # not even a pandas UDF
