@@ -1,0 +1,87 @@
+"""Sources: raw byte-stream framing (D1) and binary ingest with UTF-8
+validation (D4).
+
+Table-shaped transcript input (1 row = 1 event) needs neither; these cover
+the reference's other ingestion shapes:
+
+* ``read_raw_lines`` — a raw log file with a configured delimiter between
+  events (the reference's BufferedTokenizer, cef.rb:195-201/211-222, exists
+  because its input is an unframed byte stream; in Spark the framing is the
+  scan's ``lineSep``, so the "buffer + flush" machinery dissolves into the
+  source).
+* ``decode_binary_dataframe`` — ingest a BinaryType column: strict UTF-8
+  decode first; invalid byte sequences fail the event early exactly like
+  the reference (cef.rb:236-240, spec cef_spec.rb:996-1009). The failure
+  event's ``message`` holds a replacement-char rendering of the original
+  bytes (Spark strings cannot carry invalid bytes; the raw bytes stay
+  available in the input column).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .mappings import PARSE_FAILURE_TAG
+from .parser import DECODED_COLUMNS, DecodeConfig, decode_batch
+from .udfs import DECODED_STRUCT
+
+
+def unescape_delimiter(delim: str) -> str:
+    r"""Config-file escaping for the delimiter setting: '\\r'/'\\n' sequences
+    mean CR/LF (cef.rb:195-199)."""
+    return delim.replace("\\r", "\r").replace("\\n", "\n")
+
+
+def read_raw_lines(spark: SparkSession, path: str, delimiter: str = "\n") -> DataFrame:
+    """Frame a raw byte-stream file into one event per row (column ``text``).
+
+    The delimiter plays the role of the reference's BufferedTokenizer split;
+    there is no remainder to flush because the scan sees the whole file.
+    """
+    delim = unescape_delimiter(delimiter)
+    df = spark.read.text(path, lineSep=delim).withColumnRenamed("value", "text")
+    # a trailing delimiter yields one empty frame; the tokenizer never emits those
+    return df.where(F.length("text") > 0)
+
+
+def decode_binary_dataframe(df: DataFrame, bytes_col: str = "payload",
+                            config: Optional[DecodeConfig] = None,
+                            flatten: bool = True) -> DataFrame:
+    """Decode CEF from a BinaryType column with strict UTF-8 validation."""
+    cfg = config or DecodeConfig()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            bad = []
+            for b in pdf[bytes_col]:
+                if b is None:
+                    texts.append(None)
+                    bad.append(False)
+                    continue
+                try:
+                    texts.append(bytes(b).decode("utf-8", errors="strict"))
+                    bad.append(False)
+                except UnicodeDecodeError:
+                    texts.append(bytes(b).decode("utf-8", errors="replace"))
+                    bad.append(True)
+            dec = decode_batch(pd.Series(texts, index=pdf.index), cfg)
+            for i, is_bad in zip(pdf.index, bad):
+                if is_bad:  # fail early like cef.rb:238-240, keep payload rendering
+                    for c in DECODED_COLUMNS:
+                        dec.at[i, c] = None
+                    dec.at[i, "message"] = texts[list(pdf.index).index(i)]
+                    dec.at[i, "tags"] = [PARSE_FAILURE_TAG]
+                    dec.at[i, "error"] = "invalid byte sequence in UTF-8"
+            out = pdf.copy()
+            for c in [f.name for f in DECODED_STRUCT.fields]:
+                out[c] = dec[c]
+            yield out
+
+    from pyspark.sql.types import StructType
+    schema = StructType(df.schema.fields + DECODED_STRUCT.fields)
+    return df.mapInPandas(run, schema=schema)

@@ -45,17 +45,39 @@ DECODED_STRUCT = StructType([
 _DECODE_OUT_COLS = [f.name for f in DECODED_STRUCT.fields]
 
 
-def make_decode_udf(config: Optional[DecodeConfig] = None):
+class DecodeMetrics:
+    """Executor-side decode counters surfaced through Spark accumulators —
+    the per-partition metrics channel of the north rule. Updates flow back
+    with task completion; read ``.parsed.value`` / ``.failed.value`` on the
+    driver after an action."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.parsed = sc.accumulator(0)
+        self.failed = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        return {"parsed": self.parsed.value, "failed": self.failed.value}
+
+
+def make_decode_udf(config: Optional[DecodeConfig] = None,
+                    metrics: Optional[DecodeMetrics] = None):
     """Build the decode pandas UDF. ``config.now`` is pinned here (on the
     driver) if unset, so every executor infers yearless timestamps against
     the same clock."""
     cfg = config or DecodeConfig()
     if cfg.ecs_mode and cfg.now is None:
         cfg.now = pd.Timestamp.now(tz="UTC").isoformat()
+    acc_parsed = metrics.parsed if metrics else None
+    acc_failed = metrics.failed if metrics else None
 
     @F.pandas_udf(DECODED_STRUCT)
     def decode_cef(texts: pd.Series) -> pd.DataFrame:
         out = decode_batch(texts, cfg)
+        if acc_parsed is not None:
+            n_failed = int(out["error"].notna().sum())
+            acc_failed.add(n_failed)
+            acc_parsed.add(len(out) - n_failed)
         return out[_DECODE_OUT_COLS]
 
     return decode_cef
@@ -63,14 +85,15 @@ def make_decode_udf(config: Optional[DecodeConfig] = None):
 
 def decode_dataframe(df: DataFrame, text_col: str = "text",
                      config: Optional[DecodeConfig] = None,
-                     struct_col: str = "cef", flatten: bool = True) -> DataFrame:
+                     struct_col: str = "cef", flatten: bool = True,
+                     metrics: Optional[DecodeMetrics] = None) -> DataFrame:
     """Decode ``df[text_col]`` CEF payloads; appends the decoded columns.
 
     With ``flatten=True`` the struct is expanded into top-level columns —
     Catalyst prunes unused ones and the UDF boundary stays a single
     projection stage.
     """
-    udf = make_decode_udf(config)
+    udf = make_decode_udf(config, metrics)
     out = df.withColumn(struct_col, udf(F.col(text_col)))
     if flatten:
         out = out.select("*", f"{struct_col}.*").drop(struct_col)

@@ -1,0 +1,57 @@
+"""Raw-stream framing (D1), binary/UTF-8 ingest (D4), decode metrics
+accumulators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cefspark import fixtures, sources
+from cefspark.udfs import DecodeMetrics, decode_dataframe
+
+CANON = ("CEF:0|security|threatmanager|1.0|100|"
+         "trojan successfully stopped|10|src=10.0.0.192 spt=1232")
+
+
+def test_read_raw_lines_custom_delimiter(spark, tmp_path):
+    # the reference's delimiter buffering (cef.rb:211-222) as scan framing
+    raw = (tmp_path / "events.log")
+    raw.write_bytes((CANON + "\r\n" + CANON + "\r\n" + "garbage" + "\r\n").encode())
+    df = sources.read_raw_lines(spark, str(raw), delimiter="\\r\\n")
+    assert df.count() == 3  # trailing delimiter -> no empty frame
+    dec = decode_dataframe(df)
+    assert dec.where(F.col("error").isNull()).count() == 2
+    assert dec.where(F.col("error").isNotNull()).count() == 1
+
+
+def test_read_raw_lines_default_newline(spark, tmp_path):
+    raw = (tmp_path / "plain.log")
+    raw.write_text(CANON + "\n" + CANON + "\n")
+    assert sources.read_raw_lines(spark, str(raw)).count() == 2
+
+
+def test_binary_ingest_valid_and_invalid_utf8(spark):
+    # cef_spec.rb:973-1009: UTF-8 higher-plane survives; non-UTF-8 fails early
+    utf8_payload = ("CEF:0|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+                    "target=aaaaaああああaaaa").encode("utf-8")
+    sjis_payload = ("CEF:0|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+                    "msg=こんにちは").encode("shift_jis")
+    df = spark.createDataFrame([(1, utf8_payload), (2, sjis_payload), (3, None)],
+                               "id int, payload binary")
+    out = {r["id"]: r for r in sources.decode_binary_dataframe(df).collect()}
+    assert out[1]["error"] is None
+    assert out[1]["extensions"]["target"] == "aaaaaああああaaaa"
+    assert out[2]["tags"] == ["_cefparsefailure"]
+    assert out[2]["error"] == "invalid byte sequence in UTF-8"
+    assert out[2]["message"] is not None  # replacement-char rendering kept
+    assert out[3]["error"] == "null payload"
+
+
+def test_decode_metrics_accumulators(spark):
+    pdf = fixtures.transcripts_pdf(600)
+    df = spark.createDataFrame(pdf)
+    metrics = DecodeMetrics(spark)
+    dec = decode_dataframe(df, metrics=metrics)
+    n_failed_truth = dec.where(F.col("error").isNotNull()).count()
+    got = metrics.as_dict()
+    assert got["failed"] == n_failed_truth > 0
+    assert got["parsed"] == 600 - n_failed_truth
