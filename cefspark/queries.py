@@ -27,16 +27,30 @@ from .udfs import decode_dataframe, encode_dataframe, ext
 NOW = "2026-08-16T00:00:00Z"  # injected clock for ECS yearless inference
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a low-parallelism scan out to the executor pool.
+
+    The sf* testdata ships one unsplittable row group per table, which would
+    pin the downstream UDF stages to 1-2 cores. At production scale a table
+    has thousands of splits and this branch never fires; here a round-robin
+    repartition of a few MB buys full parallelism for CPU-bound stages.
+    """
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --- shared payload builders (Spark side; SQL mirrors live in the oracle) -----

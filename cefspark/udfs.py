@@ -149,3 +149,18 @@ def promote(df: DataFrame, keys: list[str], prefix: str = "") -> DataFrame:
 #: ECS timestamp string (our 9-digit ISO rendering) -> Spark TimestampType (µs).
 def ecs_timestamp(col: Column) -> Column:
     return F.to_timestamp(F.regexp_replace(col, r"(\.\d{6})\d{3}Z$", "$1Z"))
+
+
+def ecs_view(df: DataFrame, device: str = "observer") -> DataFrame:
+    """Logical ECS-mode view over the physical decode columns: headers are
+    renamed to their ECS references (cef.rb:362-371) and the @timestamp
+    extension (deviceReceiptTime in ECS mode) is promoted to a typed
+    TimestampType column. Extension-map keys are already ECS references when
+    the decode ran with ecs_mode=True."""
+    from .mappings import HEADER_COLUMNS, HEADER_FIELDS, SYSLOG_HEADER
+
+    out = df
+    for phys, ecs in zip(HEADER_COLUMNS, HEADER_FIELDS["v1"]):
+        out = out.withColumnRenamed(phys, ecs)
+    out = out.withColumnRenamed("syslog", SYSLOG_HEADER["v1"])
+    return out.withColumn("@timestamp", ecs_timestamp(ext("@timestamp")))
