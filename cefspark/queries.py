@@ -255,6 +255,136 @@ FROM events
 """
 
 
+def q_cef_decode_quote_strip(spark, sf_dir):
+    """D5: flex-connector quote wrapping is stripped (cef.rb:243-245)."""
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit('"'), _canonical_payload(), F.lit('"')))
+    return decode_dataframe(df).select("event_id", "deviceVendor",
+                                       ext("eventOutcome").alias("outcome"))
+
+
+O_CEF_DECODE_QUOTE_STRIP = f"""
+SELECT event_id, {_VENDOR_SQL} AS deviceVendor, 'Success' AS outcome FROM events
+"""
+
+
+def q_cef_decode_dotted_keys(spark, sf_dir):
+    """Dotted / comma / bracket-indexed keys survive verbatim; array-like keys
+    are rewritten to strict field references (cef_spec.rb:852-899)."""
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|ad.nn=T"), (F.col("event_id") % 9).cast("string"),
+                         F.lit(" ad.Error_,Code=3221225578 ad.field[0]=f0")))
+    dec = decode_dataframe(df)
+    return dec.select("event_id",
+                      ext("ad.nn").alias("ad_nn"),
+                      ext("ad.Error_,Code").alias("ad_err"),
+                      ext("[ad.field][0]").alias("ad_f0"))
+
+
+O_CEF_DECODE_DOTTED_KEYS = """
+SELECT event_id, 'T' || CAST(event_id % 9 AS VARCHAR) AS ad_nn,
+       '3221225578' AS ad_err, 'f0' AS ad_f0
+FROM events
+"""
+
+
+def q_cef_decode_custom_numbered(spark, sf_dir):
+    """The 15x8 numbered custom fields expand like named fields (cef_spec.rb:958-971)."""
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|cfp15=1."), (F.col("event_id") % 7).cast("string"),
+                         F.lit(" cfp15Label=FloatLabel c6a12=::1 cn7="), (F.col("event_id") % 100).cast("string"),
+                         F.lit(" cs4Label=StringLabel")))
+    dec = decode_dataframe(df)
+    return dec.select(
+        "event_id",
+        ext("deviceCustomFloatingPoint15").alias("cfp15_val"),
+        ext("deviceCustomFloatingPoint15Label").alias("cfp15_label"),
+        ext("deviceCustomIPv6Address12").alias("c6a12_val"),
+        ext("deviceCustomNumber7").alias("cn7_val"),
+        ext("deviceCustomString4Label").alias("cs4_label"))
+
+
+O_CEF_DECODE_CUSTOM_NUMBERED = """
+SELECT event_id, '1.' || CAST(event_id % 7 AS VARCHAR) AS cfp15_val,
+       'FloatLabel' AS cfp15_label, '::1' AS c6a12_val,
+       CAST(event_id % 100 AS VARCHAR) AS cn7_val, 'StringLabel' AS cs4_label
+FROM events
+"""
+
+
+def q_cef_decode_legacy_aliases(spark, sf_dir):
+    """Legacy geo aliases pass through as-provided in disabled mode
+    (cef_spec.rb:1022-1034, cef.rb:566)."""
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|destinationLongitude=-73.6148"),
+                         (F.col("event_id") % 10).cast("string"),
+                         F.lit(" sourceLatitude=9.1076927")))
+    dec = decode_dataframe(df)
+    return dec.select("event_id",
+                      ext("destinationLongitude").alias("dlong_legacy"),
+                      ext("sourceLatitude").alias("slat_legacy"))
+
+
+O_CEF_DECODE_LEGACY_ALIASES = """
+SELECT event_id, '-73.6148' || CAST(event_id % 10 AS VARCHAR) AS dlong_legacy,
+       '9.1076927' AS slat_legacy
+FROM events
+"""
+
+
+def q_cef_ts_dtz_side_channel(spark, sf_dir):
+    """T3: zoneless rt + dtz=Europe/Moscow side channel (cef_spec.rb:698-722);
+    Moscow is UTC+3 year-round (no DST since 2014), so expected = ts - 3h."""
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|rt="),
+                         F.date_format(F.col("ts"), "MMM dd yyyy HH:mm:ss"),
+                         F.lit(" dtz=Europe/Moscow")))
+    dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, now=NOW))
+    iso = ext("@timestamp")
+    return dec.select(
+        "event_id",
+        F.concat(F.substring(iso, 1, 10), F.lit(" "), F.substring(iso, 12, 8)).alias("ts_utc"))
+
+
+O_CEF_TS_DTZ_SIDE_CHANNEL = """
+SELECT event_id,
+       strftime(date_trunc('second', ts) - INTERVAL 3 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_utc
+FROM events
+"""
+
+
+def q_top_vendors(spark, sf_dir):
+    """Sort/limit/top-k over the routed output."""
+    return (_routed(spark, sf_dir)
+            .groupBy("deviceVendor").agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.desc("n_events"), F.asc_nulls_first("deviceVendor"))
+            .limit(3))
+
+
+O_TOP_VENDORS = f"""
+WITH v AS (SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE {_VENDOR_SQL} END AS deviceVendor
+           FROM events)
+SELECT deviceVendor, COUNT(*) AS n_events FROM v GROUP BY 1
+ORDER BY n_events DESC, deviceVendor ASC NULLS FIRST LIMIT 3
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: high-severity events EXCEPT error-typed events, via
+    anti-join semantics expressed with except_all-equivalent distinct sets."""
+    ev = decode_dataframe(_with_payload(_events(spark, sf_dir)))
+    high = ev.where(F.col("severity").cast("int") >= 7).select("event_id")
+    errors = ev.where(F.col("deviceEventClassId").cast("int") % 2 == 0).select("event_id")
+    return high.exceptAll(errors)
+
+
+O_SET_OPS = """
+SELECT event_id FROM events WHERE event_id % 11 >= 7
+EXCEPT ALL
+SELECT event_id FROM events WHERE (event_id % 1000) % 2 = 0
+"""
+
+
 # ==============================================================================
 # CEF encode + round-trip
 # ==============================================================================
@@ -643,6 +773,13 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_decode_escaped_values": (q_cef_decode_escaped_values, O_CEF_DECODE_ESCAPED_VALUES),
     "cef_decode_pipe_in_value": (q_cef_decode_pipe_in_value, O_CEF_DECODE_PIPE_IN_VALUE),
     "cef_decode_syslog_prelude": (q_cef_decode_syslog_prelude, O_CEF_DECODE_SYSLOG_PRELUDE),
+    "cef_decode_quote_strip": (q_cef_decode_quote_strip, O_CEF_DECODE_QUOTE_STRIP),
+    "cef_decode_dotted_keys": (q_cef_decode_dotted_keys, O_CEF_DECODE_DOTTED_KEYS),
+    "cef_decode_custom_numbered": (q_cef_decode_custom_numbered, O_CEF_DECODE_CUSTOM_NUMBERED),
+    "cef_decode_legacy_aliases": (q_cef_decode_legacy_aliases, O_CEF_DECODE_LEGACY_ALIASES),
+    "cef_ts_dtz_side_channel": (q_cef_ts_dtz_side_channel, O_CEF_TS_DTZ_SIDE_CHANNEL),
+    "top_vendors": (q_top_vendors, O_TOP_VENDORS),
+    "set_ops": (q_set_ops, O_SET_OPS),
     "cef_decode_failures": (q_cef_decode_failures, O_CEF_DECODE_FAILURES),
     "cef_encode": (q_cef_encode, O_CEF_ENCODE),
     "cef_encode_severity": (q_cef_encode_severity, O_CEF_ENCODE_SEVERITY),
