@@ -86,3 +86,14 @@ def test_decode_failure_branch_no_extra_udf_calls(spark, transcripts):
     dec = decode_dataframe(transcripts)
     plan = plan_of(dec.select("deviceVendor", "severity", "error"))
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_flagship_plan_shape(spark, transcripts):
+    """The end-to-end flagship (decode -> enrich -> route -> windowed counts)
+    must be: exactly one Arrow UDF boundary, two broadcast joins, one shuffle."""
+    counts = pipeline.sink_counts(
+        pipeline.route(pipeline.enrich(decode_dataframe(transcripts), spark)))
+    plan = plan_of(counts)
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
