@@ -50,14 +50,27 @@ def main() -> None:
     spark = get_spark(app_name="cefspark-bench", cores=cpus, shuffle_partitions=cpus)
     n_turns = _events(spark, sf_dir).count()
 
+    # Warm the Python worker fleet through the decode UDF (count() alone
+    # prunes the UDF away): real long-running jobs run warm, and the first
+    # headline query shouldn't absorb 32 worker cold-starts.
+    from pyspark.sql import functions as F
+
+    from cefspark.udfs import decode_dataframe
+    warm = (spark.range(cpus * 200)
+            .withColumn("text", F.lit("CEF:0|a|b|c|d|e|f|k=v"))
+            .repartition(cpus))
+    decode_dataframe(warm).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        df = fn(spark, sf_dir)
-        df.count()  # warm: plan + scan caches, exclude first-call JVM effects? no — keep one warm pass small
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        fn(spark, sf_dir).count()  # warm scan/plan caches
+        best = float("inf")
+        for _ in range(2):  # min-of-2: damp single-node scheduler/load noise
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     flagship = timings["cef_window_counts"] or 1e-9
