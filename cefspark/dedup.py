@@ -91,19 +91,36 @@ def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
             .select("a", "b").distinct())
 
 
+def verify_pairs(candidates: DataFrame, df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3,
+                 threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard scoring of specific (a, b) candidate pairs.
+
+    Cost is O(candidates), not O(all pairs sharing a shingle): shingle sets
+    are aggregated per doc once, then each candidate pair intersects two
+    arrays. This is the scale path behind LSH prefiltering.
+    """
+    sets_df = (word_shingles(df, text_col, id_col, n)
+               .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
+    a = sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
+    b = sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
+    return (candidates.join(a, "a").join(b, "b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 64, shingle_n: int = 3, bands: int = 16,
                   threshold: float = 0.5) -> DataFrame:
-    """MinHash -> LSH candidates -> exact-Jaccard verification.
-
-    Returns verified near-duplicate pairs (a, b, jaccard >= threshold).
-    """
+    """MinHash -> LSH candidate pairs -> exact-Jaccard verification of the
+    candidates only. Returns verified near-dup pairs (a, b, jaccard)."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     cand = lsh_candidates(sigs, id_col, bands, rows)
-    exact = jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
-    # verify candidates against exact jaccard (join keeps only LSH hits)
-    return cand.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+    return verify_pairs(cand, df, text_col, id_col, shingle_n, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
