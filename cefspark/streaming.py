@@ -69,3 +69,49 @@ def run_to_parquet(spark: SparkSession, input_path: str, out_path: str,
             .partitionBy("sink_id")
             .trigger(availableNow=True)
             .start())
+
+
+# --- custom stateful operator: per-conversation running stats ------------------
+
+CONV_STATS_SCHEMA = "conv_id string, n_turns long, n_failed long, last_turn_idx int"
+_CONV_STATE_SCHEMA = "n long, f long, last int"
+
+
+def conversation_stats_stream(decoded_stream: DataFrame):
+    """Arbitrary stateful processing (applyInPandasWithState): maintain
+    per-conversation running turn/failure counts and the max turn index
+    across micro-batches. This is the engine's template for custom stateful
+    operators the built-in windowed aggregations can't express (the state is
+    keyed by conv_id, so it shuffles once to co-locate each conversation).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        n, f, last = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            f += int(pdf["error"].notna().sum())
+            if len(pdf):
+                last = max(last, int(pdf["turn_idx"].max()))
+        state.update((n, f, last))
+        yield pd.DataFrame({"conv_id": [conv_id], "n_turns": [n],
+                            "n_failed": [f], "last_turn_idx": [last]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (decoded_stream.groupBy("conv_id")
+            .applyInPandasWithState(update, CONV_STATS_SCHEMA, _CONV_STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_conversation_stats(spark: SparkSession, input_path: str, query_name: str,
+                           config: Optional[DecodeConfig] = None,
+                           max_files_per_trigger: int = 16):
+    """Drain a transcript directory through the stateful operator into an
+    in-memory sink (availableNow)."""
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    decoded = decode_dataframe(stream, config=config)
+    stats = conversation_stats_stream(decoded)
+    return (stats.writeStream.format("memory").queryName(query_name)
+            .outputMode("update").trigger(availableNow=True).start())

@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", help="transcript parquet path (conv_id,turn_idx,role,text,tool,ts)")
+    p.add_argument("--input-format", choices=["table", "raw"], default="table",
+                   help="'raw' = delimiter-framed log files (text only)")
+    p.add_argument("--delimiter", default="\\n", help="frame delimiter for --input-format raw")
     p.add_argument("--synthesize", type=int, default=0, help="generate N synthetic turns instead")
     p.add_argument("--sinks", help="base path for per-sink routed output")
     p.add_argument("--table", help="manifest-table root for snapshot commit/resume")
@@ -50,7 +53,20 @@ def main() -> None:
         app_name="cefspark-pipeline", cores=args.cpus or None)
 
     t0 = time.time()
-    if args.input:
+    if args.input and args.input_format == "raw":
+        from pyspark.sql import functions as F
+
+        from cefspark.sources import read_raw_lines
+
+        raw = read_raw_lines(spark, args.input, args.delimiter)
+        # raw frames carry no transcript metadata; synthesize the routing keys
+        transcripts = (raw.withColumn("conv_id", F.input_file_name())
+                       .withColumn("turn_idx", F.lit(0))
+                       .withColumn("role", F.lit("log"))
+                       .withColumn("tool", F.lit(""))
+                       .withColumn("ts", F.current_timestamp()))
+        inputs = list_input_files(raw)
+    elif args.input:
         transcripts = spark.read.parquet(args.input)
         inputs = list_input_files(transcripts)
     elif args.synthesize:

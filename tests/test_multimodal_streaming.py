@@ -71,3 +71,30 @@ def test_streaming_parquet_sink_with_checkpoint(spark, tmp_path):
     q2 = streaming.run_to_parquet(spark, src, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 500
+
+
+def test_stateful_conversation_stats(spark, tmp_path):
+    src = str(tmp_path / "conv_in")
+    pdf = fixtures.transcripts_pdf(1600)
+    sdf = spark.createDataFrame(pdf)
+    # files land at the top level (FileStreamSource does not recurse);
+    # maxFilesPerTrigger=2 forces several micro-batches so state must carry
+    sdf.where(F.col("turn_idx") < 4).coalesce(2).write.parquet(src)
+    sdf.where(F.col("turn_idx") >= 4).coalesce(2).write.mode("append").parquet(src)
+
+    q = streaming.run_conversation_stats(spark, src, "convstats",
+                                         max_files_per_trigger=2)
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select conv_id, max(n_turns) n_turns, max(n_failed) n_failed,"
+        " max(last_turn_idx) last_turn_idx from convstats group by conv_id").collect()
+    got_m = {r["conv_id"]: (r["n_turns"], r["n_failed"], r["last_turn_idx"]) for r in got}
+
+    batch = pipeline.decode(sdf)
+    exp = {r["conv_id"]: (r["n"], r["f"], r["l"]) for r in
+           batch.groupBy("conv_id").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
+               F.max("turn_idx").alias("l")).collect()}
+    assert got_m == exp
+    assert all(v[0] == 8 for v in got_m.values())  # 8 turns per conversation
