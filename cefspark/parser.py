@@ -3,14 +3,17 @@
 This is a from-scratch pandas/NumPy implementation of the decode semantics of
 the reference codec (/root/reference/lib/logstash/codecs/cef.rb:231-327). It is
 pure pandas — testable without Spark — and is wrapped into an Arrow-batched
-pandas UDF by :mod:`cefspark.udfs`. There is no per-row Python UDF dispatch:
-the header split is a single vectorized regex extract over the whole batch;
-only the extension key=value tokenizer walks rows (with a C-level compiled
-regex per pair, mirroring the reference's scanning parser at cef.rb:288-302).
+pandas UDF by :mod:`cefspark.udfs`. The hot path (`_decode_batch_fast`) does
+two C-level regex calls per row; `_decode_batch_pandas` is the sequential
+implementation of record, kept for differential testing against the hot path
+(mirroring the reference's scanning parser at cef.rb:253-305).
 
 Grammar constants are behavioral transcriptions of the reference's regexes
-(cef.rb:103-140); Python 3.11 `re` supports the possessive quantifier the
-reference relies on for backtracking safety.
+(cef.rb:103-140); Python 3.11 `re` supports the possessive/atomic constructs
+the reference relies on for backtracking safety. All shorthand classes are
+compiled with re.ASCII because Ruby's \w/\s/\S are ASCII-only — without it,
+Unicode word chars would form keys and NBSP would split values, silently
+diverging from the reference on non-ASCII payloads.
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ _EXT_KEY = r"(?:\w+(?:\.[^\.=\s\|\\\[\]]+)*(?:\[[0-9]+\])?(?==))"
 _EXT_VALUE = r"(?:\S|\s++(?!" + _EXT_KEY + r"=))*"
 
 # The next key=value pair, anchored at the cursor (cef.rb:140).
-EXT_KV_PATTERN = re.compile(r"(" + _EXT_KEY + r")=(" + _EXT_VALUE + r")\s*")
+EXT_KV_PATTERN = re.compile(r"(" + _EXT_KEY + r")=(" + _EXT_VALUE + r")\s*", re.ASCII)
 
 # array-like key syntax 'name[0]' -> '[name][0]' (cef.rb:131)
 EXT_KEY_ARRAY_CAPTURE = re.compile(r"^([^\[\]]+)((?:\[[0-9]+\])+)$")
@@ -67,12 +70,15 @@ _DESANITIZE_MAP = {r"\\": "\\", r"\=": "=", r"\n": "\n", r"\r": "\r"}
 
 CEF_PREFIX = "CEF:"
 
+# Ruby String#strip / rstrip remove ASCII whitespace and NUL only
+_RUBY_STRIP = "\x00\t\n\x0b\x0c\r "
+
 # Fast-path probe: an extension block with only "simple" pairs — keys that are
 # plain \w+, values with no backslash escapes — can be tokenized with one
 # vectorized findall instead of the cursor loop. (Optimization only; the
 # cursor loop below is the semantics of record.)
-_SIMPLE_BLOCK = re.compile(r"\A\w+=(?:[^\s\\=]*)(?:\s+\w+=(?:[^\s\\=]*))*\s*\Z")
-_SIMPLE_PAIR = re.compile(r"(\w+)=([^\s=\\]*)")
+_SIMPLE_BLOCK = re.compile(r"\A\w+=(?:[^\s\\=]*)(?:\s+\w+=(?:[^\s\\=]*))*\s*\Z", re.ASCII)
+_SIMPLE_PAIR = re.compile(r"(\w+)=([^\s=\\]*)", re.ASCII)
 
 # --- hot path: two C-level regex calls per row ---------------------------------
 # Python 3.11's stdlib `re` supports the atomic/possessive constructs the
@@ -89,8 +95,8 @@ _EXT_VALUE_POSSESSIVE = r"(?:\S|\s++(?!" + _EXT_KEY + r"=))*+"
 _FAST_FULL = re.compile(
     r"\A" + _HEADER_UNIT * 7
     + r"\s*+(?:" + _EXT_KEY + r"=" + _EXT_VALUE_POSSESSIVE + r"\s*+)*+\Z",
-    re.DOTALL)
-_FAST_KV = re.compile(r"(" + _EXT_KEY + r")=(" + _EXT_VALUE_POSSESSIVE + r")")
+    re.DOTALL | re.ASCII)
+_FAST_KV = re.compile(r"(" + _EXT_KEY + r")=(" + _EXT_VALUE_POSSESSIVE + r")", re.ASCII)
 
 
 @dataclass
@@ -179,7 +185,7 @@ def _classify_failure(s: str) -> str:
         cnt += 1
     if cnt < 7:
         return f"message is not valid CEF; found {cnt} of 7 required pipe-terminated header fields"
-    msg = s[pos:].strip()
+    msg = s[pos:].strip(_RUBY_STRIP)
     if msg:
         _, err = parse_extension_block(msg)
         if err is not None:
@@ -228,6 +234,7 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
     for i in range(n):
         raw = arr[i]
         err = None
+        failure_payload = raw if isinstance(raw, str) else None
         if not isinstance(raw, str):
             err = "null payload"
         else:
@@ -235,6 +242,10 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
             # D5 quote strip (cef.rb:243-245), D6 chomp + newline guard (cef.rb:248-252)
             if s[:1] == '"':
                 s = s[1:-1]
+            # the reference's failure event carries the quote-stripped `data`
+            # (rescue at cef.rb:326 yields the reassigned local), not the
+            # original bytes — chomp/strip happen on a separate variable.
+            failure_payload = s
             if s.endswith("\r\n"):
                 s = s[:-2]
             elif s.endswith(("\n", "\r")):
@@ -242,7 +253,7 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
             if "\n" in s:
                 err = "message is not valid CEF because it contains unescaped newline characters"
         if err is None:
-            s = s.rstrip()  # mirrors message.strip (cef.rb:285)
+            s = s.rstrip(_RUBY_STRIP)  # mirrors message.strip (cef.rb:285), ASCII-only
             m = fullmatch(s)
             if m is None:
                 err = _classify_failure(s)
@@ -280,7 +291,7 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
                             if tf not in fields:
                                 continue
                             raw_ts = fields.pop(tf)
-                            if raw_ts is None or not raw_ts.strip():
+                            if raw_ts is None or not raw_ts.strip(_RUBY_STRIP):
                                 fields[tf] = None
                             else:
                                 fields[tf] = normalizer.normalize_iso(raw_ts, device_tz)
@@ -297,7 +308,7 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
                 cols[c][i] = None
             if cfg.raw_data_field:
                 cols[cfg.raw_data_field][i] = None
-            cols["message"][i] = raw
+            cols["message"][i] = failure_payload
             cols["tags"][i] = [PARSE_FAILURE_TAG]
             cols["error"][i] = err
 
@@ -305,9 +316,10 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
 
 
 def _decode_batch_pandas(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.DataFrame:
-    """Reference implementation (pandas-vectorized passes + cursor tokenizer).
-    Used as fallback without the `regex` module and for differential testing.
-    """
+    """Sequential implementation of record (pandas-vectorized passes + the
+    cursor tokenizer that mirrors the reference loop statement-for-statement).
+    Not on the hot path: retained as the differential-testing baseline the
+    fast path is fuzzed against."""
     cfg = config or DecodeConfig()
     maps = cfg.mappings()
     decode_map = maps.decode_map
@@ -334,6 +346,9 @@ def _decode_batch_pandas(texts: pd.Series, config: Optional[DecodeConfig] = None
     qmask = s.str.startswith('"')
     if qmask.any():
         s[qmask] = s[qmask].str.slice(1, -1)
+    # failure events carry the quote-stripped (pre-chomp) payload (cef.rb:326)
+    failure_payload = s.copy()
+    failure_payload[null_mask] = None
 
     # D6: chomp one trailing newline, then reject embedded newlines (cef.rb:248-252)
     s = s.str.replace(r"(?:\r\n|\n|\r)\Z", "", n=1, regex=True)
@@ -388,7 +403,7 @@ def _decode_batch_pandas(texts: pd.Series, config: Optional[DecodeConfig] = None
         msg = rem_vals[i]
         fields: dict[str, Optional[str]] = {}
         if msg:
-            msg = msg.strip()
+            msg = msg.strip(_RUBY_STRIP)
             if msg:
                 pairs, err = parse_extension_block(msg)
                 if err is not None:
@@ -410,7 +425,7 @@ def _decode_batch_pandas(texts: pd.Series, config: Optional[DecodeConfig] = None
                             if tf not in fields:
                                 continue
                             raw_ts = fields.pop(tf)
-                            if raw_ts is None or not str(raw_ts).strip():
+                            if raw_ts is None or not str(raw_ts).strip(_RUBY_STRIP):
                                 fields[tf] = None
                                 continue
                             fields[tf] = normalizer.normalize_iso(raw_ts, device_tz)
@@ -432,9 +447,9 @@ def _decode_batch_pandas(texts: pd.Series, config: Optional[DecodeConfig] = None
     out["syslog"] = syslog
     extensions[failed] = None
     out["extensions"] = extensions
-    # D17: failure fallback event carries the payload + tag (cef.rb:326)
+    # D17: failure fallback event carries the quote-stripped payload + tag (cef.rb:326)
     message = pd.Series([None] * n, index=idx, dtype=object)
-    message[failed] = raw[failed]
+    message[failed] = failure_payload[failed]
     out["message"] = message
     tag_vals = np.empty(n, dtype=object)
     fv = failed.to_numpy()

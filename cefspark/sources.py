@@ -70,11 +70,11 @@ def decode_binary_dataframe(df: DataFrame, bytes_col: str = "payload",
                     texts.append(bytes(b).decode("utf-8", errors="replace"))
                     bad.append(True)
             dec = decode_batch(pd.Series(texts, index=pdf.index), cfg)
-            for i, is_bad in zip(pdf.index, bad):
+            for pos, (i, is_bad) in enumerate(zip(pdf.index, bad)):
                 if is_bad:  # fail early like cef.rb:238-240, keep payload rendering
                     for c in DECODED_COLUMNS:
                         dec.at[i, c] = None
-                    dec.at[i, "message"] = texts[list(pdf.index).index(i)]
+                    dec.at[i, "message"] = texts[pos]
                     dec.at[i, "tags"] = [PARSE_FAILURE_TAG]
                     dec.at[i, "error"] = "invalid byte sequence in UTF-8"
             out = pdf.copy()

@@ -51,7 +51,11 @@ _CEF_TS = re.compile(
     r"(?:\s(?P<zone>\S+))?\Z"
 )
 
-_OFFSET = re.compile(r"\A(?P<sign>[+-])(?P<h>\d{2}):?(?P<m>\d{2})(?::?(?P<s>\d{2}))?\Z")
+_OFFSET = re.compile(
+    r"\A(?P<sign>[+-])(?P<h>\d{1,2})(?::?(?P<m>\d{2})(?::?(?P<s>\d{2}))?)?\Z")
+# java ZoneId.of also accepts offset-suffixed GMT/UTC/UT spellings
+# ("GMT+05:30", "UTC+3", "UT-02:00") — common in dtz side-channel values
+_PREFIXED_OFFSET = re.compile(r"\A(?:GMT|UTC|UT)(?P<off>[+-].+)\Z")
 
 # Abbreviated month names per locale (the reference delegates to java.time's
 # locale data; we carry the tables for the locales the CEF corpus uses, and
@@ -83,11 +87,14 @@ def _month_table(locale: Optional[str]) -> dict[str, int]:
 
 
 def _zone_of(name: str) -> dt.tzinfo:
+    pref = _PREFIXED_OFFSET.match(name)
+    if pref:
+        name = pref.group("off")
     m = _OFFSET.match(name)
     if m:
         sign = 1 if m.group("sign") == "+" else -1
         delta = dt.timedelta(
-            hours=int(m.group("h")), minutes=int(m.group("m")),
+            hours=int(m.group("h")), minutes=int(m.group("m") or 0),
             seconds=int(m.group("s") or 0))
         return dt.timezone(sign * delta)
     if name in ("Z", "UTC", "GMT", "UT"):

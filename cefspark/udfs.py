@@ -12,6 +12,7 @@ closure-captured dict is strictly cheaper than a Spark broadcast join).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import pandas as pd
@@ -49,7 +50,13 @@ class DecodeMetrics:
     """Executor-side decode counters surfaced through Spark accumulators —
     the per-partition metrics channel of the north rule. Updates flow back
     with task completion; read ``.parsed.value`` / ``.failed.value`` on the
-    driver after an action."""
+    driver after an action.
+
+    Accumulator semantics caveat: Spark guarantees exactly-once updates only
+    for *actions*; if the decoded DataFrame feeds multiple actions without a
+    persist() in between (or a task retries), the UDF re-executes and these
+    counters over-count. Persist the decoded frame (as pipeline.run_pipeline
+    does) or read the counters after the single action that consumed it."""
 
     def __init__(self, spark):
         sc = spark.sparkContext
@@ -67,7 +74,8 @@ def make_decode_udf(config: Optional[DecodeConfig] = None,
     the same clock."""
     cfg = config or DecodeConfig()
     if cfg.ecs_mode and cfg.now is None:
-        cfg.now = pd.Timestamp.now(tz="UTC").isoformat()
+        # copy before pinning: never mutate the caller's (possibly reused) config
+        cfg = dataclasses.replace(cfg, now=pd.Timestamp.now(tz="UTC").isoformat())
     acc_parsed = metrics.parsed if metrics else None
     acc_failed = metrics.failed if metrics else None
 
@@ -94,7 +102,16 @@ def decode_dataframe(df: DataFrame, text_col: str = "text",
     projection stage.
     """
     udf = make_decode_udf(config, metrics)
-    out = df.withColumn(struct_col, udf(F.col(text_col)))
+    src = df
+    if flatten:
+        # avoid ambiguous references when the input already carries columns
+        # named like decoded fields (message/name/severity/... are common
+        # log-schema names): input collisions are preserved under _src_<name>
+        collisions = [c for c in df.columns
+                      if c in {f.name for f in DECODED_STRUCT.fields}]
+        for c in collisions:
+            src = src.withColumnRenamed(c, f"_src_{c}")
+    out = src.withColumn(struct_col, udf(F.col(text_col)))
     if flatten:
         out = out.select("*", f"{struct_col}.*").drop(struct_col)
     return out
@@ -111,9 +128,9 @@ def make_encode_udf(config: Optional[EncoderConfig] = None, field_cols: Optional
     """
     cfg = config or EncoderConfig()
     if encode_fields is not None:
-        cfg.fields = list(encode_fields)
+        cfg = dataclasses.replace(cfg, fields=list(encode_fields))
     elif field_cols and not cfg.fields:
-        cfg.fields = list(field_cols)
+        cfg = dataclasses.replace(cfg, fields=list(field_cols))
 
     @F.pandas_udf(StringType())
     def encode_cef(event: pd.DataFrame) -> pd.Series:

@@ -351,3 +351,30 @@ def test_batch_mixed_success_and_failure():
     df = decode_batch(pd.Series([CANON, "garbage", CANON + "\n", None]))
     assert list(df["tags"].map(lambda t: t is not None)) == [False, True, False, True]
     assert df.iloc[1]["message"] == "garbage"
+
+
+def test_ascii_semantics_nbsp_is_value_data():
+    # Ruby \s/\S are ASCII-only: NBSP is \S data, never a pair separator
+    e = ok(decode_one("CEF:0|v|p|1.0|100|ev|5|msg=hello next=1"))
+    assert e["message"] == "hello next=1"
+    assert "next" not in e
+
+
+def test_ascii_semantics_unicode_word_is_not_a_key():
+    # Ruby \w is ASCII-only: 'café=' is not key-shaped, stays inside the value
+    e = ok(decode_one("CEF:0|v|p|1.0|100|ev|5|foo=bar café=x"))
+    assert e["foo"] == "bar café=x"
+    assert "café" not in e
+
+
+def test_ascii_semantics_trailing_unicode_space_preserved():
+    # Ruby String#strip removes ASCII whitespace + NUL only
+    e = ok(decode_one("CEF:0|v|p|1.0|100|ev|5|k=v "))
+    assert e["k"] == "v "
+
+
+def test_failure_message_is_quote_stripped():
+    # the reference failure event carries the reassigned (quote-stripped)
+    # data, not the original bytes (cef.rb:243-245, 326)
+    e = fail(decode_one('"this is not cef"'))
+    assert e["message"] == "this is not cef"

@@ -147,3 +147,14 @@ def test_run_pipeline_end_to_end(spark, transcripts, tmp_path):
                                 collect_lineage=False)
     assert res.n_input == N
     assert 0 < res.n_failed < N * 0.1
+
+
+def test_decode_flatten_renames_colliding_input_columns(spark):
+    src = spark.createDataFrame(
+        [("CEF:0|v|p|1|s|n|5|k=v", "preexisting")], "text string, message string")
+    out = decode_dataframe(src)
+    row = out.first()
+    assert row["_src_message"] == "preexisting"
+    assert row["message"] is None  # decoded failure-message column, success row
+    # unambiguous reference works
+    assert out.select(F.col("message")).count() == 1

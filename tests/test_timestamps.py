@@ -164,3 +164,14 @@ def test_sweep_against_pure_python_reference():
             got = infer(f"{['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][mon-1]}"
                         f" {day:02d} 12:00:00.000 +00:00", now=pd.Timestamp(now))
             assert got.year == expected_year(mon, day, now), (mon, day, now)
+
+
+@pytest.mark.parametrize("zone,off_h", [
+    ("GMT+05:30", 5.5), ("UTC+3", 3.0), ("UT-02:00", -2.0), ("GMT-0800", -8.0),
+])
+def test_offset_prefixed_zone_spellings(zone, off_h):
+    # java ZoneId.of accepts GMT/UTC/UT-prefixed offsets; common in dtz values
+    n = TimestampNormalizer()
+    got = n.normalize("Sep 07 2018 12:00:00", zone)
+    expected = pd.Timestamp("2018-09-07T12:00:00Z") - pd.Timedelta(hours=off_h)
+    assert got == expected
