@@ -19,7 +19,7 @@ diverging from the reference on non-ASCII payloads.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -123,15 +123,6 @@ DECODED_COLUMNS = [
     "deviceEventClassId", "name", "severity", "syslog",
     "extensions", "message", "tags", "error",
 ]
-
-
-def _chomp(s: str) -> str:
-    """Ruby String#chomp: drop one trailing \\r\\n, \\n, or \\r (cef.rb:248)."""
-    if s.endswith("\r\n"):
-        return s[:-2]
-    if s.endswith(("\n", "\r")):
-        return s[:-1]
-    return s
 
 
 def _count_headers(data: str) -> int:
