@@ -61,9 +61,14 @@ def severity_lookup_df(spark: SparkSession) -> DataFrame:
 
 # --- stages -------------------------------------------------------------------
 
+#: the only decoded fields the enrich/route/aggregate stages consume
+ROUTING_COLUMNS = ["deviceVendor", "severity", "error"]
+
+
 def decode(df: DataFrame, text_col: str = "text",
-           config: Optional[DecodeConfig] = None) -> DataFrame:
-    return decode_dataframe(df, text_col=text_col, config=config)
+           config: Optional[DecodeConfig] = None,
+           columns: Optional[list] = None) -> DataFrame:
+    return decode_dataframe(df, text_col=text_col, config=config, columns=columns)
 
 
 def enrich(decoded: DataFrame, spark: SparkSession,
@@ -158,7 +163,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  collect_lineage: bool = False) -> PipelineResult:
     """decode -> enrich -> route -> (optional sink write) -> windowed counts."""
     t0 = time.time()
-    routed = route(enrich(decode(transcripts, config=decode_config), spark))
+    # counts-only runs skip the extensions-map Arrow transfer entirely;
+    # sink writes need the full event (sinks are the system of record)
+    cols = None if sink_path else ROUTING_COLUMNS
+    routed = route(enrich(decode(transcripts, config=decode_config, columns=cols), spark))
     routed = routed.persist() if sink_path else routed
     if sink_path:
         write_sinks(routed, sink_path, salt_buckets=salt_buckets)

@@ -494,7 +494,9 @@ FROM events
 
 def _routed(spark, sf_dir):
     df = _with_payload(_events(spark, sf_dir), mixed_failures=True)
-    return pipeline.route(pipeline.enrich(decode_dataframe(df), spark))
+    # routing consumes 3 decoded fields — skip the extensions-map transfer
+    dec = decode_dataframe(df, columns=pipeline.ROUTING_COLUMNS)
+    return pipeline.route(pipeline.enrich(dec, spark))
 
 
 def q_cef_route_counts(spark, sf_dir):
