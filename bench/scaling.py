@@ -39,6 +39,9 @@ df = spark.read.parquet({inp!r})
 n = df.count()
 
 def job():
+    # full-event decode: the north-star job writes per-sink tables, which
+    # needs every decoded field (the slim counts-only projection is an
+    # optimization for aggregate-only runs and is more bandwidth-bound)
     routed = pipeline.route(pipeline.enrich(decode_dataframe(df), spark))
     return pipeline.sink_counts(routed).collect()
 
