@@ -92,9 +92,12 @@ _SIMPLE_PAIR = re.compile(r"(\w+)=([^\s=\\]*)", re.ASCII)
 # gaps are whitespace-only — pinned by the differential fuzz suite against the
 # sequential slow path below, which remains the semantics of record.
 _EXT_VALUE_POSSESSIVE = r"(?:\S|\s++(?!" + _EXT_KEY + r"=))*+"
+# leading separator includes NUL: Ruby's message.strip (cef.rb:285) removes
+# "\0" too, so NULs before the first pair are stripped; NULs *between* pairs
+# are not \s in Ruby either and must still fail as keyless content.
 _FAST_FULL = re.compile(
     r"\A" + _HEADER_UNIT * 7
-    + r"\s*+(?:" + _EXT_KEY + r"=" + _EXT_VALUE_POSSESSIVE + r"\s*+)*+\Z",
+    + r"(?:\s|\x00)*+(?:" + _EXT_KEY + r"=" + _EXT_VALUE_POSSESSIVE + r"\s*+)*+\Z",
     re.DOTALL | re.ASCII)
 _FAST_KV = re.compile(r"(" + _EXT_KEY + r")=(" + _EXT_VALUE_POSSESSIVE + r")", re.ASCII)
 

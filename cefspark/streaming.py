@@ -111,7 +111,9 @@ def run_conversation_stats(spark: SparkSession, input_path: str, query_name: str
     """Drain a transcript directory through the stateful operator into an
     in-memory sink (availableNow)."""
     stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
-    decoded = decode_dataframe(stream, config=config)
+    # the stateful operator reads only `error` (+ pass-through conv_id /
+    # turn_idx) — skip the extensions-map Arrow transfer
+    decoded = decode_dataframe(stream, config=config, columns=["error"])
     stats = conversation_stats_stream(decoded)
     return (stats.writeStream.format("memory").queryName(query_name)
             .outputMode("update").trigger(availableNow=True).start())

@@ -51,8 +51,15 @@ _CEF_TS = re.compile(
     r"(?:\s(?P<zone>\S+))?\Z"
 )
 
+# java ZoneOffset.of accepts exactly: +h, +hh, +hh:mm, +hhmm, +hh:mm:ss,
+# +hhmmss — with |hours| <= 18 (and zero mins/secs at 18). Free-form digit
+# runs like '+300' are invalid there and must stay invalid here.
 _OFFSET = re.compile(
-    r"\A(?P<sign>[+-])(?P<h>\d{1,2})(?::?(?P<m>\d{2})(?::?(?P<s>\d{2}))?)?\Z")
+    r"\A(?P<sign>[+-])(?:"
+    r"(?P<h1>\d{1,2})"                                     # +h / +hh
+    r"|(?P<h2>\d{2}):(?P<m2>\d{2})(?::(?P<s2>\d{2}))?"     # +hh:mm[:ss]
+    r"|(?P<h3>\d{2})(?P<m3>\d{2})(?P<s3>\d{2})?"           # +hhmm[ss]
+    r")\Z")
 # java ZoneId.of also accepts offset-suffixed GMT/UTC/UT spellings
 # ("GMT+05:30", "UTC+3", "UT-02:00") — common in dtz side-channel values
 _PREFIXED_OFFSET = re.compile(r"\A(?:GMT|UTC|UT)(?P<off>[+-].+)\Z")
@@ -92,11 +99,15 @@ def _zone_of(name: str) -> dt.tzinfo:
         name = pref.group("off")
     m = _OFFSET.match(name)
     if m:
+        g = m.groupdict()
+        h = int(g["h1"] or g["h2"] or g["h3"])
+        mi = int(g["m2"] or g["m3"] or 0)
+        sec = int(g["s2"] or g["s3"] or 0)
+        # ZoneOffset range: strictly within +/-18:00 (cf. java.time)
+        if h > 18 or mi > 59 or sec > 59 or (h == 18 and (mi or sec)):
+            raise InvalidTimestamp(f"zone offset out of range `{name}`")
         sign = 1 if m.group("sign") == "+" else -1
-        delta = dt.timedelta(
-            hours=int(m.group("h")), minutes=int(m.group("m") or 0),
-            seconds=int(m.group("s") or 0))
-        return dt.timezone(sign * delta)
+        return dt.timezone(sign * dt.timedelta(hours=h, minutes=mi, seconds=sec))
     if name in ("Z", "UTC", "GMT", "UT"):
         return dt.timezone.utc
     try:

@@ -91,8 +91,8 @@ def make_decode_udf(config: Optional[DecodeConfig] = None,
         unknown = set(columns) - set(_DECODE_OUT_COLS)
         if unknown:
             raise ValueError(f"unknown decode columns: {sorted(unknown)}")
-        out_cols = list(columns)
-        schema = StructType([f for f in DECODED_STRUCT.fields if f.name in set(out_cols)])
+        # fields keep DECODED_STRUCT order regardless of request order
+        schema = StructType([f for f in DECODED_STRUCT.fields if f.name in set(columns)])
         out_cols = [f.name for f in schema.fields]
 
     @F.pandas_udf(schema)
@@ -121,6 +121,7 @@ def decode_dataframe(df: DataFrame, text_col: str = "text",
     udf = make_decode_udf(config, metrics, columns)
     out_names = {f.name for f in DECODED_STRUCT.fields} if columns is None else set(columns)
     src = df
+    in_text = text_col
     if flatten:
         # avoid ambiguous references when the input already carries columns
         # named like decoded fields (message/name/severity/... are common
@@ -128,7 +129,9 @@ def decode_dataframe(df: DataFrame, text_col: str = "text",
         collisions = [c for c in df.columns if c in out_names]
         for c in collisions:
             src = src.withColumnRenamed(c, f"_src_{c}")
-    out = src.withColumn(struct_col, udf(F.col(text_col)))
+            if c == text_col:  # the payload column itself may collide
+                in_text = f"_src_{c}"
+    out = src.withColumn(struct_col, udf(F.col(in_text)))
     if flatten:
         out = out.select("*", f"{struct_col}.*").drop(struct_col)
     return out

@@ -378,3 +378,14 @@ def test_failure_message_is_quote_stripped():
     # data, not the original bytes (cef.rb:243-245, 326)
     e = fail(decode_one('"this is not cef"'))
     assert e["message"] == "this is not cef"
+
+
+def test_leading_nul_in_extensions_stripped():
+    # Ruby message.strip removes NUL too (cef.rb:285)
+    e = ok(decode_one("CEF:0|v|p|1.0|100|ev|5|\x00k=v"))
+    assert e["k"] == "v"
+
+
+def test_nul_only_extension_block_is_ok():
+    e = ok(decode_one("CEF:0|v|p|1.0|100|ev|5|\x00\x00"))
+    assert e["tags"] is None

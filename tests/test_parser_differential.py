@@ -45,7 +45,7 @@ def test_edge_payloads_agree():
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.text(alphabet=st.sampled_from(list("ab |\\=\t.[]0:\"\n\u00a0\u00e9\u3000")), max_size=120))
+@given(st.text(alphabet=st.sampled_from(list("ab |\\=\t.[]0:\"\n\u00a0\u00e9\u3000\x00\r")), max_size=120))
 def test_fuzz_agree(payload):
     assert_same([payload])
 

@@ -158,3 +158,12 @@ def test_decode_flatten_renames_colliding_input_columns(spark):
     assert row["message"] is None  # decoded failure-message column, success row
     # unambiguous reference works
     assert out.select(F.col("message")).count() == 1
+
+
+def test_decode_text_col_named_like_decoded_field(spark):
+    # payload column itself collides with a decoded field name
+    src = spark.createDataFrame([("CEF:0|v|p|1|s|n|5|k=v",)], "message string")
+    out = decode_dataframe(src, text_col="message")
+    row = out.first()
+    assert row["_src_message"].startswith("CEF:0")
+    assert row["deviceVendor"] == "v"

@@ -175,3 +175,18 @@ def test_offset_prefixed_zone_spellings(zone, off_h):
     got = n.normalize("Sep 07 2018 12:00:00", zone)
     expected = pd.Timestamp("2018-09-07T12:00:00Z") - pd.Timedelta(hours=off_h)
     assert got == expected
+
+
+@pytest.mark.parametrize("bad", ["+24", "+19", "UTC+25", "+300", "+530", "+18:30"])
+def test_invalid_offsets_fail_per_row_not_crash(bad):
+    # java ZoneOffset caps at +/-18:00 and rejects free-form digit runs; these
+    # must become per-row parse failures, never escape as ValueError
+    n = TimestampNormalizer()
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Sep 07 2018 12:00:00", bad)
+
+
+def test_offset_18_exact_is_valid():
+    n = TimestampNormalizer()
+    got = n.normalize("Sep 07 2018 18:00:00 +18")
+    assert got == pd.Timestamp("2018-09-07T00:00:00Z")
