@@ -547,6 +547,34 @@ FROM events
 """
 
 
+def q_user_sessions(spark, sf_dir):
+    """Grouped-map pandas UDF (applyInPandas): per-user session stats computed
+    with arbitrary pandas logic per group — the template for custom grouped
+    aggregations the built-in functions can't express. Shuffles once on the
+    group key; each group is processed in one Arrow batch."""
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"].sort_values()
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(pdf)],
+            "span_seconds": [int((ts.iloc[-1] - ts.iloc[0]).total_seconds())],
+            "avg_value": [round(float(pdf["value"].mean()), 4)],
+        })
+
+    return (_events(spark, sf_dir).groupBy("user_id")
+            .applyInPandas(stats, "user_id long, n_events long, span_seconds long, avg_value double"))
+
+
+O_USER_SESSIONS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(FLOOR(date_part('epoch', MAX(ts) - MIN(ts))) AS BIGINT) AS span_seconds,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_turn_ordering(spark, sf_dir):
     """Window function: stable per-conversation ordering (row_number)."""
     from pyspark.sql.window import Window
@@ -792,6 +820,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_window_counts": (q_cef_window_counts, O_CEF_WINDOW_COUNTS),
     "cef_enrich_tiers": (q_cef_enrich_tiers, O_CEF_ENRICH_TIERS),
     "turn_ordering": (q_turn_ordering, O_TURN_ORDERING),
+    "user_sessions": (q_user_sessions, O_USER_SESSIONS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
