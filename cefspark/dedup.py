@@ -19,6 +19,8 @@ xxhash64, seeded per-permutation with a literal column). Designed for the
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,18 +75,47 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
-                   bands: int = 16, rows: int = 4) -> DataFrame:
-    """Band the signature (bands x rows = num_perm); docs sharing any band
-    bucket are candidates. Output distinct (a, b), a < b."""
+def lsh_bucket_stats(signatures: DataFrame, id_col: str = "doc_id",
+                     bands: int = 16, rows: int = 4) -> DataFrame:
+    """Per-bucket occupancy for the LSH banding — the audit companion to the
+    ``max_bucket_size`` cap in :func:`lsh_candidates`. Returns
+    (band, bh, bucket_size) so callers can count/inspect what a cap drops."""
+    return (_lsh_bucketed(signatures, id_col, bands, rows)
+            .groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_size")))
+
+
+def _lsh_bucketed(signatures: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
                  F.xxhash64(*[F.col(f"h{bi * rows + r}") for r in range(rows)]).alias("bh"))
         for bi in range(bands)
     ]
-    bucketed = (signatures
-                .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
-                .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")))
+    return (signatures
+            .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+            .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")))
+
+
+def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
+                   bands: int = 16, rows: int = 4,
+                   max_bucket_size: Optional[int] = 1000) -> DataFrame:
+    """Band the signature (bands x rows = num_perm); docs sharing any band
+    bucket are candidates. Output distinct (a, b), a < b.
+
+    ``max_bucket_size`` bounds the quadratic blow-up of degenerate buckets
+    (empty/boilerplate documents sharing a band hash make that bucket's join
+    O(size^2)): buckets above the cap contribute NO candidate pairs. The cap
+    is explicit, not silent — audit what it drops with
+    :func:`lsh_bucket_stats`; docs in a dropped bucket usually still pair
+    through one of their other ``bands - 1`` buckets. ``None`` disables.
+    """
+    bucketed = _lsh_bucketed(signatures, id_col, bands, rows)
+    if max_bucket_size is not None:
+        over = (bucketed.groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("bucket_size"))
+                .where(F.col("bucket_size") > max_bucket_size)
+                .select("band", "bh"))
+        # over-cap buckets are rare by construction -> broadcast anti-join
+        bucketed = bucketed.join(F.broadcast(over), ["band", "bh"], "left_anti")
     a = bucketed.select(F.col(id_col).alias("a"), "band", "bh")
     b = bucketed.select(F.col(id_col).alias("b"), "band", "bh")
     return (a.join(b, ["band", "bh"]).where(F.col("a") < F.col("b"))
@@ -114,12 +145,13 @@ def verify_pairs(candidates: DataFrame, df: DataFrame, text_col: str = "text",
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 64, shingle_n: int = 3, bands: int = 16,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_bucket_size: Optional[int] = 1000) -> DataFrame:
     """MinHash -> LSH candidate pairs -> exact-Jaccard verification of the
     candidates only. Returns verified near-dup pairs (a, b, jaccard)."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    cand = lsh_candidates(sigs, id_col, bands, rows)
+    cand = lsh_candidates(sigs, id_col, bands, rows, max_bucket_size)
     return verify_pairs(cand, df, text_col, id_col, shingle_n, threshold)
 
 
@@ -146,19 +178,51 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def hamming_pairs(sim: DataFrame, id_col: str = "doc_id", max_dist: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, using 8x8-bit block LSH
-    (any identical block is a candidate — pigeonhole-exact for max_dist <= 7)."""
-    blocks = [((F.shiftrightunsigned(F.col("simhash"), 8 * i)).bitwiseAND(F.lit(0xFF)))
-              .alias(f"blk{i}") for i in range(8)]
-    with_blocks = sim.select(F.col(id_col).alias("id"), F.col("simhash"), *blocks)
-    cands = None
-    for i in range(8):
-        a = with_blocks.select(F.col("id").alias("a"), F.col("simhash").alias("sa"),
-                               F.col(f"blk{i}").alias("blk"))
-        b = with_blocks.select(F.col("id").alias("b"), F.col("simhash").alias("sb"),
-                               F.col(f"blk{i}").alias("blk"))
-        c = a.join(b, "blk").where(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
-        cands = c if cands is None else cands.unionByName(c)
+    """Near-dup pairs by SimHash Hamming distance via multi-index block LSH.
+
+    Join-key cardinality is the scale constraint: a single 8-bit block key has
+    only 256 distinct values, so at N docs every bucket holds ~N/256 and the
+    self-join degenerates to O(N^2/256). Both schemes used here keep >= 2^16
+    distinct key values:
+
+    * ``max_dist <= 3`` — 4 blocks of 16 bits; by pigeonhole a pair within
+      distance 3 shares at least one block. Join key: (block_idx, 16-bit value).
+    * ``4 <= max_dist <= 6`` — 8 blocks of 8 bits, candidates share an equal
+      *pair* of blocks (<= 6 errors across 8 blocks leave >= 2 clean blocks).
+      Join key: (pair_idx, blk_i, blk_j) — 28 combos x 2^16 values. Each doc
+      emits 28 key rows; the constant fan-out buys the 256x bucket shrink.
+    * ``max_dist == 7`` — exactness would need >= 8 shared-block candidates
+      from 8-bit single blocks (the degenerate-cardinality scheme); rejected.
+
+    Candidates are exact-verified with bit_count, so the output is exact for
+    the supported distances.
+    """
+    if not 0 <= max_dist <= 6:
+        raise ValueError("hamming_pairs supports max_dist in [0, 6]; wider radii "
+                         "need a lower-cardinality blocking that does not scale")
+    if max_dist <= 3:
+        key_structs = [
+            F.struct(F.lit(i).alias("c"),
+                     (F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                      .bitwiseAND(F.lit(0xFFFF))).alias("k1"),
+                     F.lit(0).alias("k2"))
+            for i in range(4)
+        ]
+    else:
+        blk = [F.shiftrightunsigned(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF))
+               for i in range(8)]
+        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        key_structs = [
+            F.struct(F.lit(c).alias("c"), blk[i].alias("k1"), blk[j].alias("k2"))
+            for c, (i, j) in enumerate(combos)
+        ]
+    keyed = (sim.select(F.col(id_col).alias("id"), "simhash",
+                        F.explode(F.array(*key_structs)).alias("kk"))
+             .select("id", "simhash", "kk.c", "kk.k1", "kk.k2"))
+    a = keyed.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), "c", "k1", "k2")
+    b = keyed.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), "c", "k1", "k2")
+    cands = (a.join(b, ["c", "k1", "k2"]).where(F.col("a") < F.col("b"))
+             .select("a", "b", "sa", "sb").distinct())
     dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (cands.distinct().withColumn("hamming", dist)
+    return (cands.withColumn("hamming", dist)
             .where(F.col("hamming") <= max_dist).select("a", "b", "hamming"))

@@ -108,6 +108,11 @@ def _stringify(val: Any) -> str:
     -> ISO8601, everything else str()."""
     if isinstance(val, (list, dict)):
         return json.dumps(val, separators=(",", ":"), ensure_ascii=False)
+    if val is pd.NaT:
+        # NaT slips through scalar null filters (it is datetime-typed, and
+        # pd.Timestamp(NaT) is NaT again — unguarded, _stringify would recurse
+        # forever); render like a nil field would never have been emitted.
+        return ""
     if isinstance(val, pd.Timestamp):
         t = val.tz_convert("UTC") if val.tzinfo else val.tz_localize("UTC")
         ms = t.microsecond // 1000
@@ -162,7 +167,11 @@ def encode_batch(events: pd.DataFrame, config: Optional[EncoderConfig] = None) -
     recs = events.to_dict("records")
     out = []
     for rec in recs:
+        # scalar null filter must cover pd.NaT (a null TimestampType cell is
+        # NaT in pandas: not None, not a float NaN — the reference's nil-skip
+        # at cef.rb:352 drops it, so we must too)
         clean = {k: v for k, v in rec.items()
-                 if v is not None and not (isinstance(v, float) and math.isnan(v))}
+                 if v is not None and v is not pd.NaT
+                 and not (isinstance(v, float) and math.isnan(v))}
         out.append(encode_event(clean, cfg))
     return pd.Series(out, index=events.index, dtype=object)

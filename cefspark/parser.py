@@ -1,4 +1,4 @@
-"""Vectorized CEF decode: batches of payload strings -> batches of events.
+r"""Vectorized CEF decode: batches of payload strings -> batches of events.
 
 This is a from-scratch pandas/NumPy implementation of the decode semantics of
 the reference codec (/root/reference/lib/logstash/codecs/cef.rb:231-327). It is
@@ -245,7 +245,8 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
             elif s.endswith(("\n", "\r")):
                 s = s[:-1]
             if "\n" in s:
-                err = "message is not valid CEF because it contains unescaped newline characters"
+                err = ("message is not valid CEF because it contains unescaped newline characters; "
+                       "use the `delimiter` setting to enable in-codec buffering and delimiter-splitting")
         if err is None:
             s = s.rstrip(_RUBY_STRIP)  # mirrors message.strip (cef.rb:285), ASCII-only
             m = fullmatch(s)
@@ -348,7 +349,8 @@ def _decode_batch_pandas(texts: pd.Series, config: Optional[DecodeConfig] = None
     s = s.str.replace(r"(?:\r\n|\n|\r)\Z", "", n=1, regex=True)
     nl_mask = s.str.contains("\n", regex=False) | null_mask
     error[s.str.contains("\n", regex=False)] = (
-        "message is not valid CEF because it contains unescaped newline characters"
+        "message is not valid CEF because it contains unescaped newline characters; "
+        "use the `delimiter` setting to enable in-codec buffering and delimiter-splitting"
     )
     error[null_mask] = "null payload"
 

@@ -370,9 +370,15 @@ ORDER BY n_events DESC, deviceVendor ASC NULLS FIRST LIMIT 3
 
 
 def q_set_ops(spark, sf_dir):
-    """Set operations: high-severity events EXCEPT error-typed events, via
-    anti-join semantics expressed with except_all-equivalent distinct sets."""
-    ev = decode_dataframe(_with_payload(_events(spark, sf_dir)))
+    """Set operations: high-severity events EXCEPT error-typed events.
+
+    The decoded frame feeds both legs of the exceptAll, so it is persisted —
+    without it the two subtrees would each re-run the Arrow decode over the
+    full input (2x decode cost at scale). Columns are also slimmed to the two
+    fields the predicates read, skipping the extensions-map transfer."""
+    ev = decode_dataframe(
+        _with_payload(_events(spark, sf_dir)),
+        columns=["severity", "deviceEventClassId"]).persist()
     high = ev.where(F.col("severity").cast("int") >= 7).select("event_id")
     errors = ev.where(F.col("deviceEventClassId").cast("int") % 2 == 0).select("event_id")
     return high.exceptAll(errors)
@@ -552,25 +558,31 @@ def q_user_sessions(spark, sf_dir):
     with arbitrary pandas logic per group — the template for custom grouped
     aggregations the built-in functions can't express. Shuffles once on the
     group key; each group is processed in one Arrow batch."""
+    import math
+
     import pandas as pd
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = pdf["ts"].sort_values()
+        # avg in integer 1e-4 units (half-up floor): float means are summation-
+        # order-dependent at the ~1e-12 level, so a raw double would hash-
+        # mismatch a DuckDB oracle even when both render identically at 4dp.
+        mean = float(pdf["value"].mean())
         return pd.DataFrame({
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [len(pdf)],
             "span_seconds": [int((ts.iloc[-1] - ts.iloc[0]).total_seconds())],
-            "avg_value": [round(float(pdf["value"].mean()), 4)],
+            "avg_value_e4": [int(math.floor(mean * 10000 + 0.5))],
         })
 
     return (_events(spark, sf_dir).groupBy("user_id")
-            .applyInPandas(stats, "user_id long, n_events long, span_seconds long, avg_value double"))
+            .applyInPandas(stats, "user_id long, n_events long, span_seconds long, avg_value_e4 long"))
 
 
 O_USER_SESSIONS = """
 SELECT user_id, COUNT(*) AS n_events,
        CAST(FLOOR(date_part('epoch', MAX(ts) - MIN(ts))) AS BIGINT) AS span_seconds,
-       ROUND(AVG(value), 4) AS avg_value
+       CAST(FLOOR(AVG(value) * 10000 + 0.5) AS BIGINT) AS avg_value_e4
 FROM events GROUP BY user_id
 """
 
@@ -650,16 +662,43 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.4
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (no SQL oracle —
-    xxhash64 permutations aren't expressible in DuckDB; validated in pytest
-    against exact Jaccard)."""
+    """MinHash+LSH near-dup pairs. The xxhash64 permutations aren't DuckDB-
+    expressible, but the *output* is exact-Jaccard-verified candidate pairs —
+    and on this fixture (16 bands x 4 rows at t=0.4) LSH recall is 1, so the
+    result must equal the exact all-pairs Jaccard oracle."""
     return dedup.minhash_dedup(_docs_near_dups(spark, sf_dir), threshold=0.4)
 
 
+def _docs_simhash_fixture(spark, sf_dir):
+    """Near-dup fixture tuned for SimHash: substantial docs (>= 25 tokens) so
+    a 2-token append shifts few bit-majorities — keeping every injected pair
+    within Hamming 6, the radius the scale-safe block scheme covers exactly."""
+    d = _documents(spark, sf_dir)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = d.where((F.col("doc_id") < 200) & (toks >= 25))
+    near = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"))
+    return base.select("doc_id", "text").unionByName(near)
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs by Hamming distance (no SQL oracle; pytest-validated)."""
-    sim = dedup.simhash(_docs_near_dups(spark, sf_dir))
-    return dedup.hamming_pairs(sim, max_dist=6)
+    """SimHash near-dup recall: every injected near-duplicate must be found
+    within Hamming distance 6 through the real multi-index block join. The
+    output is restricted to the injected pairs (base-to-base near-dups also
+    exist in the corpus but their distances aren't SQL-computable); precision
+    and pair-set equality vs brute force are pytest-asserted."""
+    sim = dedup.simhash(_docs_simhash_fixture(spark, sf_dir))
+    return (dedup.hamming_pairs(sim, max_dist=6)
+            .where(F.col("b") == F.col("a") + 100000)
+            .select("a", "b"))
+
+
+O_DEDUP_SIMHASH = r"""
+SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+WHERE doc_id < 200 AND doc_id % 5 = 0
+  AND len(regexp_split_to_array(trim(text), '\s+')) >= 25
+"""
 
 
 def q_text_token_count(spark, sf_dir):
@@ -749,13 +788,19 @@ FROM d ORDER BY cos DESC, vec_id LIMIT 5
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-5 (no oracle: recall validated vs brute force in pytest)."""
+    """Multi-probe LSH ANN top-5. With 6 hyperplanes and probe radius 2 the
+    scanned buckets cover the exact top-5 on this fixture (recall = 1), so the
+    ANN result — exact cosines over the probed subset — must equal the
+    brute-force oracle row-for-row. Sub-1 recall configs are pytest-covered."""
     q = _query_vec(spark, sf_dir)
-    return similarity.lsh_bucketed_topk(_embeddings(spark, sf_dir), q, k=5)
+    return similarity.lsh_bucketed_topk(_embeddings(spark, sf_dir), q, k=5,
+                                        n_planes=6, multiprobe=2)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN top-5 (no oracle: recall validated vs brute force in pytest)."""
+    """IVF ANN top-5: deterministic k-means (lowest-id init + 1 Lloyd step),
+    probe the 3 closest of 8 lists. Recall = 1 on this fixture, so the result
+    must equal the brute-force oracle."""
     emb = _embeddings(spark, sf_dir)
     cents = similarity.ivf_build_centroids(emb, n_lists=8, iters=1)
     q = _query_vec(spark, sf_dir)
@@ -764,12 +809,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_emb_neardup_cosine(spark, sf_dir):
     """Embedding near-dup pairs (cosine >= 0.99) on a scaled-copy-injected set
-    (cosine is scale-invariant, so each copy pairs with its source at 1.0)."""
+    (cosine is scale-invariant, so each copy pairs with its source at 1.0).
+    Runs the bucketed scale path (no crossJoin): a copy's hyperplane signs
+    equal its source's, so LSH recall on the injected pairs is structurally 1;
+    bucketed == exact is additionally pytest-asserted."""
     e = _embeddings(spark, sf_dir).where(F.col("vec_id") % 50 == 0)
     dups = e.select((F.col("vec_id") + 100000).alias("vec_id"),
                     F.transform(F.col("embedding"), lambda x: x * F.lit(1.5)).alias("embedding"))
     both = e.select("vec_id", "embedding").unionByName(dups)
-    return similarity.cosine_neardup_pairs(both, threshold=0.99, exact=True)
+    return similarity.cosine_neardup_pairs(both, threshold=0.99, exact=False)
 
 
 O_EMB_NEARDUP_COSINE = """
@@ -823,14 +871,14 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "user_sessions": (q_user_sessions, O_USER_SESSIONS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "text_token_count": (q_text_token_count, O_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_COSINE_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_COSINE_TOPK),
     "emb_neardup_cosine": (q_emb_neardup_cosine, O_EMB_NEARDUP_COSINE),
 }

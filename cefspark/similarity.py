@@ -67,9 +67,15 @@ def bucket_id(vec: Column, planes: np.ndarray) -> Column:
 
 def lsh_bucketed_topk(df: DataFrame, query: Sequence[float], k: int = 5,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      n_planes: int = 8, seed: int = 7) -> DataFrame:
-    """ANN: restrict the exact scan to vectors sharing the query's hyperplane
-    bucket (recall < 1; tested against brute force on small data)."""
+                      n_planes: int = 8, seed: int = 7,
+                      multiprobe: int = 0) -> DataFrame:
+    """ANN: restrict the exact scan to vectors in the query's hyperplane
+    bucket, plus (``multiprobe`` > 0) every bucket within that Hamming radius
+    of it — the standard multi-probe LSH recall lever. At multiprobe=0 the
+    scan fraction is ~1/2^n_planes with recall well below 1; each +1 of
+    radius trades scan volume for recall. At scale the bucket is the table's
+    partition key, so probing is partition pruning (the probed bucket set is
+    enumerable driver-side: sum of C(n_planes, r) buckets)."""
     planes = _hyperplanes(len(query), n_planes, seed)
     qbits = 0
     qn = np.asarray(query, dtype=np.float64)
@@ -77,7 +83,9 @@ def lsh_bucketed_topk(df: DataFrame, query: Sequence[float], k: int = 5,
         if float(np.dot(qn, p)) > 0:
             qbits |= 1 << i
     bucketed = df.withColumn("_bucket", bucket_id(F.col(vec_col), planes))
-    return (bucketed.where(F.col("_bucket") == qbits)
+    probe = F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbits))) <= multiprobe \
+        if multiprobe > 0 else F.col("_bucket") == qbits
+    return (bucketed.where(probe)
             .select(F.col(id_col), F.round(cosine(F.col(vec_col), _lit_vec(query)), 6).alias("cos"))
             .orderBy(F.desc("cos"), F.col(id_col))
             .limit(k))

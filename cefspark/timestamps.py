@@ -43,8 +43,10 @@ class InvalidTimestamp(ValueError):
 _NUMERIC = re.compile(r"\A[1-9][0-9]*(?:\.[0-9]+)?\Z")
 
 # MMM dd[ yyyy] HH:mm:ss[.SSS|.SSSSSS|.SSSSSSSSS][ zzz]
+# `dd` is strict two-digit, matching java.time's SMART resolution of the
+# reference pattern (timestamp_normalizer.rb:33) — 'Jun 7' is NOT valid CEF.
 _CEF_TS = re.compile(
-    r"\A(?P<mon>\S+)\s(?P<day>\d{1,2})"
+    r"\A(?P<mon>\S+)\s(?P<day>\d{2})"
     r"(?:\s(?P<year>\d{4}))?"
     r"\s(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})"
     r"(?:\.(?P<frac>\d{9}|\d{6}|\d{3}))?"
@@ -93,7 +95,31 @@ def _month_table(locale: Optional[str]) -> dict[str, int]:
     return _MONTHS.get(lang, _MONTHS["en"])
 
 
+# java's `zzz` parses TZDB short names (e.g. 'PDT', 'CET') to region zones via
+# the preferred-zone table; ZoneInfo does not. Carry the common unambiguous
+# abbreviations with java's preferred-zone resolutions. The local time then
+# resolves under the full zone rules (so 'PST' on a July date still yields the
+# DST offset, exactly as java does). Ambiguous abbreviations java cannot parse
+# either (e.g. 'IST') stay unknown.
+_ZONE_ABBREVIATIONS: dict[str, str] = {
+    "PST": "America/Los_Angeles", "PDT": "America/Los_Angeles",
+    "MST": "America/Denver", "MDT": "America/Denver",
+    "CST": "America/Chicago", "CDT": "America/Chicago",
+    "EST": "America/New_York", "EDT": "America/New_York",
+    "AKST": "America/Anchorage", "AKDT": "America/Anchorage",
+    "HST": "Pacific/Honolulu",
+    "BST": "Europe/London",
+    "CET": "Europe/Paris", "CEST": "Europe/Paris",
+    "EET": "Europe/Bucharest", "EEST": "Europe/Bucharest",
+    "JST": "Asia/Tokyo", "KST": "Asia/Seoul",
+    "AEST": "Australia/Sydney", "AEDT": "Australia/Sydney",
+}
+
+
 def _zone_of(name: str) -> dt.tzinfo:
+    abbrev = _ZONE_ABBREVIATIONS.get(name)
+    if abbrev is not None:
+        return ZoneInfo(abbrev)
     pref = _PREFIXED_OFFSET.match(name)
     if pref:
         name = pref.group("off")

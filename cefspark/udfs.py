@@ -94,6 +94,12 @@ def make_decode_udf(config: Optional[DecodeConfig] = None,
         # fields keep DECODED_STRUCT order regardless of request order
         schema = StructType([f for f in DECODED_STRUCT.fields if f.name in set(columns)])
         out_cols = [f.name for f in schema.fields]
+    if cfg.raw_data_field:
+        # D3 raw-data capture (cef.rb:234) must survive the UDF boundary: the
+        # decode batch emits it as an extra column, so the output struct grows
+        # a matching StringType field.
+        schema = StructType(list(schema.fields) + [StructField(cfg.raw_data_field, StringType())])
+        out_cols = out_cols + [cfg.raw_data_field]
 
     @F.pandas_udf(schema)
     def decode_cef(texts: pd.Series) -> pd.DataFrame:
@@ -120,6 +126,8 @@ def decode_dataframe(df: DataFrame, text_col: str = "text",
     """
     udf = make_decode_udf(config, metrics, columns)
     out_names = {f.name for f in DECODED_STRUCT.fields} if columns is None else set(columns)
+    if config is not None and config.raw_data_field:
+        out_names = out_names | {config.raw_data_field}
     src = df
     in_text = text_col
     if flatten:

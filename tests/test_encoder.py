@@ -165,3 +165,16 @@ def test_roundtrip_header_escapes():
     assert decoded["deviceVendor"] == "ven|dor"
     assert decoded["deviceProduct"] == "pro\\duct"
     assert decoded["name"] == "na me"  # newline sanitized to space on encode
+
+
+def test_nat_timestamp_cells_are_skipped_not_recursed():
+    # a null TimestampType cell reaches encode_batch as pd.NaT; it must be
+    # dropped like any nil field (cef.rb:352), not crash with RecursionError
+    df = pd.DataFrame({
+        "sourceAddress": ["1.2.3.4", "5.6.7.8"],
+        "endTime": [pd.Timestamp("2025-01-02T03:04:05.678", tz="UTC"), pd.NaT],
+    })
+    lines = encode_batch(df, EncoderConfig(fields=["sourceAddress", "endTime"]))
+    assert lines.iloc[0].endswith("sourceAddress=1.2.3.4 endTime=2025-01-02T03:04:05.678Z")
+    assert lines.iloc[1].endswith("sourceAddress=5.6.7.8")
+    assert "endTime" not in lines.iloc[1]

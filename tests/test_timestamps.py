@@ -190,3 +190,20 @@ def test_offset_18_exact_is_valid():
     n = TimestampNormalizer()
     got = n.normalize("Sep 07 2018 18:00:00 +18")
     assert got == pd.Timestamp("2018-09-07T00:00:00Z")
+
+
+def test_zone_abbreviations_resolve_like_java_zzz():
+    # java's `zzz` parser maps short names to preferred region zones; local
+    # times then resolve under full DST rules (PST on a July date -> -07:00).
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    assert n.normalize_iso("Jun 07 2025 12:00:00 PDT") == "2025-06-07T19:00:00.000000000Z"
+    assert n.normalize_iso("Jun 07 2025 12:00:00 PST") == "2025-06-07T19:00:00.000000000Z"
+    assert n.normalize_iso("Jan 07 2025 12:00:00 PST") == "2025-01-07T20:00:00.000000000Z"
+    assert n.normalize_iso("Jan 07 2025 12:00:00 CET") == "2025-01-07T11:00:00.000000000Z"
+
+
+def test_single_digit_day_rejected_like_java_dd():
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Jun 7 2025 12:00:00")
+    assert n.normalize_iso("Jun 07 2025 12:00:00") == "2025-06-07T12:00:00.000000000Z"

@@ -6,7 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from cefspark import dedup, similarity
-from cefspark.queries import _docs_near_dups, _embeddings, _query_vec
+from cefspark.queries import (_docs_near_dups, _docs_simhash_fixture,
+                              _embeddings, _query_vec)
 
 SF = "/root/testdata/sf0.001"
 
@@ -27,14 +28,65 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(spark):
 
 
 def test_simhash_hamming_finds_injected_neardups(spark):
-    docs = _docs_near_dups(spark, SF)
+    docs = _docs_simhash_fixture(spark, SF)
     sim = dedup.simhash(docs)
-    pairs = {(r["a"], r["b"]) for r in dedup.hamming_pairs(sim, max_dist=8).collect()}
+    pairs = {(r["a"], r["b"]) for r in dedup.hamming_pairs(sim, max_dist=6).collect()}
     injected = {r["doc_id"] - 100000 for r in
                 docs.where(F.col("doc_id") >= 100000).select("doc_id").collect()}
     found_sources = {a for (a, b) in pairs if b == a + 100000}
-    # appending 5 tokens to a long doc should barely move the simhash
-    assert len(found_sources) >= len(injected) * 0.7
+    # appending 2 tokens to a >=25-token doc keeps Hamming within the radius
+    assert found_sources == injected
+
+
+def _brute_hamming(spark, sim, max_dist):
+    a = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    return {(r["a"], r["b"], r["hamming"]) for r in
+            (a.crossJoin(b).where(F.col("a") < F.col("b"))
+             .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+             .where(F.col("hamming") <= max_dist)
+             .select("a", "b", "hamming")).collect()}
+
+
+@pytest.mark.parametrize("max_dist", [3, 6])
+def test_hamming_pairs_block_schemes_are_exact(spark, max_dist):
+    # both blocking schemes (4x16-bit single-block, 8x8-bit block-pair) must
+    # return exactly the brute-force O(n^2) pair set at their radius
+    sim = dedup.simhash(_docs_simhash_fixture(spark, SF))
+    got = {(r["a"], r["b"], r["hamming"]) for r in
+           dedup.hamming_pairs(sim, max_dist=max_dist).collect()}
+    assert got == _brute_hamming(spark, sim, max_dist)
+    assert got, "fixture must produce at least one pair"
+
+
+def test_hamming_pairs_rejects_low_cardinality_radii(spark):
+    sim = dedup.simhash(_docs_simhash_fixture(spark, SF))
+    with pytest.raises(ValueError):
+        dedup.hamming_pairs(sim, max_dist=7)
+
+
+def test_lsh_candidates_bucket_cap_bounds_degenerate_buckets(spark):
+    # adversarial fixture: many identical docs -> every band bucket holds all
+    # of them -> uncapped candidates are quadratic; the cap drops those
+    # buckets entirely while distinct near-dup structure is preserved
+    n = 40
+    same = spark.range(n).select(F.col("id").alias("doc_id"),
+                                 F.lit("all docs share this exact boilerplate text body").alias("text"))
+    sigs = dedup.minhash_signatures(same)
+    uncapped = dedup.lsh_candidates(sigs, max_bucket_size=None).count()
+    assert uncapped == n * (n - 1) / 2
+    capped = dedup.lsh_candidates(sigs, max_bucket_size=10).count()
+    assert capped == 0
+    # the audit channel reports what the cap hit
+    stats = dedup.lsh_bucket_stats(sigs)
+    assert stats.where(F.col("bucket_size") > 10).count() == 16  # all 16 bands degenerate
+
+
+def test_cosine_neardup_bucketed_plan_has_no_cross_join(spark):
+    emb = _embeddings(spark, SF).where(F.col("vec_id") % 10 == 0)
+    plan = (similarity.cosine_neardup_pairs(emb, 0.99, exact=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_lsh_ann_contains_query_and_agrees_with_brute_force(spark):
