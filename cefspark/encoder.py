@@ -16,6 +16,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
+import numpy as np
 import pandas as pd
 
 from .mappings import Mappings, get_mappings
@@ -106,7 +107,10 @@ def _sprintf(template: str, event: dict) -> str:
 def _stringify(val: Any) -> str:
     """Encode complex values (cef.rb:625-632): list/dict -> JSON, timestamps
     -> ISO8601, everything else str()."""
-    if isinstance(val, (list, dict)):
+    if isinstance(val, np.ndarray):
+        # ArrayType cells cross the Arrow boundary as numpy arrays
+        val = val.tolist()
+    if isinstance(val, (list, tuple, dict)):
         return json.dumps(val, separators=(",", ":"), ensure_ascii=False)
     if val is pd.NaT:
         # NaT slips through scalar null filters (it is datetime-typed, and

@@ -19,7 +19,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, pipeline, similarity, textops
+from . import dedup, pipeline, similarity, sources, textops
 from .encoder import EncoderConfig
 from .parser import DecodeConfig
 from .udfs import decode_dataframe, encode_dataframe, ext
@@ -494,6 +494,381 @@ FROM events
 """
 
 
+_MONTHS_EN = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MONTHS_DE = ["Jan", "Feb", "Mär", "Apr", "Mai", "Jun",
+              "Jul", "Aug", "Sep", "Okt", "Nov", "Dez"]
+
+#: second injected clock exercising the December next-year edge of T4
+DEC_NOW = "2026-12-31T00:00:00Z"
+
+
+def _mon_day_cols():
+    """Synthetic (month 1-12, day 01-27) derived from event_id — full control
+    of the yearless-date space without month-length/leap-day edge cases the
+    two engines could disagree on constructing."""
+    mon = (F.col("event_id") % 12 + 1).cast("int")
+    day = F.lpad((F.col("event_id") % 27 + 1).cast("string"), 2, "0")
+    return mon, day
+
+
+def q_cef_ts_year_inference(spark, sf_dir):
+    """T4 year inference (timestamp_normalizer.rb:89-111) through the full
+    decode: yearless `rt=MMM dd HH:mm:ss` against two injected clocks —
+    mid-August (dates >2 days in the future belong to the previous year) and
+    December 31 (very-near January dates belong to the *next* year)."""
+    mon, day = _mon_day_cols()
+    mon_name = F.element_at(F.array(*[F.lit(m) for m in _MONTHS_EN]), mon)
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|rt="),
+                         mon_name, F.lit(" "), day, F.lit(" 12:00:00")))
+    branches = []
+    for branch, now in (("aug", NOW), ("dec", DEC_NOW)):
+        dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, now=now))
+        branches.append(dec.select(
+            "event_id", F.lit(branch).alias("branch"),
+            F.substring(ext("@timestamp"), 1, 10).alias("inferred_date")))
+    return branches[0].unionByName(branches[1])
+
+
+O_CEF_TS_YEAR_INFERENCE = """
+WITH base AS (
+  SELECT event_id, CAST(event_id % 12 + 1 AS INT) AS m, CAST(event_id % 27 + 1 AS INT) AS d
+  FROM events)
+SELECT event_id, 'aug' AS branch,
+       strftime(make_date(CASE WHEN make_timestamp(2026, m, d, 12, 0, 0) > TIMESTAMP '2026-08-18 00:00:00'
+                               THEN 2025 ELSE 2026 END, m, d), '%Y-%m-%d') AS inferred_date
+FROM base
+UNION ALL
+SELECT event_id, 'dec' AS branch,
+       strftime(make_date(CASE WHEN m = 1 AND d = 1 THEN 2027 ELSE 2026 END, m, d),
+                '%Y-%m-%d') AS inferred_date
+FROM base
+"""
+
+
+def q_cef_decode_locale_de(spark, sf_dir):
+    """T2 locale surface: German month abbreviations (incl. the non-ASCII
+    'Mär') parse under locale=de_DE (reference delegates to java.time locale
+    data, timestamp_normalizer.rb:29-36, spec :72-95)."""
+    mon, day = _mon_day_cols()
+    mon_name = F.element_at(F.array(*[F.lit(m) for m in _MONTHS_DE]), mon)
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|rt="),
+                         mon_name, F.lit(" "), day, F.lit(" 2024 08:30:00")))
+    dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, locale="de_DE", now=NOW))
+    iso = ext("@timestamp")
+    return dec.select(
+        "event_id",
+        F.concat(F.substring(iso, 1, 10), F.lit(" "), F.substring(iso, 12, 8)).alias("ts_utc"))
+
+
+O_CEF_DECODE_LOCALE_DE = """
+SELECT event_id,
+       strftime(make_timestamp(2024, CAST(event_id % 12 + 1 AS INT),
+                               CAST(event_id % 27 + 1 AS INT), 8, 30, 0),
+                '%Y-%m-%d %H:%M:%S') AS ts_utc
+FROM events
+"""
+
+
+# ==============================================================================
+# Encode sanitizers, defaults, complex values, reverse mapping
+# ==============================================================================
+
+def q_cef_encode_sanitize(spark, sf_dir):
+    """E2/E7/E8: header sanitize chain (\\r\\n->\\n, then \\->\\\\, |->\\|,
+    newlines->space; cef.rb:580-584), key sanitize (strip non-alnum,
+    cef.rb:588-591), and extension-value sanitize (=->\\=, newlines->literal
+    \\n; cef.rb:596-600), mirrored by sequential replace chains in the oracle."""
+    hdr = F.concat(F.lit("x\r\ny|z\\w "), F.col("event_type"))
+    val = F.concat(F.lit("a=b\nc\rd\\e#"), F.col("event_id").cast("string"))
+    df = _events(spark, sf_dir).select(
+        "event_id", hdr.alias("hdr"), val.alias("weird-key!"))
+    enc = encode_dataframe(df, ["hdr", "weird-key!"],
+                           EncoderConfig(vendor="acme", product="p", version="1",
+                                         signature="sig", name="%{hdr}", severity="5"),
+                           encode_fields=["weird-key!"])
+    return enc.select("event_id", "cef_line")
+
+
+O_CEF_ENCODE_SANITIZE = r"""
+WITH s AS (
+  SELECT event_id,
+         'x' || chr(13) || chr(10) || 'y|z\w ' || event_type AS hdr,
+         'a=b' || chr(10) || 'c' || chr(13) || 'd\e#' || CAST(event_id AS VARCHAR) AS val
+  FROM events),
+t AS (
+  SELECT event_id,
+         replace(replace(replace(replace(replace(hdr, chr(13)||chr(10), chr(10)),
+                 '\', '\\'), '|', '\|'), chr(10), ' '), chr(13), ' ') AS hs,
+         replace(replace(replace(replace(replace(val, chr(13)||chr(10), chr(10)),
+                 '\', '\\'), '=', '\='), chr(10), '\n'), chr(13), '\n') AS vs
+  FROM s)
+SELECT event_id, 'CEF:0|acme|p|1|sig|' || hs || '|5|weirdkey=' || vs AS cef_line FROM t
+"""
+
+
+def q_cef_encode_complex(spark, sf_dir):
+    """E9 complex-value encoding (cef.rb:625-632): arrays -> compact JSON,
+    timestamps -> ISO8601 millis; plus E10 nil skip (null cells — including
+    TimestampType nulls arriving as NaT — drop the pair entirely)."""
+    df = _events(spark, sf_dir).select(
+        "event_id",
+        F.array(F.col("event_type"), F.lit("x")).alias("tags_list"),
+        F.when(F.col("event_id") % 10 != 0, F.col("ts")).alias("endTime"),
+        F.when(F.col("event_id") % 3 != 0, F.lit("ok")).alias("maybe"))
+    enc = encode_dataframe(df, ["tags_list", "endTime", "maybe"],
+                           EncoderConfig(vendor="v", product="p", version="1",
+                                         signature="s", name="n", severity="5"))
+    return enc.select("event_id", "cef_line")
+
+
+O_CEF_ENCODE_COMPLEX = """
+SELECT event_id,
+       'CEF:0|v|p|1|s|n|5|tagslist=["' || event_type || '","x"]'
+       || CASE WHEN event_id % 10 != 0
+               THEN ' endTime=' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
+               ELSE '' END
+       || CASE WHEN event_id % 3 != 0 THEN ' maybe=ok' ELSE '' END AS cef_line
+FROM events
+"""
+
+
+def q_cef_encode_defaults(spark, sf_dir):
+    """E3: empty header settings fall back to the plugin defaults
+    (cef.rb:334-346) — Elasticsearch|Logstash|1.0|Logstash|Logstash, and an
+    empty severity is invalid so it defaults to 6."""
+    df = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.lit("10.0.0."), (F.col("event_id") % 256).cast("string")).alias("sourceAddress"))
+    enc = encode_dataframe(df, ["sourceAddress"],
+                           EncoderConfig(vendor="", product="", version="",
+                                         signature="", name="", severity=""))
+    return enc.select("event_id", "cef_line")
+
+
+O_CEF_ENCODE_DEFAULTS = """
+SELECT event_id,
+       'CEF:0|Elasticsearch|Logstash|1.0|Logstash|Logstash|6|sourceAddress=10.0.0.'
+       || CAST(event_id % 256 AS VARCHAR) AS cef_line
+FROM events
+"""
+
+
+def q_cef_encode_reverse_mapping(spark, sf_dir):
+    """E6 reverse_mapping: long field names encode to their short CEF keys
+    (sourceAddress->src, message->msg, deviceCustomNumber1->cn1;
+    cef.rb:52-60, spec matrix cef_spec.rb:222-303)."""
+    df = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.lit("10.0.0."), (F.col("event_id") % 256).cast("string")).alias("sourceAddress"),
+        F.concat(F.lit("turn "), F.col("event_id").cast("string")).alias("message"),
+        (F.col("event_id") % 100).cast("string").alias("deviceCustomNumber1"))
+    enc = encode_dataframe(df, ["sourceAddress", "message", "deviceCustomNumber1"],
+                           EncoderConfig(vendor="v", product="p", version="1",
+                                         signature="s", name="n", severity="5",
+                                         reverse_mapping=True))
+    return enc.select("event_id", "cef_line")
+
+
+O_CEF_ENCODE_REVERSE_MAPPING = """
+SELECT event_id,
+       'CEF:0|v|p|1|s|n|5|src=10.0.0.' || CAST(event_id % 256 AS VARCHAR)
+       || ' msg=turn ' || CAST(event_id AS VARCHAR)
+       || ' cn1=' || CAST(event_id % 100 AS VARCHAR) AS cef_line
+FROM events
+"""
+
+
+# ==============================================================================
+# Sources: framing, binary ingest, failure payloads, raw-data capture
+# ==============================================================================
+
+def q_cef_raw_lines(spark, sf_dir):
+    """D1 delimiter framing: a raw byte-stream file (events joined with \\r\\n)
+    framed by read_raw_lines' lineSep scan, then engine-decoded. The temp file
+    is fixture materialization (driver-side, deterministic order); the framing
+    + decode under test run distributed."""
+    import os
+
+    payload = F.concat(F.lit("CEF:0|v|p|1.0|"), F.col("event_id").cast("string"),
+                       F.lit("|ev|5|src=10.0.0."), (F.col("event_id") % 256).cast("string"))
+    rows = _events(spark, sf_dir).select("event_id", payload.alias("line")).collect()
+    rows.sort(key=lambda r: r["event_id"])
+    path = f"/tmp/cefspark_rawlines_{os.path.basename(os.path.normpath(sf_dir))}.log"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\r\n".join(r["line"] for r in rows))
+    lines = sources.read_raw_lines(spark, path, delimiter="\\r\\n")
+    dec = decode_dataframe(lines)
+    return dec.select(F.col("deviceEventClassId").cast("long").alias("event_id"),
+                      ext("sourceAddress").alias("src_ip"))
+
+
+O_CEF_RAW_LINES = """
+SELECT event_id, '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS src_ip FROM events
+"""
+
+
+def q_cef_decode_binary_utf8(spark, sf_dir):
+    """D4: BinaryType ingest with strict UTF-8 validation — an invalid byte
+    sequence fails the event early (cef.rb:236-240, spec cef_spec.rb:996-1009)
+    with the replacement-char rendering kept as the failure payload."""
+    base = _with_payload(_events(spark, sf_dir))
+    good = F.encode(F.col("text"), "UTF-8")
+    bad = F.concat(good, F.lit(bytearray(b"\xff")))
+    df = base.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, bad).otherwise(good).alias("payload"))
+    dec = sources.decode_binary_dataframe(df)
+    return dec.select(
+        "event_id",
+        F.coalesce(F.col("tags").getItem(0), F.lit("ok")).alias("tag"),
+        F.coalesce("error", F.lit("")).alias("err"),
+        F.coalesce("message", F.lit("")).alias("failure_payload"))
+
+
+O_CEF_DECODE_BINARY_UTF8 = f"""
+SELECT event_id,
+       CASE WHEN event_id % 7 = 0 THEN '_cefparsefailure' ELSE 'ok' END AS tag,
+       CASE WHEN event_id % 7 = 0 THEN 'invalid byte sequence in UTF-8' ELSE '' END AS err,
+       CASE WHEN event_id % 7 = 0 THEN {_CANONICAL_PAYLOAD_SQL} || chr(65533) ELSE '' END AS failure_payload
+FROM events
+"""
+
+
+def q_cef_decode_newline_failure(spark, sf_dir):
+    """D6: embedded (non-trailing) newlines fail the event with the
+    delimiter-hint diagnostic (cef.rb:248-252, spec cef_spec.rb:541-609);
+    the failure event carries the unmodified payload."""
+    text = F.when(F.col("event_id") % 5 == 0,
+                  F.concat(_canonical_payload(), F.lit("\nTRAILER"))
+                  ).otherwise(_canonical_payload())
+    dec = decode_dataframe(_events(spark, sf_dir).withColumn("text", text))
+    return dec.select(
+        "event_id",
+        F.coalesce(F.col("tags").getItem(0), F.lit("ok")).alias("tag"),
+        F.coalesce("error", F.lit("")).alias("err"),
+        F.coalesce("message", F.lit("")).alias("failure_payload"))
+
+
+O_CEF_DECODE_NEWLINE_FAILURE = f"""
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN '_cefparsefailure' ELSE 'ok' END AS tag,
+       CASE WHEN event_id % 5 = 0
+            THEN 'message is not valid CEF because it contains unescaped newline characters; '
+                 || 'use the `delimiter` setting to enable in-codec buffering and delimiter-splitting'
+            ELSE '' END AS err,
+       CASE WHEN event_id % 5 = 0 THEN {_CANONICAL_PAYLOAD_SQL} || chr(10) || 'TRAILER'
+            ELSE '' END AS failure_payload
+FROM events
+"""
+
+
+def q_cef_decode_raw_data(spark, sf_dir):
+    """D3 raw-data capture (cef.rb:234, spec cef_spec.rb:1011-1020): the
+    configured field carries the pre-parse payload on success rows; failure
+    events are fresh events without it."""
+    df = _with_payload(_events(spark, sf_dir), mixed_failures=True)
+    dec = decode_dataframe(df, config=DecodeConfig(raw_data_field="rawdata"))
+    return dec.select(
+        "event_id",
+        F.coalesce("rawdata", F.lit("")).alias("raw_captured"),
+        F.coalesce("deviceVendor", F.lit("")).alias("vendor"))
+
+
+O_CEF_DECODE_RAW_DATA = f"""
+SELECT event_id,
+       CASE WHEN event_id % 13 = 0 THEN '' ELSE {_CANONICAL_PAYLOAD_SQL} END AS raw_captured,
+       CASE WHEN event_id % 13 = 0 THEN '' ELSE {_VENDOR_SQL} END AS vendor
+FROM events
+"""
+
+
+# ==============================================================================
+# Structured Streaming: windowed counts over a file-stream source
+# ==============================================================================
+
+def q_streaming_window_counts(spark, sf_dir):
+    """Streaming operator gate: the events table consumed as a file stream,
+    payload-built and engine-decoded inside the micro-batch, watermarked and
+    windowed per vendor, drained with availableNow into a memory sink. Being
+    a complete-mode aggregation, the final table equals the batch result."""
+    import os
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # glob form: FileStreamSource requires a directory basePath, and the
+    # testdata table is a single file — the glob makes sf_dir the basePath
+    src = spark.readStream.schema(static.schema).parquet(f"{sf_dir}/events*.parquet")
+    # watermarks need TIMESTAMP; the parquet column is TIMESTAMP_NTZ and the
+    # session zone is pinned UTC, so the cast preserves the wall-clock instant
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    decoded = decode_dataframe(_with_payload(src), columns=["deviceVendor"])
+    counts = (decoded.withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "deviceVendor")
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select("deviceVendor",
+                      F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+                      "n_events"))
+    name = "stream_wc_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+O_STREAMING_WINDOW_COUNTS = f"""
+SELECT {_VENDOR_SQL} AS deviceVendor,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ==============================================================================
+# Multimodal: structural outputs over the deterministic asset fixture
+# ==============================================================================
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction (mapInPandas over binary payloads):
+    structural outputs (kind, byte counts) are oracle-checked; the fake-codec
+    feature values are pytest-pinned (the real decoder slots in behind the
+    same schema)."""
+    from . import multimodal
+
+    assets = multimodal.synthesize_assets(spark, n=300)
+    feats = multimodal.extract_features(assets)
+    return feats.select("asset_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"))
+
+
+O_MULTIMODAL_FEATURES = """
+SELECT printf('asset-%06d', i) AS asset_id,
+       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(32 * (4 + i % 4) AS BIGINT) AS n_bytes
+FROM generate_series(0, 299) t(i)
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling fan-out (1 asset -> N frame rows): frame indices
+    and sizes are structural and oracle-checked."""
+    from . import multimodal
+
+    assets = multimodal.synthesize_assets(spark, n=300)
+    frames = multimodal.sample_frames(assets, every_n=2, max_frames=4)
+    return frames.select("asset_id",
+                         F.col("frame_idx").cast("long").alias("frame_idx"),
+                         F.length("frame_payload").cast("long").alias("n_frame_bytes"))
+
+
+O_MULTIMODAL_FRAMES = """
+SELECT printf('asset-%06d', i) AS asset_id, CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS BIGINT) AS n_frame_bytes
+FROM generate_series(0, 299) t(i), (VALUES (0), (2)) u(fi)
+WHERE i % 3 = 2
+"""
+
+
 # ==============================================================================
 # Pipeline: enrich -> route -> aggregate
 # ==============================================================================
@@ -744,6 +1119,34 @@ FROM documents
 """
 
 
+def q_text_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-lite rolling fingerprint (min hash over 8-token windows),
+    md5 variant so the window hashes are cross-engine reproducible."""
+    return textops.rolling_fingerprint(_documents(spark, sf_dir), hash_fn="md5")
+
+
+O_TEXT_ROLLING_FINGERPRINT = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+w AS (SELECT doc_id,
+             unnest(list_transform(generate_series(0, greatest(len(t) - 7, 1) - 1),
+                                   i -> md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')))) AS h
+      FROM toks)
+SELECT doc_id, MIN(h) AS fp_rolling FROM w GROUP BY doc_id
+"""
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """Sub-word-ish token counting via the BPE-like regex (word runs +
+    single punctuation marks)."""
+    return _documents(spark, sf_dir).select("doc_id", textops.bpe_token_count(F.col("text")))
+
+
+O_TEXT_BPE_TOKENS = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_documents(spark, sf_dir))
 
@@ -864,6 +1267,19 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_roundtrip": (q_cef_roundtrip, O_CEF_ROUNDTRIP),
     "cef_ts_epoch": (q_cef_ts_epoch, O_CEF_TS_EPOCH),
     "cef_ts_format": (q_cef_ts_format, O_CEF_TS_FORMAT),
+    "cef_ts_year_inference": (q_cef_ts_year_inference, O_CEF_TS_YEAR_INFERENCE),
+    "cef_decode_locale_de": (q_cef_decode_locale_de, O_CEF_DECODE_LOCALE_DE),
+    "cef_encode_sanitize": (q_cef_encode_sanitize, O_CEF_ENCODE_SANITIZE),
+    "cef_encode_complex": (q_cef_encode_complex, O_CEF_ENCODE_COMPLEX),
+    "cef_encode_defaults": (q_cef_encode_defaults, O_CEF_ENCODE_DEFAULTS),
+    "cef_encode_reverse_mapping": (q_cef_encode_reverse_mapping, O_CEF_ENCODE_REVERSE_MAPPING),
+    "cef_raw_lines": (q_cef_raw_lines, O_CEF_RAW_LINES),
+    "cef_decode_binary_utf8": (q_cef_decode_binary_utf8, O_CEF_DECODE_BINARY_UTF8),
+    "cef_decode_newline_failure": (q_cef_decode_newline_failure, O_CEF_DECODE_NEWLINE_FAILURE),
+    "cef_decode_raw_data": (q_cef_decode_raw_data, O_CEF_DECODE_RAW_DATA),
+    "streaming_window_counts": (q_streaming_window_counts, O_STREAMING_WINDOW_COUNTS),
+    "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
+    "multimodal_frames": (q_multimodal_frames, O_MULTIMODAL_FRAMES),
     "cef_route_counts": (q_cef_route_counts, O_CEF_ROUTE_COUNTS),
     "cef_window_counts": (q_cef_window_counts, O_CEF_WINDOW_COUNTS),
     "cef_enrich_tiers": (q_cef_enrich_tiers, O_CEF_ENRICH_TIERS),
@@ -877,6 +1293,8 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
+    "text_rolling_fingerprint": (q_text_rolling_fingerprint, O_TEXT_ROLLING_FINGERPRINT),
+    "text_bpe_tokens": (q_text_bpe_tokens, O_TEXT_BPE_TOKENS),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_COSINE_TOPK),

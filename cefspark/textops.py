@@ -89,14 +89,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        window: int = 8) -> DataFrame:
+                        window: int = 8, hash_fn: str = "xxhash64") -> DataFrame:
     """Karp-Rabin-style rolling hash over token windows; the document
     fingerprint is the min window hash (winnowing-lite). Pure DataFrame ops:
-    tokenize -> sliding windows via sequence/transform -> xxhash64 -> min."""
+    tokenize -> sliding windows via sequence/transform -> hash -> min.
+
+    ``hash_fn``: 'xxhash64' (long fingerprint, fastest) or 'md5' (hex-string
+    fingerprint — slower, but cross-engine reproducible, so results can be
+    oracle-checked against any SQL engine with md5)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unsupported hash_fn {hash_fn!r}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     nwin = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    h = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     windows = F.transform(
         F.sequence(F.lit(0), nwin - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
     return df.select(F.col(id_col), F.array_min(windows).alias("fp_rolling"))
