@@ -23,9 +23,12 @@ HEADLINE = [
     "cef_decode_extensions", # decode-heavy projection
     "cef_roundtrip",         # encode + decode
     "cef_ts_epoch",          # ECS timestamp normalization path
+    "cef_encode_sanitize",   # encode sanitizer chains
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",         # multi-index block join
+    "emb_neardup_cosine",    # bucketed near-dup path
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",

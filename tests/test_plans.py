@@ -97,3 +97,45 @@ def test_flagship_plan_shape(spark, transcripts):
     assert plan.count("ArrowEvalPython") == 1
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_set_ops_decodes_once(spark):
+    # the two exceptAll legs read the persisted decode: exactly one
+    # ArrowEvalPython in the executed plan, not one per leg
+    from cefspark.queries import q_set_ops
+
+    df = q_set_ops(spark, SF)
+    try:
+        plan = plan_of(df)
+        # both legs read the (single, shared) InMemoryRelation; the decode UDF
+        # appears only inside the cached subtree, so it executes once at cache
+        # materialization — never in the live section of the plan
+        assert plan.count("InMemoryTableScan") == 2
+        live = plan.split("InMemoryRelation", 1)[0]
+        assert "ArrowEvalPython" not in live
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_hamming_pairs_join_keys_have_high_cardinality(spark):
+    # the simhash candidate join must key on >= 16-bit composites — never a
+    # bare 8-bit block (the O(N^2/256) degeneracy) — for both radii
+    from cefspark import dedup
+
+    sim = spark.range(64).select(F.col("id").alias("doc_id"),
+                                 F.xxhash64("id").alias("simhash"))
+    for max_dist, n_keyparts in ((3, 4), (6, 28)):
+        plan = optimized_of(dedup.hamming_pairs(sim, max_dist=max_dist))
+        # join condition carries the composite (c, k1, k2) key columns
+        for col in ("c", "k1", "k2"):
+            assert f"{col}#" in plan
+    # 16-bit extraction present: mask 65535 for d<=3, pair scheme for d<=6
+    assert "65535" in optimized_of(dedup.hamming_pairs(sim, max_dist=3))
+
+
+def test_emb_neardup_registry_plan_is_bucketed(spark):
+    from cefspark.queries import q_emb_neardup_cosine
+
+    plan = plan_of(q_emb_neardup_cosine(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
