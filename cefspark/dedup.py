@@ -97,16 +97,17 @@ def _lsh_bucketed(signatures: DataFrame, id_col: str, bands: int, rows: int) -> 
 
 def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
                    bands: int = 16, rows: int = 4,
-                   max_bucket_size: Optional[int] = 1000) -> DataFrame:
+                   max_bucket_size: Optional[int] = None) -> DataFrame:
     """Band the signature (bands x rows = num_perm); docs sharing any band
     bucket are candidates. Output distinct (a, b), a < b.
 
     ``max_bucket_size`` bounds the quadratic blow-up of degenerate buckets
     (empty/boilerplate documents sharing a band hash make that bucket's join
     O(size^2)): buckets above the cap contribute NO candidate pairs. The cap
-    is explicit, not silent — audit what it drops with
-    :func:`lsh_bucket_stats`; docs in a dropped bucket usually still pair
-    through one of their other ``bands - 1`` buckets. ``None`` disables.
+    is lossy, so it is opt-in (default None = exact candidates) — production
+    entry points at scale should set it (the registry/bench path uses 1000)
+    and audit what it drops with :func:`lsh_bucket_stats`; docs in a dropped
+    bucket usually still pair through one of their other ``bands - 1`` buckets.
     """
     bucketed = _lsh_bucketed(signatures, id_col, bands, rows)
     if max_bucket_size is not None:
@@ -146,7 +147,7 @@ def verify_pairs(candidates: DataFrame, df: DataFrame, text_col: str = "text",
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 64, shingle_n: int = 3, bands: int = 16,
                   threshold: float = 0.5,
-                  max_bucket_size: Optional[int] = 1000) -> DataFrame:
+                  max_bucket_size: Optional[int] = None) -> DataFrame:
     """MinHash -> LSH candidate pairs -> exact-Jaccard verification of the
     candidates only. Returns verified near-dup pairs (a, b, jaccard)."""
     rows = num_perm // bands

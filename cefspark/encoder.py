@@ -111,7 +111,10 @@ def _stringify(val: Any) -> str:
         # ArrayType cells cross the Arrow boundary as numpy arrays
         val = val.tolist()
     if isinstance(val, (list, tuple, dict)):
-        return json.dumps(val, separators=(",", ":"), ensure_ascii=False)
+        # default=_stringify: non-JSON elements (timestamps inside an
+        # array<timestamp> cell) render through the same rules as scalars
+        return json.dumps(val, separators=(",", ":"), ensure_ascii=False,
+                          default=_stringify)
     if val is pd.NaT:
         # NaT slips through scalar null filters (it is datetime-typed, and
         # pd.Timestamp(NaT) is NaT again — unguarded, _stringify would recurse
@@ -149,8 +152,8 @@ def encode_event(event: dict, config: Optional[EncoderConfig] = None) -> str:
     pairs = []
     for fieldname in cfg.fields:
         val = event.get(fieldname)
-        if val is None:
-            continue  # nil skip (cef.rb:352)
+        if val is None or val is pd.NaT:
+            continue  # nil skip (cef.rb:352); NaT is the datetime-typed null
         key = maps.encode_map.get(fieldname, fieldname)
         key = sanitize_extension_key(key)
         if isinstance(val, (pd.Timestamp, dt.datetime)):

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup, pipeline, similarity, sources, textops
+from . import timestamps as ts_mod
 from .encoder import EncoderConfig
 from .parser import DecodeConfig
 from .udfs import decode_dataframe, encode_dataframe, ext
@@ -374,11 +375,13 @@ def q_set_ops(spark, sf_dir):
 
     The decoded frame feeds both legs of the exceptAll, so it is persisted —
     without it the two subtrees would each re-run the Arrow decode over the
-    full input (2x decode cost at scale). Columns are also slimmed to the two
-    fields the predicates read, skipping the extensions-map transfer."""
-    ev = decode_dataframe(
+    full input (2x decode cost at scale). The UDF transfer AND the cached
+    relation are both slimmed to the three columns the query reads (the cache
+    stays resident until the session clears it; keep it narrow)."""
+    ev = (decode_dataframe(
         _with_payload(_events(spark, sf_dir)),
-        columns=["severity", "deviceEventClassId"]).persist()
+        columns=["severity", "deviceEventClassId"])
+        .select("event_id", "severity", "deviceEventClassId").persist())
     high = ev.where(F.col("severity").cast("int") >= 7).select("event_id")
     errors = ev.where(F.col("deviceEventClassId").cast("int") % 2 == 0).select("event_id")
     return high.exceptAll(errors)
@@ -494,10 +497,10 @@ FROM events
 """
 
 
-_MONTHS_EN = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
-              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
-_MONTHS_DE = ["Jan", "Feb", "Mär", "Apr", "Mai", "Jun",
-              "Jul", "Aug", "Sep", "Okt", "Nov", "Dez"]
+# single source of truth: the codec's locale tables (first 12 entries are the
+# ordered month abbreviations; 'de' carries an extra legacy 'Mrz' alias)
+_MONTHS_EN = list(ts_mod._MONTHS["en"])[:12]
+_MONTHS_DE = list(ts_mod._MONTHS["de"])[:12]
 
 #: second injected clock exercising the December next-year edge of T4
 DEC_NOW = "2026-12-31T00:00:00Z"
@@ -1040,8 +1043,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs. The xxhash64 permutations aren't DuckDB-
     expressible, but the *output* is exact-Jaccard-verified candidate pairs —
     and on this fixture (16 bands x 4 rows at t=0.4) LSH recall is 1, so the
-    result must equal the exact all-pairs Jaccard oracle."""
-    return dedup.minhash_dedup(_docs_near_dups(spark, sf_dir), threshold=0.4)
+    result must equal the exact all-pairs Jaccard oracle. The production
+    bucket cap is on (1000 — far above any bucket here, lossless), so the
+    gate exercises the capped code path."""
+    return dedup.minhash_dedup(_docs_near_dups(spark, sf_dir), threshold=0.4,
+                               max_bucket_size=1000)
 
 
 def _docs_simhash_fixture(spark, sf_dir):

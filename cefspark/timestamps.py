@@ -96,11 +96,15 @@ def _month_table(locale: Optional[str]) -> dict[str, int]:
 
 
 # java's `zzz` parses TZDB short names (e.g. 'PDT', 'CET') to region zones via
-# the preferred-zone table; ZoneInfo does not. Carry the common unambiguous
-# abbreviations with java's preferred-zone resolutions. The local time then
-# resolves under the full zone rules (so 'PST' on a July date still yields the
-# DST offset, exactly as java does). Ambiguous abbreviations java cannot parse
-# either (e.g. 'IST') stay unknown.
+# the CLDR preferred-zone table; ZoneInfo does not. Carry the common
+# abbreviations with java's preferred-zone resolutions (verified against
+# java.time on this JDK — including the surprising BST = Pacific/Bougainville,
+# NOT Europe/London). The local time then resolves under the full zone rules
+# (so 'PST' on a July date still yields the DST offset, exactly as java does).
+# Ambiguous abbreviations java cannot parse either (e.g. 'IST') stay unknown.
+# This table applies ONLY to the in-payload `zzz` token: the dtz side-channel
+# and configured default timezone go through ZoneId.of in the reference, which
+# rejects bare abbreviations.
 _ZONE_ABBREVIATIONS: dict[str, str] = {
     "PST": "America/Los_Angeles", "PDT": "America/Los_Angeles",
     "MST": "America/Denver", "MDT": "America/Denver",
@@ -108,18 +112,31 @@ _ZONE_ABBREVIATIONS: dict[str, str] = {
     "EST": "America/New_York", "EDT": "America/New_York",
     "AKST": "America/Anchorage", "AKDT": "America/Anchorage",
     "HST": "Pacific/Honolulu",
-    "BST": "Europe/London",
+    "BST": "Pacific/Bougainville",  # java CLDR preferred zone; not London
     "CET": "Europe/Paris", "CEST": "Europe/Paris",
     "EET": "Europe/Bucharest", "EEST": "Europe/Bucharest",
     "JST": "Asia/Tokyo", "KST": "Asia/Seoul",
     "AEST": "Australia/Sydney", "AEDT": "Australia/Sydney",
 }
 
+# Names java's ZoneId.of rejects (verified on this JDK): every short name
+# except the genuine tzdb zones CET/EET. EST/MST/HST are tzdb backward names
+# Python's ZoneInfo would accept, but java moved them to the opt-in SHORT_IDS
+# table — strict mode must fail them for ZoneId.of parity.
+_JAVA_REJECTED_IDS = frozenset(_ZONE_ABBREVIATIONS) - {"CET", "EET"}
 
-def _zone_of(name: str) -> dt.tzinfo:
-    abbrev = _ZONE_ABBREVIATIONS.get(name)
-    if abbrev is not None:
-        return ZoneInfo(abbrev)
+
+def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
+    """Resolve a zone string. ``allow_names=True`` is the in-payload `zzz`
+    path (CLDR short-name table active); False mirrors java ZoneId.of (region
+    IDs, offsets, and prefixed-offset spellings only) for the dtz side-channel
+    and the configured default timezone."""
+    if allow_names:
+        abbrev = _ZONE_ABBREVIATIONS.get(name)
+        if abbrev is not None:
+            return ZoneInfo(abbrev)
+    elif name in _JAVA_REJECTED_IDS:
+        raise InvalidTimestamp(f"unknown zone `{name}`")
     pref = _PREFIXED_OFFSET.match(name)
     if pref:
         name = pref.group("off")
@@ -212,9 +229,11 @@ class TimestampNormalizer:
         if mon is None:
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}` (bad month)")
 
-        # T3 zone resolution order (timestamp_normalizer.rb:76-87)
+        # T3 zone resolution order (timestamp_normalizer.rb:76-87); only the
+        # in-payload token gets `zzz` short-name resolution — dtz and the
+        # configured default go through ZoneId.of semantics in the reference
         if m.group("zone"):
-            zone = _zone_of(m.group("zone"))
+            zone = _zone_of(m.group("zone"), allow_names=True)
         elif device_timezone:
             zone = _zone_of(device_timezone)
         else:

@@ -193,13 +193,28 @@ def test_offset_18_exact_is_valid():
 
 
 def test_zone_abbreviations_resolve_like_java_zzz():
-    # java's `zzz` parser maps short names to preferred region zones; local
-    # times then resolve under full DST rules (PST on a July date -> -07:00).
+    # java's `zzz` parser maps short names to CLDR preferred region zones;
+    # local times then resolve under full DST rules (PST on a July date ->
+    # -07:00). Expected instants verified by running java.time on this JDK.
     n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
     assert n.normalize_iso("Jun 07 2025 12:00:00 PDT") == "2025-06-07T19:00:00.000000000Z"
     assert n.normalize_iso("Jun 07 2025 12:00:00 PST") == "2025-06-07T19:00:00.000000000Z"
     assert n.normalize_iso("Jan 07 2025 12:00:00 PST") == "2025-01-07T20:00:00.000000000Z"
     assert n.normalize_iso("Jan 07 2025 12:00:00 CET") == "2025-01-07T11:00:00.000000000Z"
+    # java resolves BST to Pacific/Bougainville (+11), not Europe/London
+    assert n.normalize_iso("Jul 07 2025 12:00:00 BST") == "2025-07-07T01:00:00.000000000Z"
+
+
+def test_dtz_side_channel_uses_strict_zoneid_semantics():
+    # the dtz path is ZoneId.of in the reference: bare abbreviations are
+    # rejected (including EST/MST/HST, which ZoneInfo alone would accept),
+    # while real tzdb zones CET/EET and region ids/offsets resolve
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    for bad in ("PST", "EDT", "EST", "MST", "HST", "BST"):
+        with pytest.raises(InvalidTimestamp):
+            n.normalize("Jul 07 2025 12:00:00", device_timezone=bad)
+    assert n.normalize_iso("Jul 07 2025 12:00:00", "CET") == "2025-07-07T10:00:00.000000000Z"
+    assert n.normalize_iso("Jul 07 2025 12:00:00", "America/New_York") == "2025-07-07T16:00:00.000000000Z"
 
 
 def test_single_digit_day_rejected_like_java_dd():
