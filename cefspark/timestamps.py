@@ -66,24 +66,45 @@ _OFFSET = re.compile(
 # ("GMT+05:30", "UTC+3", "UT-02:00") — common in dtz side-channel values
 _PREFIXED_OFFSET = re.compile(r"\A(?:GMT|UTC|UT)(?P<off>[+-].+)\Z")
 
-# Abbreviated month names per locale (the reference delegates to java.time's
-# locale data; we carry the tables for the locales the CEF corpus uses, and
-# fall back to English). de has both pre- and post-CLDR-33 March/"Mrz" forms.
-_MONTHS: dict[str, dict[str, int]] = {
-    "en": {m: i + 1 for i, m in enumerate(
-        ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
-         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])},
-    "de": {m: i + 1 for i, m in enumerate(
-        ["Jan", "Feb", "Mär", "Apr", "Mai", "Jun",
-         "Jul", "Aug", "Sep", "Okt", "Nov", "Dez"])},
-    "fr": {m: i + 1 for i, m in enumerate(
-        ["janv.", "févr.", "mars", "avr.", "mai", "juin",
-         "juil.", "août", "sept.", "oct.", "nov.", "déc."])},
-    "es": {m: i + 1 for i, m in enumerate(
-        ["ene.", "feb.", "mar.", "abr.", "may.", "jun.",
-         "jul.", "ago.", "sept.", "oct.", "nov.", "dic."])},
+# Abbreviated month names per locale. The reference delegates to java.time's
+# locale data (timestamp_normalizer.rb:29-36) — its accepted set depends on
+# the JVM's locale provider (the reference's own spec reads the table from
+# the running JVM rather than hardcoding, timestamp_normalizer_spec.rb:77-87).
+# The PRIMARY tables below are the CLDR data dumped from this machine's JDK
+# (TextStyle.SHORT, java-verified); the 12-entry prefix is the ordered month
+# list. Keys are exact, like java's case-sensitive SMART parsing.
+_MONTHS: dict[str, dict[str, int]] = {lang: {m: i + 1 for i, m in enumerate(tbl)} for lang, tbl in {
+    "en": ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"],
+    "de": ["Jan.", "Feb.", "März", "Apr.", "Mai", "Juni", "Juli", "Aug.", "Sept.", "Okt.", "Nov.", "Dez."],
+    "fr": ["janv.", "févr.", "mars", "avr.", "mai", "juin", "juil.", "août", "sept.", "oct.", "nov.", "déc."],
+    "es": ["ene", "feb", "mar", "abr", "may", "jun", "jul", "ago", "sept", "oct", "nov", "dic"],
+    "it": ["gen", "feb", "mar", "apr", "mag", "giu", "lug", "ago", "set", "ott", "nov", "dic"],
+    "pt": ["jan.", "fev.", "mar.", "abr.", "mai.", "jun.", "jul.", "ago.", "set.", "out.", "nov.", "dez."],
+    "nl": ["jan.", "feb.", "mrt.", "apr.", "mei", "jun.", "jul.", "aug.", "sep.", "okt.", "nov.", "dec."],
+    "sv": ["jan.", "feb.", "mars", "apr.", "maj", "juni", "juli", "aug.", "sep.", "okt.", "nov.", "dec."],
+    "pl": ["sty", "lut", "mar", "kwi", "maj", "cze", "lip", "sie", "wrz", "paź", "lis", "gru"],
+    "cs": ["led", "úno", "bře", "dub", "kvě", "čvn", "čvc", "srp", "zář", "říj", "lis", "pro"],
+    "tr": ["Oca", "Şub", "Mar", "Nis", "May", "Haz", "Tem", "Ağu", "Eyl", "Eki", "Kas", "Ara"],
+    "da": ["jan.", "feb.", "mar.", "apr.", "maj", "jun.", "jul.", "aug.", "sep.", "okt.", "nov.", "dec."],
+    "nb": ["jan.", "feb.", "mar.", "apr.", "mai", "jun.", "jul.", "aug.", "sep.", "okt.", "nov.", "des."],
+    "fi": ["tammik.", "helmik.", "maalisk.", "huhtik.", "toukok.", "kesäk.", "heinäk.", "elok.", "syysk.",
+           "lokak.", "marrask.", "jouluk."],
+}.items()}
+
+# Multi-provider tolerance: a JVM running with java.locale.providers=COMPAT
+# (or a pre-CLDR JDK 8) produces the legacy dotless/short forms, so payloads
+# in the wild carry both. Accept the union: every dotted CLDR form also
+# without its trailing dot, plus the explicitly-different COMPAT forms.
+_MONTH_ALIASES: dict[str, dict[str, int]] = {
+    "de": {"Mär": 3, "Mrz": 3, "Jun": 6, "Jul": 7, "Sep": 9},
+    "es": {"ene.": 1, "feb.": 2, "mar.": 3, "abr.": 4, "may.": 5, "jun.": 6,
+           "jul.": 7, "ago.": 8, "sep": 9, "sept.": 9, "oct.": 10, "nov.": 11, "dic.": 12},
 }
-_MONTHS["de"]["Mrz"] = 3
+for _lang, _tbl in _MONTHS.items():
+    _aliases = _MONTH_ALIASES.setdefault(_lang, {})
+    for _name, _i in list(_tbl.items()):
+        if _name.endswith(".") and _name[:-1] not in _tbl:
+            _aliases.setdefault(_name[:-1], _i)
 
 _DAYS_IN_MONTH = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
@@ -92,7 +113,9 @@ def _month_table(locale: Optional[str]) -> dict[str, int]:
     if not locale:
         return _MONTHS["en"]
     lang = locale.replace("-", "_").split("_")[0].lower()
-    return _MONTHS.get(lang, _MONTHS["en"])
+    table = _MONTHS.get(lang, _MONTHS["en"])
+    aliases = _MONTH_ALIASES.get(lang if lang in _MONTHS else "en", {})
+    return {**aliases, **table}  # primary forms win on collision
 
 
 # java's `zzz` parses TZDB short names (e.g. 'PDT', 'CET') to region zones via

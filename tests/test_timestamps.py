@@ -222,3 +222,25 @@ def test_single_digit_day_rejected_like_java_dd():
     with pytest.raises(InvalidTimestamp):
         n.normalize("Jun 7 2025 12:00:00")
     assert n.normalize_iso("Jun 07 2025 12:00:00") == "2025-06-07T12:00:00.000000000Z"
+
+
+@pytest.mark.parametrize("locale,text,expect", [
+    # CLDR primary forms dumped from this JDK (java-verified)
+    ("de_DE", "März 17 2019 17:57:06 +01:00", "2019-03-17T16:57:06"),
+    ("de_DE", "Sept. 17 2019 17:57:06 +01:00", "2019-09-17T16:57:06"),
+    ("fr_FR", "août 17 2019 17:57:06 +01:00", "2019-08-17T16:57:06"),
+    ("it_IT", "mag 17 2019 17:57:06 +01:00", "2019-05-17T16:57:06"),
+    ("pt_BR", "out. 17 2019 17:57:06 +01:00", "2019-10-17T16:57:06"),
+    ("nl_NL", "mrt. 17 2019 17:57:06 +01:00", "2019-03-17T16:57:06"),
+    ("pl_PL", "paź 17 2019 17:57:06 +01:00", "2019-10-17T16:57:06"),
+    ("cs_CZ", "čvc 17 2019 17:57:06 +01:00", "2019-07-17T16:57:06"),
+    ("tr_TR", "Şub 17 2019 17:57:06 +01:00", "2019-02-17T16:57:06"),
+    ("fi_FI", "kesäk. 17 2019 17:57:06 +01:00", "2019-06-17T16:57:06"),
+    # COMPAT-provider / legacy dotless aliases remain accepted
+    ("de_DE", "Jan 17 2019 17:57:06 +01:00", "2019-01-17T16:57:06"),
+    ("fr_FR", "janv 17 2019 17:57:06 +01:00", "2019-01-17T16:57:06"),
+    ("es_ES", "sept 17 2019 17:57:06 +01:00", "2019-09-17T16:57:06"),
+])
+def test_locale_month_tables_match_jdk_cldr(locale, text, expect):
+    n = TimestampNormalizer(locale=locale)
+    assert n.normalize_iso(text).startswith(expect)
