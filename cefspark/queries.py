@@ -497,10 +497,11 @@ FROM events
 """
 
 
-# single source of truth: the codec's locale tables (first 12 entries are the
-# ordered month abbreviations; 'de' carries an extra legacy 'Mrz' alias)
-_MONTHS_EN = list(ts_mod._MONTHS["en"])[:12]
-_MONTHS_DE = list(ts_mod._MONTHS["de"])[:12]
+# single source of truth: the codec's CLDR primary tables are exactly 12
+# ordered month abbreviations per locale (legacy/COMPAT forms live separately
+# in timestamps._MONTH_ALIASES and never appear here)
+_MONTHS_EN = list(ts_mod._MONTHS["en"])
+_MONTHS_DE = list(ts_mod._MONTHS["de"])
 
 #: second injected clock exercising the December next-year edge of T4
 DEC_NOW = "2026-12-31T00:00:00Z"
@@ -552,7 +553,7 @@ FROM base
 
 def q_cef_decode_locale_de(spark, sf_dir):
     """T2 locale surface: German month abbreviations (incl. the non-ASCII
-    'Mär') parse under locale=de_DE (reference delegates to java.time locale
+    'März') parse under locale=de_DE (reference delegates to java.time locale
     data, timestamp_normalizer.rb:29-36, spec :72-95)."""
     mon, day = _mon_day_cols()
     mon_name = F.element_at(F.array(*[F.lit(m) for m in _MONTHS_DE]), mon)

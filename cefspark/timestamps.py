@@ -92,19 +92,37 @@ _MONTHS: dict[str, dict[str, int]] = {lang: {m: i + 1 for i, m in enumerate(tbl)
 }.items()}
 
 # Multi-provider tolerance: a JVM running with java.locale.providers=COMPAT
-# (or a pre-CLDR JDK 8) produces the legacy dotless/short forms, so payloads
-# in the wild carry both. Accept the union: every dotted CLDR form also
-# without its trailing dot, plus the explicitly-different COMPAT forms.
-_MONTH_ALIASES: dict[str, dict[str, int]] = {
-    "de": {"Mär": 3, "Mrz": 3, "Jun": 6, "Jul": 7, "Sep": 9},
-    "es": {"ene.": 1, "feb.": 2, "mar.": 3, "abr.": 4, "may.": 5, "jun.": 6,
-           "jul.": 7, "ago.": 8, "sep": 9, "sept.": 9, "oct.": 10, "nov.": 11, "dic.": 12},
+# (or a pre-CLDR JDK 8) produces these legacy forms instead — dumped from
+# this JDK under -Djava.locale.providers=COMPAT. Payloads in the wild carry
+# both providers' spellings, so we accept the union (CLDR primaries + COMPAT
+# forms + dotless variants of dotted primaries + the pre-CLDR-33 de 'Mrz').
+_MONTHS_COMPAT: dict[str, list[str]] = {
+    "en": ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"],
+    "de": ["Jan", "Feb", "Mär", "Apr", "Mai", "Jun", "Jul", "Aug", "Sep", "Okt", "Nov", "Dez"],
+    "fr": ["janv.", "févr.", "mars", "avr.", "mai", "juin", "juil.", "août", "sept.", "oct.", "nov.", "déc."],
+    "es": ["ene", "feb", "mar", "abr", "may", "jun", "jul", "ago", "sep", "oct", "nov", "dic"],
+    "it": ["gen", "feb", "mar", "apr", "mag", "giu", "lug", "ago", "set", "ott", "nov", "dic"],
+    "pt": ["jan", "fev", "mar", "abr", "mai", "jun", "jul", "ago", "set", "out", "nov", "dez"],
+    "nl": ["jan", "feb", "mrt", "apr", "mei", "jun", "jul", "aug", "sep", "okt", "nov", "dec"],
+    "sv": ["jan", "feb", "mar", "apr", "maj", "jun", "jul", "aug", "sep", "okt", "nov", "dec"],
+    "pl": ["sty", "lut", "mar", "kwi", "maj", "cze", "lip", "sie", "wrz", "paź", "lis", "gru"],
+    "cs": ["Led", "Úno", "Bře", "Dub", "Kvě", "Čer", "Čvc", "Srp", "Zář", "Říj", "Lis", "Pro"],
+    "tr": ["Oca", "Şub", "Mar", "Nis", "May", "Haz", "Tem", "Ağu", "Eyl", "Eki", "Kas", "Ara"],
+    "da": ["jan.", "feb.", "mar.", "apr.", "maj", "jun.", "jul.", "aug.", "sep.", "okt.", "nov.", "dec."],
+    "nb": ["jan", "feb", "mar", "apr", "mai", "jun", "jul", "aug", "sep", "okt", "nov", "des"],
+    "fi": ["tammikuuta", "helmikuuta", "maaliskuuta", "huhtikuuta", "toukokuuta", "kesäkuuta",
+           "heinäkuuta", "elokuuta", "syyskuuta", "lokakuuta", "marraskuuta", "joulukuuta"],
 }
+
+_MONTH_ALIASES: dict[str, dict[str, int]] = {"de": {"Mrz": 3}}
 for _lang, _tbl in _MONTHS.items():
     _aliases = _MONTH_ALIASES.setdefault(_lang, {})
     for _name, _i in list(_tbl.items()):
         if _name.endswith(".") and _name[:-1] not in _tbl:
             _aliases.setdefault(_name[:-1], _i)
+    for _i, _name in enumerate(_MONTHS_COMPAT.get(_lang, []), start=1):
+        if _name not in _tbl:
+            _aliases.setdefault(_name, _i)
 
 _DAYS_IN_MONTH = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 

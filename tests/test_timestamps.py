@@ -244,3 +244,18 @@ def test_single_digit_day_rejected_like_java_dd():
 def test_locale_month_tables_match_jdk_cldr(locale, text, expect):
     n = TimestampNormalizer(locale=locale)
     assert n.normalize_iso(text).startswith(expect)
+
+
+@pytest.mark.parametrize("locale,text,month", [
+    # COMPAT-provider forms (java.locale.providers=COMPAT dump from this JDK)
+    ("sv_SE", "mar 17 2019 17:57:06 +01:00", 3),
+    ("sv_SE", "jun 17 2019 17:57:06 +01:00", 6),
+    ("cs_CZ", "Čer 17 2019 17:57:06 +01:00", 6),
+    ("fi_FI", "kesäkuuta 17 2019 17:57:06 +01:00", 6),
+    ("pt_PT", "out 17 2019 17:57:06 +01:00", 10),
+    ("nl_NL", "mrt 17 2019 17:57:06 +01:00", 3),
+    ("nb_NO", "des 17 2019 17:57:06 +01:00", 12),
+])
+def test_compat_provider_month_forms_accepted(locale, text, month):
+    n = TimestampNormalizer(locale=locale)
+    assert n.normalize(text).month == month
