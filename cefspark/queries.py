@@ -789,6 +789,63 @@ FROM events
 """
 
 
+def q_cef_decode_ecs_keys(spark, sf_dir):
+    """D12 in ECS (v1) mode: abbreviated keys expand to ECS field references
+    (cef.rb:416-576 v1 targets; spec runs its matrix under
+    ecs_compatibility v1, cef_spec.rb:471)."""
+    df = _with_payload(_events(spark, sf_dir))
+    dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, now=NOW))
+    return dec.select(
+        "event_id",
+        ext("[source][ip]").alias("src_ip"),
+        ext("[source][port]").alias("src_port"),
+        ext("[source][user][name]").alias("src_user"),
+        ext("[message]").alias("msg"),
+        ext("[event][outcome]").alias("outcome"))
+
+
+O_CEF_DECODE_ECS_KEYS = O_CEF_DECODE_EXTENSIONS
+
+
+def q_checkpoint_resume(spark, sf_dir):
+    """North-rule checkpoint/resume through ManifestTable snapshot manifests:
+    commit run 1 over input batch 1; run 2 scans everything but
+    filter_new_inputs drops the already-consumed files; the snapshot chain's
+    union must cover the input exactly once (row-count equality catches both
+    gaps and duplicates). Temp dirs are fixture materialization."""
+    import os
+    import shutil
+
+    from . import storage
+
+    base = f"/tmp/cefspark_resume_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{base}/in/batch1")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{base}/in/batch2")
+
+    t = storage.ManifestTable(f"{base}/tbl")
+    scan1 = spark.read.parquet(f"{base}/in/batch1")
+    t.commit(scan1.select("event_id"), inputs=storage.list_input_files(scan1))
+    scan_all = spark.read.parquet(f"{base}/in/batch1", f"{base}/in/batch2")
+    fresh = t.filter_new_inputs(scan_all)
+    t.commit(fresh.select("event_id"), inputs=storage.list_input_files(scan_all))
+
+    out = None
+    sid = t.latest_snapshot_id()
+    while sid:
+        snap = t.snapshot(sid)
+        part = spark.read.parquet(snap.data_dir)
+        out = part if out is None else out.unionByName(part)
+        sid = snap.parent_id
+    return out.select("event_id")
+
+
+O_CHECKPOINT_RESUME = """
+SELECT event_id FROM events
+"""
+
+
 # ==============================================================================
 # Structured Streaming: windowed counts over a file-stream source
 # ==============================================================================
@@ -826,6 +883,45 @@ SELECT {_VENDOR_SQL} AS deviceVendor,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_streaming_stateful_conv_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    conversation running turn/failure stats over a transcript stream built
+    from events (conv_id=user_id, 0-based turn_idx), drained availableNow.
+    The single-file source yields one micro-batch, so the update-mode output
+    is exactly the final per-conversation state — equal to the batch
+    aggregate the oracle states."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from . import streaming
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = f"/tmp/cefspark_convstats_{tag}"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = _with_payload(_events(spark, sf_dir), mixed_failures=True).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(base)
+    q = streaming.run_conversation_stats(spark, base, f"conv_stats_{tag}")
+    q.awaitTermination()
+    return (spark.table(f"conv_stats_{tag}")
+            .select(F.col("conv_id").cast("long").alias("user_id"),
+                    "n_turns", "n_failed",
+                    F.col("last_turn_idx").cast("long").alias("last_turn_idx")))
+
+
+O_STREAMING_STATEFUL_CONV_STATS = """
+SELECT user_id, COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       COUNT(*) - 1 AS last_turn_idx
+FROM events GROUP BY user_id
 """
 
 
@@ -1285,6 +1381,9 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_decode_newline_failure": (q_cef_decode_newline_failure, O_CEF_DECODE_NEWLINE_FAILURE),
     "cef_decode_raw_data": (q_cef_decode_raw_data, O_CEF_DECODE_RAW_DATA),
     "streaming_window_counts": (q_streaming_window_counts, O_STREAMING_WINDOW_COUNTS),
+    "streaming_stateful_conv_stats": (q_streaming_stateful_conv_stats, O_STREAMING_STATEFUL_CONV_STATS),
+    "cef_decode_ecs_keys": (q_cef_decode_ecs_keys, O_CEF_DECODE_ECS_KEYS),
+    "checkpoint_resume": (q_checkpoint_resume, O_CHECKPOINT_RESUME),
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, O_MULTIMODAL_FRAMES),
     "cef_route_counts": (q_cef_route_counts, O_CEF_ROUTE_COUNTS),
