@@ -1250,6 +1250,21 @@ FROM documents
 """
 
 
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary size: explode tokens -> distinct count. The classic
+    two-level aggregation: map-side partial distinct per partition, shuffle
+    volume O(unique tokens) not O(tokens)."""
+    toks = (_documents(spark, sf_dir)
+            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")))
+    return toks.agg(F.count_distinct("tok").alias("n_vocab"))
+
+
+O_TEXT_VOCAB = r"""
+SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) t
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_documents(spark, sf_dir))
 
@@ -1401,6 +1416,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "text_rolling_fingerprint": (q_text_rolling_fingerprint, O_TEXT_ROLLING_FINGERPRINT),
     "text_bpe_tokens": (q_text_bpe_tokens, O_TEXT_BPE_TOKENS),
+    "text_vocab": (q_text_vocab, O_TEXT_VOCAB),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_COSINE_TOPK),
