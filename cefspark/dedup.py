@@ -48,8 +48,13 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Joins documents on shared shingles; use after LSH prefiltering at scale.
     Output: (a, b, jaccard) with jaccard rounded to 6dp for stable compare.
+
+    The shingle explode feeds three subtrees; it is deliberately NOT cached —
+    a session-lifetime cache of the exploded corpus would dwarf the input
+    (and leak), while recomputing a narrow split/explode is cheap. Callers
+    wanting reuse across their own actions can persist/unpersist explicitly.
     """
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh = word_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")

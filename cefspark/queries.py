@@ -1062,6 +1062,20 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: the JSON props column parsed JVM-side
+    (get_json_object) — the decode-side companion to E9's JSON encode, and a
+    narrow whole-stage-codegen projection at scale."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+
+
+O_EVENTS_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events
+"""
+
+
 def q_turn_ordering(spark, sf_dir):
     """Window function: stable per-conversation ordering (row_number)."""
     from pyspark.sql.window import Window
@@ -1405,6 +1419,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_window_counts": (q_cef_window_counts, O_CEF_WINDOW_COUNTS),
     "cef_enrich_tiers": (q_cef_enrich_tiers, O_CEF_ENRICH_TIERS),
     "turn_ordering": (q_turn_ordering, O_TURN_ORDERING),
+    "events_json_props": (q_events_json_props, O_EVENTS_JSON_PROPS),
     "user_sessions": (q_user_sessions, O_USER_SESSIONS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
