@@ -77,6 +77,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     flagship = timings["cef_window_counts"] or 1e-9
+
+    # Steady-state throughput: the sf0.1 flagship time is dominated by fixed
+    # per-query overhead (~100k rows finish in ~0.2s of actual decode), so
+    # also measure the same decode->enrich->route->counts job on a 2M-row
+    # pre-written transcript table (the scaling study's input) where compute
+    # dominates. This is the number comparable to BENCH/BASELINE.md.
+    steady = None
+    steady_dir = "/tmp/cefspark_scaling/transcripts_2000000"
+    if not os.path.isdir(steady_dir):
+        from cefspark import fixtures
+        fixtures.transcripts_df(spark, 2_000_000, partitions=128).write.mode(
+            "overwrite").parquet(steady_dir)
+    from cefspark import pipeline as _pipe
+    tdf = spark.read.parquet(steady_dir)
+
+    def steady_job():
+        return _pipe.sink_counts(_pipe.route(_pipe.enrich(
+            decode_dataframe(tdf), spark))).collect()
+
+    steady_job()  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        steady_job()
+        best = min(best, time.time() - t0)
+    steady = round(2_000_000 / best, 1)
+
     print(json.dumps({
         "metric": "cefspark headline suite wall time",
         "value": total,
@@ -84,6 +111,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "turns_per_sec": round(n_turns / flagship, 1),
+        "steady_turns_per_sec": steady,
+        "steady_rows": 2_000_000,
         "cpus": cpus,
     }))
     spark.stop()
