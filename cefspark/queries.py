@@ -1062,6 +1062,33 @@ FROM events GROUP BY user_id
 """
 
 
+def q_event_sessions(spark, sf_dir):
+    """Sessionization: a new session starts after a >30-minute gap per user —
+    lag + conditional running sum over an event-time window (the standard
+    log-pipeline sessionizer; exactly one shuffle, on user_id). Gaps compare
+    in integer milliseconds on both sides so the engines floor identically."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (_events(spark, sf_dir)
+            .select("event_id", F.sum(is_new).over(run).cast("long").alias("session_idx")))
+
+
+O_EVENT_SESSIONS = """
+SELECT event_id,
+       CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_idx
+FROM (SELECT event_id, user_id, ts, epoch_ms(ts) AS ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      FROM events) t
+"""
+
+
 def q_events_json_props(spark, sf_dir):
     """Semi-structured extraction: the JSON props column parsed JVM-side
     (get_json_object) — the decode-side companion to E9's JSON encode, and a
@@ -1420,6 +1447,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_enrich_tiers": (q_cef_enrich_tiers, O_CEF_ENRICH_TIERS),
     "turn_ordering": (q_turn_ordering, O_TURN_ORDERING),
     "events_json_props": (q_events_json_props, O_EVENTS_JSON_PROPS),
+    "event_sessions": (q_event_sessions, O_EVENT_SESSIONS),
     "user_sessions": (q_user_sessions, O_USER_SESSIONS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
