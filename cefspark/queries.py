@@ -807,6 +807,33 @@ def q_cef_decode_ecs_keys(spark, sf_dir):
 O_CEF_DECODE_ECS_KEYS = O_CEF_DECODE_EXTENSIONS
 
 
+def q_cef_decode_ecs_device(spark, sf_dir):
+    """The `device` config dimension of the ECS mapping (cef.rb:73-76,
+    :484-489): dvc/dvchost land under [observer] by default but under [host]
+    with device=host. Both decodes run over the same payloads; the branch
+    column pins which mapping produced each row."""
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|dvc=10.1.2."),
+                         (F.col("event_id") % 256).cast("string"),
+                         F.lit(" dvchost=h"), (F.col("event_id") % 50).cast("string")))
+    branches = []
+    for dev, ip_key, host_key in (("observer", "[observer][ip]", "[observer][hostname]"),
+                                  ("host", "[host][ip]", "[host][name]")):
+        dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, device=dev, now=NOW))
+        branches.append(dec.select(
+            "event_id", F.lit(dev).alias("device_cfg"),
+            ext(ip_key).alias("device_ip"), ext(host_key).alias("device_host")))
+    return branches[0].unionByName(branches[1])
+
+
+O_CEF_DECODE_ECS_DEVICE = """
+SELECT event_id, dev AS device_cfg,
+       '10.1.2.' || CAST(event_id % 256 AS VARCHAR) AS device_ip,
+       'h' || CAST(event_id % 50 AS VARCHAR) AS device_host
+FROM events, (VALUES ('observer'), ('host')) d(dev)
+"""
+
+
 def q_checkpoint_resume(spark, sf_dir):
     """North-rule checkpoint/resume through ManifestTable snapshot manifests:
     commit run 1 over input batch 1; run 2 scans everything but
@@ -1439,6 +1466,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "streaming_window_counts": (q_streaming_window_counts, O_STREAMING_WINDOW_COUNTS),
     "streaming_stateful_conv_stats": (q_streaming_stateful_conv_stats, O_STREAMING_STATEFUL_CONV_STATS),
     "cef_decode_ecs_keys": (q_cef_decode_ecs_keys, O_CEF_DECODE_ECS_KEYS),
+    "cef_decode_ecs_device": (q_cef_decode_ecs_device, O_CEF_DECODE_ECS_DEVICE),
     "checkpoint_resume": (q_checkpoint_resume, O_CHECKPOINT_RESUME),
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, O_MULTIMODAL_FRAMES),
