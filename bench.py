@@ -83,26 +83,33 @@ def main() -> None:
     # also measure the same decode->enrich->route->counts job on a 2M-row
     # pre-written transcript table (the scaling study's input) where compute
     # dominates. This is the number comparable to BENCH/BASELINE.md.
-    steady = None
-    steady_dir = "/tmp/cefspark_scaling/transcripts_2000000"
-    if not os.path.isdir(steady_dir):
-        from cefspark import fixtures
-        fixtures.transcripts_df(spark, 2_000_000, partitions=128).write.mode(
-            "overwrite").parquet(steady_dir)
-    from cefspark import pipeline as _pipe
-    tdf = spark.read.parquet(steady_dir)
+    steady, steady_rows = None, None
+    try:
+        steady_dir = "/tmp/cefspark_scaling/transcripts_2000000"
+        if not os.path.isdir(steady_dir):
+            from cefspark import fixtures
+            fixtures.transcripts_df(spark, 2_000_000, partitions=128).write.mode(
+                "overwrite").parquet(steady_dir)
+        from cefspark import pipeline as _pipe
+        tdf = spark.read.parquet(steady_dir)
+        # count the table actually on disk (a stale/partial dir must not
+        # inflate the metric) and divide by that, not the nominal 2M
+        steady_rows = tdf.count()
 
-    def steady_job():
-        return _pipe.sink_counts(_pipe.route(_pipe.enrich(
-            decode_dataframe(tdf), spark))).collect()
+        def steady_job():
+            return _pipe.sink_counts(_pipe.route(_pipe.enrich(
+                decode_dataframe(tdf), spark))).collect()
 
-    steady_job()  # warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        steady_job()
-        best = min(best, time.time() - t0)
-    steady = round(2_000_000 / best, 1)
+        steady_job()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            steady_job()
+            best = min(best, time.time() - t0)
+        steady = round(steady_rows / best, 1)
+    except Exception:
+        # never lose the headline results to a failed steady-state add-on
+        steady, steady_rows = None, None
 
     print(json.dumps({
         "metric": "cefspark headline suite wall time",
@@ -112,7 +119,7 @@ def main() -> None:
         "sf": sf,
         "turns_per_sec": round(n_turns / flagship, 1),
         "steady_turns_per_sec": steady,
-        "steady_rows": 2_000_000,
+        "steady_rows": steady_rows,
         "cpus": cpus,
     }))
     spark.stop()

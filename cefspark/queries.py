@@ -700,7 +700,8 @@ def q_cef_raw_lines(spark, sf_dir):
                        F.lit("|ev|5|src=10.0.0."), (F.col("event_id") % 256).cast("string"))
     rows = _events(spark, sf_dir).select("event_id", payload.alias("line")).collect()
     rows.sort(key=lambda r: r["event_id"])
-    path = f"/tmp/cefspark_rawlines_{os.path.basename(os.path.normpath(sf_dir))}.log"
+    path = (f"/tmp/cefspark_rawlines_{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{os.getpid()}.log")
     with open(path, "w", encoding="utf-8") as f:
         f.write("\r\n".join(r["line"] for r in rows))
     lines = sources.read_raw_lines(spark, path, delimiter="\\r\\n")
@@ -845,7 +846,8 @@ def q_checkpoint_resume(spark, sf_dir):
 
     from . import storage
 
-    base = f"/tmp/cefspark_resume_{os.path.basename(os.path.normpath(sf_dir))}"
+    # pid-suffixed so concurrent gate runs never race on the fixture dirs
+    base = f"/tmp/cefspark_resume_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{base}/in/batch1")
@@ -856,7 +858,9 @@ def q_checkpoint_resume(spark, sf_dir):
     t.commit(scan1.select("event_id"), inputs=storage.list_input_files(scan1))
     scan_all = spark.read.parquet(f"{base}/in/batch1", f"{base}/in/batch2")
     fresh = t.filter_new_inputs(scan_all)
-    t.commit(fresh.select("event_id"), inputs=storage.list_input_files(scan_all))
+    # per-snapshot lineage records what THIS commit actually consumed (the
+    # chain union still covers everything for resume)
+    t.commit(fresh.select("event_id"), inputs=storage.list_input_files(fresh))
 
     out = None
     sid = t.latest_snapshot_id()
@@ -926,7 +930,7 @@ def q_streaming_stateful_conv_stats(spark, sf_dir):
 
     from . import streaming
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}_{os.getpid()}"
     base = f"/tmp/cefspark_convstats_{tag}"
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     df = _with_payload(_events(spark, sf_dir), mixed_failures=True).select(
