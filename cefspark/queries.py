@@ -354,6 +354,29 @@ FROM events
 """
 
 
+def q_cef_ts_default_tz(spark, sf_dir):
+    """T3 third resolution leg: zoneless rt + no dtz -> the configured
+    default timezone applies (timestamp_normalizer.rb:30,87). Events all fall
+    in January, where America/New_York is a constant UTC-5, so the expected
+    instant is ts + 5h on both sides."""
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|rt="),
+                         F.date_format(F.col("ts"), "MMM dd yyyy HH:mm:ss")))
+    dec = decode_dataframe(df, config=DecodeConfig(
+        ecs_mode=True, default_timezone="America/New_York", now=NOW))
+    iso = ext("@timestamp")
+    return dec.select(
+        "event_id",
+        F.concat(F.substring(iso, 1, 10), F.lit(" "), F.substring(iso, 12, 8)).alias("ts_utc"))
+
+
+O_CEF_TS_DEFAULT_TZ = """
+SELECT event_id,
+       strftime(date_trunc('second', ts) + INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_utc
+FROM events
+"""
+
+
 def q_top_vendors(spark, sf_dir):
     """Sort/limit/top-k over the routed output."""
     return (_routed(spark, sf_dir)
@@ -1449,6 +1472,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_decode_custom_numbered": (q_cef_decode_custom_numbered, O_CEF_DECODE_CUSTOM_NUMBERED),
     "cef_decode_legacy_aliases": (q_cef_decode_legacy_aliases, O_CEF_DECODE_LEGACY_ALIASES),
     "cef_ts_dtz_side_channel": (q_cef_ts_dtz_side_channel, O_CEF_TS_DTZ_SIDE_CHANNEL),
+    "cef_ts_default_tz": (q_cef_ts_default_tz, O_CEF_TS_DEFAULT_TZ),
     "top_vendors": (q_top_vendors, O_TOP_VENDORS),
     "set_ops": (q_set_ops, O_SET_OPS),
     "cef_decode_failures": (q_cef_decode_failures, O_CEF_DECODE_FAILURES),
