@@ -70,6 +70,30 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out
 
 
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """(id, sh: array<string>) — the distinct shingle set per document, in one
+    aggregate. Both the MinHash signatures and the exact-Jaccard verification
+    derive from this, so a combined pipeline shuffles the shingle volume once."""
+    return (word_shingles(df, text_col, id_col, n)
+            .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
+
+
+def signatures_from_sets(sets_df: DataFrame, id_col: str = "doc_id",
+                         num_perm: int = 64) -> DataFrame:
+    """MinHash signatures computed over the per-doc shingle array with
+    higher-order functions (no extra shuffle): h_i = min over shingles of
+    xxhash64(i, shingle)."""
+    def perm(i: int):
+        # single-arg lambda is required: a two-arg lambda would be interpreted
+        # by F.transform as (element, array_index) and clobber the perm number
+        return lambda x: F.xxhash64(F.lit(i), x)
+
+    cols = [F.array_min(F.transform(F.col("sh"), perm(i))).alias(f"h{i}")
+            for i in range(num_perm)]
+    return sets_df.select(F.col(id_col), *cols)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_n: int = 3) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
@@ -130,15 +154,17 @@ def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
 
 def verify_pairs(candidates: DataFrame, df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3,
-                 threshold: float = 0.5) -> DataFrame:
+                 threshold: float = 0.5,
+                 sets_df: Optional[DataFrame] = None) -> DataFrame:
     """Exact-Jaccard scoring of specific (a, b) candidate pairs.
 
     Cost is O(candidates), not O(all pairs sharing a shingle): shingle sets
     are aggregated per doc once, then each candidate pair intersects two
-    arrays. This is the scale path behind LSH prefiltering.
+    arrays. This is the scale path behind LSH prefiltering. Pass ``sets_df``
+    (from :func:`shingle_sets`) to reuse an already-built set table.
     """
-    sets_df = (word_shingles(df, text_col, id_col, n)
-               .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
+    if sets_df is None:
+        sets_df = shingle_sets(df, text_col, id_col, n)
     a = sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     b = sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
@@ -154,11 +180,18 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.5,
                   max_bucket_size: Optional[int] = None) -> DataFrame:
     """MinHash -> LSH candidate pairs -> exact-Jaccard verification of the
-    candidates only. Returns verified near-dup pairs (a, b, jaccard)."""
+    candidates only. Returns verified near-dup pairs (a, b, jaccard).
+
+    Plan shape: ONE shuffle of the shingle volume (the per-doc set
+    aggregation); signatures derive from the set arrays with higher-order
+    functions and verification intersects the same arrays — signatures and
+    verify no longer shuffle the corpus independently."""
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    sets_df = shingle_sets(df, text_col, id_col, shingle_n)
+    sigs = signatures_from_sets(sets_df, id_col, num_perm)
     cand = lsh_candidates(sigs, id_col, bands, rows, max_bucket_size)
-    return verify_pairs(cand, df, text_col, id_col, shingle_n, threshold)
+    return verify_pairs(cand, df, text_col, id_col, shingle_n, threshold,
+                        sets_df=sets_df)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
