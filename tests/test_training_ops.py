@@ -130,3 +130,14 @@ def test_entry_contract(spark):
     o = se.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 25
+
+
+def test_signatures_from_sets_equals_agg_signatures(spark):
+    # the shared-shuffle signature path must produce bit-identical MinHash
+    # values to the independent aggregate path (same permutation hashes)
+    docs = _docs_near_dups(spark, SF)
+    via_agg = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(64))
+               for r in dedup.minhash_signatures(docs).collect()}
+    via_sets = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(64))
+                for r in dedup.signatures_from_sets(dedup.shingle_sets(docs)).collect()}
+    assert via_agg == via_sets
