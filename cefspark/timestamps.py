@@ -201,12 +201,13 @@ def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
 
 
 def _clamp_day(year: int, month: int, day: int) -> int:
-    """MonthDay#atYear clamps Feb 29 to Feb 28 in non-leap years."""
-    if month == 2 and day == 29:
-        leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
-        if not leap:
-            return 28
-    return min(day, _DAYS_IN_MONTH[month - 1])
+    """java SMART resolution clamps any day-of-month beyond the month's
+    length to its last day ('Feb 31 1989' -> Feb 28; MonthDay#atYear does the
+    same for the yearless path) — verified against java.time by
+    tools/fuzz_timestamps.py."""
+    import calendar
+
+    return min(day, calendar.monthrange(year, month)[1])
 
 
 class TimestampNormalizer:
@@ -285,14 +286,22 @@ class TimestampNormalizer:
         extra_ns = int(frac[6:9].ljust(3, "0")) if len(frac) > 6 else 0
         hh, mi, ss = int(m.group("h")), int(m.group("mi")), int(m.group("s"))
         day = int(m.group("day"))
+        # java SMART range checks: day 00, hour 24, minute/second 60 are all
+        # rejected outright (only over-length days clamp). These must become
+        # per-row parse failures, never a ValueError that kills the batch.
+        if not (1 <= day <= 31 and hh <= 23 and mi <= 59 and ss <= 59):
+            raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}` (field out of range)")
 
         if m.group("year"):
             year = int(m.group("year"))
         else:
             year = self._infer_year(mon, day, hh, mi, ss, micro, zone)
 
-        local = dt.datetime(year, mon, _clamp_day(year, mon, day), hh, mi, ss,
-                            micro, tzinfo=zone)
+        try:
+            local = dt.datetime(year, mon, _clamp_day(year, mon, day), hh, mi, ss,
+                                micro, tzinfo=zone)
+        except ValueError as e:  # belt-and-braces: never leak a batch-killer
+            raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}`") from e
         out = pd.Timestamp(local).tz_convert("UTC")
         if extra_ns:
             out = out + pd.Timedelta(extra_ns, unit="ns")

