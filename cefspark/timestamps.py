@@ -23,6 +23,7 @@ rendering preserves all 9 digits).
 
 from __future__ import annotations
 
+import calendar
 import datetime as dt
 import re
 from decimal import Decimal
@@ -65,6 +66,13 @@ _OFFSET = re.compile(
 # java ZoneId.of also accepts offset-suffixed GMT/UTC/UT spellings
 # ("GMT+05:30", "UTC+3", "UT-02:00") — common in dtz side-channel values
 _PREFIXED_OFFSET = re.compile(r"\A(?:GMT|UTC|UT)(?P<off>[+-].+)\Z")
+
+# In the in-payload `zzz` TEXT position java only parses the colon form with
+# 2-digit fields ('+05:30', '+05:30:30', 'GMT+05:30'); the short ZoneId.of
+# spellings ('+5', '+0530', 'GMT+5') are REJECTED there — java-verified by
+# tools/fuzz_timestamps.py probes.
+_OFFSET_COLON = re.compile(
+    r"\A(?P<sign>[+-])(?P<h2>\d{2}):(?P<m2>\d{2})(?::(?P<s2>\d{2}))?\Z")
 
 # Abbreviated month names per locale. The reference delegates to java.time's
 # locale data (timestamp_normalizer.rb:29-36) — its accepted set depends on
@@ -124,7 +132,10 @@ for _lang, _tbl in _MONTHS.items():
         if _name not in _tbl:
             _aliases.setdefault(_name, _i)
 
-_DAYS_IN_MONTH = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+# MonthDay.of's per-month maximum (Feb = 29): the YEARLESS path validates the
+# day against this and rejects beyond it (java MonthDay.from throws for
+# 'Feb 30'/'Apr 31'); only the explicit-year path SMART-clamps over-length days.
+_MONTH_MAX_DAY = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
 
 def _month_table(locale: Optional[str]) -> dict[str, int]:
@@ -179,14 +190,17 @@ def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
     elif name in _JAVA_REJECTED_IDS:
         raise InvalidTimestamp(f"unknown zone `{name}`")
     pref = _PREFIXED_OFFSET.match(name)
-    if pref:
-        name = pref.group("off")
-    m = _OFFSET.match(name)
-    if m:
+    off_text = pref.group("off") if pref else name
+    if off_text[:1] in "+-":
+        # text position parses only the colon form; ZoneId.of also takes the
+        # short spellings (+h / +hh / +hhmm[ss]) — both java-verified
+        m = (_OFFSET_COLON if allow_names else _OFFSET).match(off_text)
+        if m is None:
+            raise InvalidTimestamp(f"unknown zone `{name}`")
         g = m.groupdict()
-        h = int(g["h1"] or g["h2"] or g["h3"])
-        mi = int(g["m2"] or g["m3"] or 0)
-        sec = int(g["s2"] or g["s3"] or 0)
+        h = int(g.get("h1") or g.get("h2") or g.get("h3") or 0)
+        mi = int(g.get("m2") or g.get("m3") or 0)
+        sec = int(g.get("s2") or g.get("s3") or 0)
         # ZoneOffset range: strictly within +/-18:00 (cf. java.time)
         if h > 18 or mi > 59 or sec > 59 or (h == 18 and (mi or sec)):
             raise InvalidTimestamp(f"zone offset out of range `{name}`")
@@ -201,12 +215,10 @@ def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
 
 
 def _clamp_day(year: int, month: int, day: int) -> int:
-    """java SMART resolution clamps any day-of-month beyond the month's
-    length to its last day ('Feb 31 1989' -> Feb 28; MonthDay#atYear does the
-    same for the yearless path) — verified against java.time by
-    tools/fuzz_timestamps.py."""
-    import calendar
-
+    """java SMART resolution clamps a day-of-month beyond the month's length
+    in that year to its last day ('Feb 31 1989' -> Feb 28, 'Jun 31' -> Jun 30;
+    MonthDay#atYear does the same for Feb 29 on the yearless path) — verified
+    against java.time by tools/fuzz_timestamps.py."""
     return min(day, calendar.monthrange(year, month)[1])
 
 
@@ -273,11 +285,16 @@ class TimestampNormalizer:
 
         # T3 zone resolution order (timestamp_normalizer.rb:76-87); only the
         # in-payload token gets `zzz` short-name resolution — dtz and the
-        # configured default go through ZoneId.of semantics in the reference
+        # configured default go through ZoneId.of semantics in the reference.
+        # The reference resolves the dtz side channel UNCONDITIONALLY
+        # (`with_zone(ZoneId.of(context_timezone))`, timestamp_normalizer.rb:78)
+        # so an invalid dtz fails the event even when the timestamp carries
+        # its own zone — java-verified by tools/fuzz_timestamps.py.
+        dtz_zone = _zone_of(device_timezone) if device_timezone else None
         if m.group("zone"):
             zone = _zone_of(m.group("zone"), allow_names=True)
-        elif device_timezone:
-            zone = _zone_of(device_timezone)
+        elif dtz_zone is not None:
+            zone = dtz_zone
         else:
             zone = self._default_zone
 
@@ -286,21 +303,38 @@ class TimestampNormalizer:
         extra_ns = int(frac[6:9].ljust(3, "0")) if len(frac) > 6 else 0
         hh, mi, ss = int(m.group("h")), int(m.group("mi")), int(m.group("s"))
         day = int(m.group("day"))
-        # java SMART range checks: day 00, hour 24, minute/second 60 are all
-        # rejected outright (only over-length days clamp). These must become
-        # per-row parse failures, never a ValueError that kills the batch.
-        if not (1 <= day <= 31 and hh <= 23 and mi <= 59 and ss <= 59):
+        # java SMART range semantics (verified against java.time by
+        # tools/fuzz_timestamps.py): day 00 and minute/second 60 reject;
+        # '24:00:00' EXACTLY (zero min/sec, no fraction) is end-of-day
+        # midnight; any other hour-24 combination rejects. All of these must
+        # be per-row parse failures, never a ValueError that kills the batch.
+        is_2400 = hh == 24 and mi == 0 and ss == 0 and not frac
+        if not (1 <= day <= 31 and (hh <= 23 or is_2400) and mi <= 59 and ss <= 59):
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}` (field out of range)")
+        if is_2400:
+            hh = 0
 
         if m.group("year"):
             year = int(m.group("year"))
         else:
+            # yearless: MonthDay.of validates the day against the month's max
+            # length BEFORE atYear can clamp ('Feb 30'/'Apr 31' reject; Feb 29
+            # is valid and clamps in non-leap inferred years)
+            if day > _MONTH_MAX_DAY[mon - 1]:
+                raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}` (day out of range)")
             year = self._infer_year(mon, day, hh, mi, ss, micro, zone)
 
         try:
-            local = dt.datetime(year, mon, _clamp_day(year, mon, day), hh, mi, ss,
+            date = dt.date(year, mon, _clamp_day(year, mon, day))
+            if is_2400 and m.group("year"):
+                # ZonedDateTime.from carries the resolver's excess day: with a
+                # year, 24:00 is NEXT-day midnight; on the yearless path the
+                # MonthDay/LocalTime resolver DROPS the excess day (same-day
+                # midnight) — both behaviors java-verified
+                date = date + dt.timedelta(days=1)
+            local = dt.datetime(date.year, date.month, date.day, hh, mi, ss,
                                 micro, tzinfo=zone)
-        except ValueError as e:  # belt-and-braces: never leak a batch-killer
+        except (ValueError, OverflowError) as e:  # never leak a batch-killer
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}`") from e
         out = pd.Timestamp(local).tz_convert("UTC")
         if extra_ns:

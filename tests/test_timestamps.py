@@ -187,9 +187,14 @@ def test_invalid_offsets_fail_per_row_not_crash(bad):
 
 
 def test_offset_18_exact_is_valid():
+    # java-verified: the in-payload text position takes only the colon form
+    # (+18 rejects there), while ZoneId.of accepts the short spelling via dtz
     n = TimestampNormalizer()
-    got = n.normalize("Sep 07 2018 18:00:00 +18")
+    got = n.normalize("Sep 07 2018 18:00:00 +18:00")
     assert got == pd.Timestamp("2018-09-07T00:00:00Z")
+    assert n.normalize("Sep 07 2018 18:00:00", "+18") == pd.Timestamp("2018-09-07T00:00:00Z")
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Sep 07 2018 18:00:00 +18")  # short form invalid in text position
 
 
 def test_zone_abbreviations_resolve_like_java_zzz():
@@ -273,14 +278,33 @@ def test_smart_day_clamping_matches_java(value, expect_prefix):
 
 
 @pytest.mark.parametrize("value", [
-    "Mar 00 2020 12:00:00",   # day 0: java SMART rejects
-    "Mar 10 2020 24:00:00",   # hour 24
-    "Mar 10 2020 12:60:00",   # minute 60
-    "Mar 10 2020 12:00:60",   # second 60
+    "Mar 00 2020 12:00:00",     # day 0: java SMART rejects
+    "Mar 10 2020 24:00:01",     # hour 24 only valid as exactly 24:00:00
+    "Mar 10 2020 24:30:00",
+    "Mar 10 2020 24:00:00.500",
+    "Mar 10 2020 12:60:00",     # minute 60
+    "Mar 10 2020 12:00:60",     # second 60
+    "Apr 31 01:02:03",          # yearless over-length day: MonthDay rejects
+    "Feb 30 01:02:03",
 ])
 def test_out_of_range_fields_fail_per_row_not_valueerror(value):
     # these must surface as InvalidTimestamp (a per-row parse failure), never
-    # a ValueError that would kill the whole Arrow batch
+    # a ValueError that would kill the whole Arrow batch — all java-verified
     n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
     with pytest.raises(InvalidTimestamp):
         n.normalize(value)
+
+
+def test_hour_24_exact_is_end_of_day_midnight():
+    # java-verified: with a year the resolver carries the excess day (next-day
+    # midnight); on the yearless path the excess day is dropped
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    assert n.normalize_iso("Mar 10 2020 24:00:00") == "2020-03-11T00:00:00.000000000Z"
+    assert n.normalize_iso("Mar 10 24:00:00") == "2026-03-10T00:00:00.000000000Z"
+
+
+def test_yearless_feb29_clamps_but_feb30_rejects():
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    assert n.normalize_iso("Feb 29 01:02:03").startswith("2026-02-28T01:02:03")
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Feb 30 01:02:03")

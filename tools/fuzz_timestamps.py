@@ -32,9 +32,9 @@ MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct",
 ZONES = ["", "UTC", "Z", "GMT", "+05:30", "-08:00", "+0530", "+5", "-18:00",
          "America/New_York", "Europe/Moscow", "Asia/Tokyo", "PST", "PDT",
          "EST", "CET", "EET", "BST", "AEST", "GMT+05:30", "UTC+3", "+300",
-         "+25", "Mars/Olympus"]
+         "+25", "Mars/Olympus", "+05:30:30", "GMT+5", "+5:30", "UT-02:00"]
 DTZS = ["", "America/New_York", "Europe/Paris", "Asia/Kolkata", "CET", "EET",
-        "EST", "PST", "+02:00", "GMT-07:00", "nonsense/zone"]
+        "EST", "PST", "+02:00", "+0530", "+5", "GMT-07:00", "nonsense/zone"]
 LOCALES = ["", "en", "de", "fr", "fi", "tr"]
 
 
@@ -68,23 +68,23 @@ def ours(locale: str, tz: str, dtz: str, value: str) -> str:
         n = TimestampNormalizer(locale=locale or None, timezone=tz or None, now=NOW)
         t = n.normalize(value, dtz or None)
         ns = t.microsecond * 1000 + t.nanosecond
-        epoch = int(t.timestamp())
-        if ns and t.timestamp() < 0:  # align floor semantics for pre-epoch
-            epoch = (t.value - ns) // 1_000_000_000
         return f"{(t.value - ns) // 1_000_000_000}.{ns:09d}"
     except (InvalidTimestamp, ValueError, OverflowError) as e:
         return f"REJECT ({type(e).__name__})"
 
 
-LENIENT_MONTH = {m.lower() for m in
-                 ("jan feb mar apr may jun jul aug sep oct nov dec mär mrz märz").split()}
-
-
 def is_documented_leniency(locale: str, value: str) -> bool:
+    """True only when OUR acceptance came from the documented month leniency:
+    the month token is NOT an exact CLDR primary form for the locale (so it
+    matched via a COMPAT alias or the case-insensitive fallback). A month in
+    the primary table that java still rejected means the divergence is
+    elsewhere -> hard failure."""
+    from cefspark.timestamps import _MONTHS
+
     mon = value.split(" ", 1)[0]
-    # case-insensitive month match or COMPAT-provider alias acceptance
-    return mon.lower() in LENIENT_MONTH or mon.lower().rstrip(".") in LENIENT_MONTH \
-        or (locale or "en") != "en"
+    lang = (locale or "en").replace("-", "_").split("_")[0].lower()
+    primary = _MONTHS.get(lang, _MONTHS["en"])
+    return mon not in primary
 
 
 def main() -> int:
