@@ -26,6 +26,7 @@ from __future__ import annotations
 import calendar
 import datetime as dt
 import re
+from functools import lru_cache
 from decimal import Decimal
 from typing import Optional, Union
 from zoneinfo import ZoneInfo
@@ -178,11 +179,16 @@ _ZONE_ABBREVIATIONS: dict[str, str] = {
 _JAVA_REJECTED_IDS = frozenset(_ZONE_ABBREVIATIONS) - {"CET", "EET"}
 
 
+@lru_cache(maxsize=512)
 def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
     """Resolve a zone string. ``allow_names=True`` is the in-payload `zzz`
     path (CLDR short-name table active); False mirrors java ZoneId.of (region
     IDs, offsets, and prefixed-offset spellings only) for the dtz side-channel
-    and the configured default timezone."""
+    and the configured default timezone.
+
+    lru_cached: the decode hot path resolves the dtz side channel per row
+    (parity requires eager validation even when the payload self-zones), and
+    real batches carry a handful of distinct zone strings."""
     if allow_names:
         abbrev = _ZONE_ABBREVIATIONS.get(name)
         if abbrev is not None:
@@ -308,7 +314,9 @@ class TimestampNormalizer:
         # '24:00:00' EXACTLY (zero min/sec, no fraction) is end-of-day
         # midnight; any other hour-24 combination rejects. All of these must
         # be per-row parse failures, never a ValueError that kills the batch.
-        is_2400 = hh == 24 and mi == 0 and ss == 0 and not frac
+        # java checks the fraction's VALUE, not its absence: '24:00:00.000'
+        # is still end-of-day midnight
+        is_2400 = hh == 24 and mi == 0 and ss == 0 and int(frac or 0) == 0
         if not (1 <= day <= 31 and (hh <= 23 or is_2400) and mi <= 59 and ss <= 59):
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}` (field out of range)")
         if is_2400:
@@ -334,12 +342,17 @@ class TimestampNormalizer:
                 date = date + dt.timedelta(days=1)
             local = dt.datetime(date.year, date.month, date.day, hh, mi, ss,
                                 micro, tzinfo=zone)
-        except (ValueError, OverflowError) as e:  # never leak a batch-killer
+            out = pd.Timestamp(local).tz_convert("UTC")
+            if extra_ns:
+                out = out + pd.Timedelta(extra_ns, unit="ns")
+            return out
+        except (ValueError, OverflowError, pd.errors.OutOfBoundsDatetime) as e:
+            # never leak a batch-killer. Documented representational
+            # divergences from java land here too: Python caps years at 9999
+            # (java's 'Dec 31 9999 24:00' rolls to year 10000), and pandas'
+            # nanosecond Timestamp range [1677, 2262] cannot hold a 9-digit
+            # fraction on far-out dates java can represent.
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}`") from e
-        out = pd.Timestamp(local).tz_convert("UTC")
-        if extra_ns:
-            out = out + pd.Timedelta(extra_ns, unit="ns")
-        return out
 
     def _infer_year(self, mon: int, day: int, hh: int, mi: int, ss: int,
                     micro: int, zone: dt.tzinfo) -> int:

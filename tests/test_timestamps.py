@@ -308,3 +308,21 @@ def test_yearless_feb29_clamps_but_feb30_rejects():
     assert n.normalize_iso("Feb 29 01:02:03").startswith("2026-02-28T01:02:03")
     with pytest.raises(InvalidTimestamp):
         n.normalize("Feb 30 01:02:03")
+
+
+def test_hour_24_with_zero_fraction_is_valid():
+    # java checks the fraction's value, not its absence (java-verified)
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    assert n.normalize_iso("Mar 10 2020 24:00:00.000") == "2020-03-11T00:00:00.000000000Z"
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Mar 10 2020 24:00:00.001")
+
+
+def test_out_of_representable_range_fails_per_row():
+    # Python/pandas representational ceilings surface as parse failures,
+    # never as batch-killing OutOfBoundsDatetime/OverflowError
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Mar 10 2500 12:00:00.123456789")  # ns range ends 2262
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("Dec 31 9999 24:00:00")  # year-10000 rollover

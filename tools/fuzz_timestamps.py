@@ -77,18 +77,36 @@ def ours(locale: str, tz: str, dtz: str, value: str) -> str:
         return f"REJECT ({type(e).__name__})"
 
 
-def is_documented_leniency(locale: str, value: str) -> bool:
-    """True only when OUR acceptance came from the documented month leniency:
-    the month token is NOT an exact CLDR primary form for the locale (so it
-    matched via a COMPAT alias or the case-insensitive fallback). A month in
-    the primary table that java still rejected means the divergence is
-    elsewhere -> hard failure."""
+def _primary_table(locale: str) -> dict:
     from cefspark.timestamps import _MONTHS
 
-    mon = value.split(" ", 1)[0]
     lang = (locale or "en").replace("-", "_").split("_")[0].lower()
-    primary = _MONTHS.get(lang, _MONTHS["en"])
-    return mon not in primary
+    return _MONTHS.get(lang, _MONTHS["en"])
+
+
+def is_month_leniency_candidate(locale: str, value: str) -> bool:
+    """The month token is NOT an exact CLDR primary form for the locale, so
+    our acceptance came via a COMPAT alias or the case-insensitive fallback
+    (the documented leniency class). Candidates still get a second java pass
+    with the month canonicalized — a co-occurring non-month divergence must
+    not hide behind the month."""
+    return value.split(" ", 1)[0] not in _primary_table(locale)
+
+
+def canonicalize_month(locale: str, value: str) -> str | None:
+    """Rewrite the month token to the locale's CLDR primary form (via our
+    merged accept-table), so java can parse the rest of the value."""
+    from cefspark.timestamps import _month_table
+
+    mon, rest = value.split(" ", 1)
+    idx = _month_table(locale or None).get(mon)
+    if idx is None:
+        lowered = {k.lower(): v for k, v in _month_table(locale or None).items()}
+        idx = lowered.get(mon.lower())
+    if idx is None:
+        return None
+    primary = [m for m, i in _primary_table(locale).items() if i == idx][0]
+    return f"{primary} {rest}"
 
 
 def main() -> int:
@@ -96,21 +114,26 @@ def main() -> int:
     rng = random.Random(20260816)
     cases = [gen_case(rng) for _ in range(n)]
 
-    proc = subprocess.run(
-        ["java", "-cp", "/tmp/tsoracle", "TsOracle"],
-        input="\n".join("\t".join(c) for c in cases) + "\n",
-        capture_output=True, text=True, timeout=600)
-    java_out = proc.stdout.splitlines()
-    assert len(java_out) == n, (len(java_out), proc.stderr[-500:])
+    def run_java(batch: list[tuple[str, str, str, str]]) -> list[str]:
+        proc = subprocess.run(
+            ["java", "-cp", "/tmp/tsoracle", "TsOracle"],
+            input="\n".join("\t".join(c) for c in batch) + "\n",
+            capture_output=True, text=True, timeout=600)
+        out = proc.stdout.splitlines()
+        assert len(out) == len(batch), (len(out), proc.stderr[-500:])
+        return out
 
-    hard, lenient, both_reject, agree = 0, 0, 0, 0
+    java_out = run_java(cases)
+
+    hard, both_reject, agree = 0, 0, 0
+    suspects: list[tuple[tuple, str]] = []  # month-leniency cases to re-check
     for case, jv in zip(cases, java_out):
         ov = ours(*case)
         if jv == "REJECT" and ov.startswith("REJECT"):
             both_reject += 1
         elif jv == "REJECT":
-            if is_documented_leniency(case[0], case[3]):
-                lenient += 1
+            if is_month_leniency_candidate(case[0], case[3]):
+                suspects.append((case, ov))
             else:
                 hard += 1
                 print(f"HARD we-accept-java-rejects {case} -> {ov}")
@@ -124,6 +147,26 @@ def main() -> int:
             agree += 1
         if hard > 10:
             break
+
+    # Second pass: a month-leniency acceptance is only OK if java agrees with
+    # our instant once the month is canonicalized — otherwise some OTHER field
+    # diverged and the month was masking it.
+    lenient = 0
+    canon_cases = []
+    for (case, ov) in suspects:
+        canon = canonicalize_month(case[0], case[3])
+        canon_cases.append(((case, ov), (case[0], case[1], case[2], canon) if canon else None))
+    to_run = [c for _, c in canon_cases if c is not None]
+    canon_out = iter(run_java(to_run)) if to_run else iter(())
+    for (case, ov), canon_case in canon_cases:
+        jv2 = next(canon_out) if canon_case is not None else "REJECT"
+        if canon_case is not None and jv2 == ov:
+            lenient += 1
+        else:
+            hard += 1
+            print(f"HARD masked-by-month-leniency {case} -> ours {ov}, "
+                  f"java(canonical month) {jv2}")
+
     print(f"SUMMARY n={n} agree={agree} both_reject={both_reject} "
           f"documented_leniency={lenient} hard_failures={hard}")
     return 1 if hard else 0
