@@ -139,6 +139,16 @@ for _lang, _tbl in _MONTHS.items():
 _MONTH_MAX_DAY = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
 
+def resolve_month(table: dict[str, int], token: str) -> Optional[int]:
+    """Month-resolution order shared by the parser and the parity-fuzz
+    canonicalizer (tools/fuzz_timestamps.py): exact merged-table form first,
+    then the documented case-insensitive fallback."""
+    idx = table.get(token)
+    if idx is None:
+        idx = {k.lower(): v for k, v in table.items()}.get(token.lower())
+    return idx
+
+
 def _month_table(locale: Optional[str]) -> dict[str, int]:
     if not locale:
         return _MONTHS["en"]
@@ -179,16 +189,32 @@ _ZONE_ABBREVIATIONS: dict[str, str] = {
 _JAVA_REJECTED_IDS = frozenset(_ZONE_ABBREVIATIONS) - {"CET", "EET"}
 
 
-@lru_cache(maxsize=512)
 def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
     """Resolve a zone string. ``allow_names=True`` is the in-payload `zzz`
     path (CLDR short-name table active); False mirrors java ZoneId.of (region
     IDs, offsets, and prefixed-offset spellings only) for the dtz side-channel
     and the configured default timezone.
 
-    lru_cached: the decode hot path resolves the dtz side channel per row
-    (parity requires eager validation even when the payload self-zones), and
-    real batches carry a handful of distinct zone strings."""
+    Cached (success AND failure): the decode hot path resolves the dtz side
+    channel per row (parity requires eager validation even when the payload
+    self-zones) and real batches carry a handful of distinct zone strings —
+    including invalid ones, whose ZoneInfo lookup probes the filesystem, so
+    failures must hit the cache too (lru_cache alone never caches raises)."""
+    res = _zone_of_cached(name, allow_names)
+    if isinstance(res, str):
+        raise InvalidTimestamp(res)
+    return res
+
+
+@lru_cache(maxsize=512)
+def _zone_of_cached(name: str, allow_names: bool):
+    try:
+        return _zone_of_impl(name, allow_names)
+    except InvalidTimestamp as e:
+        return str(e)
+
+
+def _zone_of_impl(name: str, allow_names: bool) -> dt.tzinfo:
     if allow_names:
         abbrev = _ZONE_ABBREVIATIONS.get(name)
         if abbrev is not None:
@@ -274,18 +300,21 @@ class TimestampNormalizer:
 
     def _from_epoch_millis(self, millis: Decimal) -> pd.Timestamp:
         ns = int(millis * 1_000_000)
-        return pd.Timestamp(ns, unit="ns", tz="UTC")
+        try:
+            return pd.Timestamp(ns, unit="ns", tz="UTC")
+        except (ValueError, OverflowError, pd.errors.OutOfBoundsDatetime) as e:
+            # pandas ns range is [1677, 2262]: a device emitting epoch MICROs
+            # instead of millis (or any far-out millis value java's unbounded
+            # Time.at would take) must fail the ROW, never the batch
+            raise InvalidTimestamp(f"epoch-millis out of representable range: `{millis}`") from e
 
     def _parse_cef_format(self, value: str, device_timezone: Optional[str]) -> pd.Timestamp:
         m = _CEF_TS.match(value)
         if m is None:
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}`")
-        mon = self._months.get(m.group("mon"))
-        if mon is None:
-            # case-insensitive fallback (java.time SMART resolution is
-            # case-sensitive, but real-world CEF producers vary)
-            lowered = {k.lower(): v for k, v in self._months.items()}
-            mon = lowered.get(m.group("mon").lower())
+        # exact form first, then the case-insensitive fallback (java.time
+        # SMART resolution is case-sensitive, but real CEF producers vary)
+        mon = resolve_month(self._months, m.group("mon"))
         if mon is None:
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}` (bad month)")
 
@@ -349,9 +378,9 @@ class TimestampNormalizer:
         except (ValueError, OverflowError, pd.errors.OutOfBoundsDatetime) as e:
             # never leak a batch-killer. Documented representational
             # divergences from java land here too: Python caps years at 9999
-            # (java's 'Dec 31 9999 24:00' rolls to year 10000), and pandas'
-            # nanosecond Timestamp range [1677, 2262] cannot hold a 9-digit
-            # fraction on far-out dates java can represent.
+            # (java's 'Dec 31 9999 24:00' rolls to year 10000), and EVERY date
+            # outside pandas' nanosecond Timestamp range [1677, 2262] rejects
+            # (with or without a fraction) where java would parse it.
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}`") from e
 
     def _infer_year(self, mon: int, day: int, hh: int, mi: int, ss: int,

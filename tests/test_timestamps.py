@@ -326,3 +326,13 @@ def test_out_of_representable_range_fails_per_row():
         n.normalize("Mar 10 2500 12:00:00.123456789")  # ns range ends 2262
     with pytest.raises(InvalidTimestamp):
         n.normalize("Dec 31 9999 24:00:00")  # year-10000 rollover
+
+
+def test_epoch_millis_out_of_range_fails_per_row():
+    # micro/nano-confused producers (epoch micros in rt=) must fail the row
+    # as InvalidTimestamp, never escape as OutOfBoundsDatetime
+    n = TimestampNormalizer(now="2026-08-16T00:00:00Z")
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("1755302400000000")  # epoch MICROseconds -> year ~57588
+    with pytest.raises(InvalidTimestamp):
+        n.normalize("99999999999999999999")

@@ -73,8 +73,13 @@ def ours(locale: str, tz: str, dtz: str, value: str) -> str:
         t = n.normalize(value, dtz or None)
         ns = t.microsecond * 1000 + t.nanosecond
         return f"{(t.value - ns) // 1_000_000_000}.{ns:09d}"
-    except (InvalidTimestamp, ValueError, OverflowError) as e:
+    except InvalidTimestamp as e:
         return f"REJECT ({type(e).__name__})"
+    except Exception as e:  # noqa: BLE001 — anything else is a batch-killer
+        # ONLY InvalidTimestamp is a legitimate per-row failure; any other
+        # exception would kill a whole Arrow batch in the decode UDF and must
+        # surface as a hard failure, never as a REJECT
+        return f"CRASH ({type(e).__name__}: {e})"
 
 
 def _primary_table(locale: str) -> dict:
@@ -94,15 +99,12 @@ def is_month_leniency_candidate(locale: str, value: str) -> bool:
 
 
 def canonicalize_month(locale: str, value: str) -> str | None:
-    """Rewrite the month token to the locale's CLDR primary form (via our
-    merged accept-table), so java can parse the rest of the value."""
-    from cefspark.timestamps import _month_table
+    """Rewrite the month token to the locale's CLDR primary form (via the
+    SAME resolution helper the parser uses), so java can parse the rest."""
+    from cefspark.timestamps import _month_table, resolve_month
 
     mon, rest = value.split(" ", 1)
-    idx = _month_table(locale or None).get(mon)
-    if idx is None:
-        lowered = {k.lower(): v for k, v in _month_table(locale or None).items()}
-        idx = lowered.get(mon.lower())
+    idx = resolve_month(_month_table(locale or None), mon)
     if idx is None:
         return None
     primary = [m for m, i in _primary_table(locale).items() if i == idx][0]
@@ -125,11 +127,44 @@ def main() -> int:
 
     java_out = run_java(cases)
 
-    hard, both_reject, agree = 0, 0, 0
+    # T1 epoch-millis path (the java oracle mirrors only the formatter path,
+    # so the harness computes the spec's expectation directly: millis since
+    # epoch, decimal part = sub-milli down to ns; out of pandas ns range =>
+    # per-row reject, never a crash)
+    from decimal import Decimal
+    t1_hard = 0
+    for _ in range(max(200, n // 20)):
+        ms = rng.choice([
+            rng.randint(10**11, 2 * 10**12),          # plausible modern millis
+            rng.randint(10**15, 10**19),              # micro/nano confusion
+            Decimal(rng.randint(10**11, 2 * 10**12)) + Decimal(rng.randint(0, 10**6)) / 10**6,
+        ])
+        ov = ours("", "", "", str(ms))
+        ns_total = int(Decimal(str(ms)) * 1_000_000)
+        in_range = pd.Timestamp.min.value <= ns_total <= pd.Timestamp.max.value
+        if ov.startswith("CRASH"):
+            t1_hard += 1
+            print(f"HARD t1-batch-killer {ms} -> {ov}")
+        elif ov.startswith("REJECT"):
+            if in_range:
+                t1_hard += 1
+                print(f"HARD t1-false-reject {ms} -> {ov}")
+        else:
+            sec, frac = ov.split(".")
+            if int(sec) * 10**9 + int(frac) != ns_total:
+                t1_hard += 1
+                print(f"HARD t1-value {ms} -> {ov} != {ns_total}")
+        if t1_hard > 5:
+            break
+
+    hard, both_reject, agree = t1_hard, 0, 0
     suspects: list[tuple[tuple, str]] = []  # month-leniency cases to re-check
     for case, jv in zip(cases, java_out):
         ov = ours(*case)
-        if jv == "REJECT" and ov.startswith("REJECT"):
+        if ov.startswith("CRASH"):
+            hard += 1
+            print(f"HARD batch-killer-exception {case} -> {ov}")
+        elif jv == "REJECT" and ov.startswith("REJECT"):
             both_reject += 1
         elif jv == "REJECT":
             if is_month_leniency_candidate(case[0], case[3]):
