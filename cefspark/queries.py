@@ -1093,25 +1093,28 @@ def q_user_sessions(spark, sf_dir):
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = pdf["ts"].sort_values()
-        # avg in integer 1e-4 units (half-up floor): float means are summation-
-        # order-dependent at the ~1e-12 level, so a raw double would hash-
-        # mismatch a DuckDB oracle even when both render identically at 4dp.
-        mean = float(pdf["value"].mean())
+        # Per-row quantization to integer 1e-4 units, THEN an integer sum:
+        # each floor(v*1e4+0.5) is a pure function of one float64 cell, so the
+        # group total is shuffle-order-independent on both engines. (A floored
+        # float *mean* is not — its summation order varies run to run, which
+        # made this gate flip at ULP-adjacent boundaries. avg = sum/n_events
+        # stays derivable downstream.)
+        e4 = [int(math.floor(v * 10000 + 0.5)) for v in pdf["value"].astype("float64")]
         return pd.DataFrame({
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [len(pdf)],
             "span_seconds": [int((ts.iloc[-1] - ts.iloc[0]).total_seconds())],
-            "avg_value_e4": [int(math.floor(mean * 10000 + 0.5))],
+            "sum_value_e4": [sum(e4)],
         })
 
     return (_events(spark, sf_dir).groupBy("user_id")
-            .applyInPandas(stats, "user_id long, n_events long, span_seconds long, avg_value_e4 long"))
+            .applyInPandas(stats, "user_id long, n_events long, span_seconds long, sum_value_e4 long"))
 
 
 O_USER_SESSIONS = """
 SELECT user_id, COUNT(*) AS n_events,
        CAST(FLOOR(date_part('epoch', MAX(ts) - MIN(ts))) AS BIGINT) AS span_seconds,
-       CAST(FLOOR(AVG(value) * 10000 + 0.5) AS BIGINT) AS avg_value_e4
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM events GROUP BY user_id
 """
 
