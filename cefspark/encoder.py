@@ -104,17 +104,31 @@ def _sprintf(template: str, event: dict) -> str:
     return _SPRINTF.sub(repl, template)
 
 
+def _json_default(val: Any) -> Any:
+    """json.dumps fallback for non-JSON elements inside complex cells.
+    numpy scalars stay numbers and nested ndarrays stay arrays (the reference
+    to_json at cef.rb:625-632 keeps numbers and nesting); only genuinely
+    non-numeric objects (timestamps etc.) fall back to string rendering."""
+    if isinstance(val, np.generic):
+        return val.item()
+    if isinstance(val, np.ndarray):
+        return val.tolist()
+    return _stringify(val)
+
+
 def _stringify(val: Any) -> str:
     """Encode complex values (cef.rb:625-632): list/dict -> JSON, timestamps
     -> ISO8601, everything else str()."""
+    if isinstance(val, np.generic):
+        val = val.item()
     if isinstance(val, np.ndarray):
-        # ArrayType cells cross the Arrow boundary as numpy arrays
+        # ArrayType cells cross the Arrow boundary as numpy arrays; ragged
+        # array<array<T>> cells arrive as 1-D object ndarrays whose elements
+        # are ndarrays — _json_default keeps the inner levels as arrays
         val = val.tolist()
     if isinstance(val, (list, tuple, dict)):
-        # default=_stringify: non-JSON elements (timestamps inside an
-        # array<timestamp> cell) render through the same rules as scalars
         return json.dumps(val, separators=(",", ":"), ensure_ascii=False,
-                          default=_stringify)
+                          default=_json_default)
     if val is pd.NaT:
         # NaT slips through scalar null filters (it is datetime-typed, and
         # pd.Timestamp(NaT) is NaT again — unguarded, _stringify would recurse

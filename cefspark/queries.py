@@ -399,15 +399,29 @@ def q_set_ops(spark, sf_dir):
     The decoded frame feeds both legs of the exceptAll, so it is persisted —
     without it the two subtrees would each re-run the Arrow decode over the
     full input (2x decode cost at scale). The UDF transfer AND the cached
-    relation are both slimmed to the three columns the query reads (the cache
-    stays resident until the session clears it; keep it narrow)."""
+    relation are both slimmed to the three columns the query reads; the cache
+    is dropped once the result is materialized (localCheckpoint cuts the
+    lineage so the returned plan no longer references the cached relation —
+    repeated gate/bench invocations don't accumulate session-lifetime caches)."""
+    lazy, ev = _set_ops_lazy(spark, sf_dir)
+    # eager localCheckpoint materializes through the cache, then the decode
+    # cache can drop immediately; the checkpointed result (event_ids only,
+    # tiny) is GC-reclaimed with the returned DataFrame, unlike a SQL cache
+    out = lazy.localCheckpoint(eager=True)
+    ev.unpersist()
+    return out
+
+
+def _set_ops_lazy(spark, sf_dir):
+    """The un-materialized set_ops plan + its persisted decode relation
+    (separate so tests can pin the single-decode plan shape)."""
     ev = (decode_dataframe(
         _with_payload(_events(spark, sf_dir)),
         columns=["severity", "deviceEventClassId"])
         .select("event_id", "severity", "deviceEventClassId").persist())
     high = ev.where(F.col("severity").cast("int") >= 7).select("event_id")
     errors = ev.where(F.col("deviceEventClassId").cast("int") % 2 == 0).select("event_id")
-    return high.exceptAll(errors)
+    return high.exceptAll(errors), ev
 
 
 O_SET_OPS = """
@@ -713,20 +727,20 @@ FROM events
 # ==============================================================================
 
 def q_cef_raw_lines(spark, sf_dir):
-    """D1 delimiter framing: a raw byte-stream file (events joined with \\r\\n)
-    framed by read_raw_lines' lineSep scan, then engine-decoded. The temp file
-    is fixture materialization (driver-side, deterministic order); the framing
-    + decode under test run distributed."""
+    """D1 delimiter framing: a raw byte-stream file (events separated by
+    \\r\\n) framed by read_raw_lines' lineSep scan, then engine-decoded. The
+    fixture is written DISTRIBUTED (single-task text write with the delimiter
+    as lineSep — no driver collect, so the gate itself scales); the framing +
+    decode under test run distributed too."""
     import os
 
     payload = F.concat(F.lit("CEF:0|v|p|1.0|"), F.col("event_id").cast("string"),
                        F.lit("|ev|5|src=10.0.0."), (F.col("event_id") % 256).cast("string"))
-    rows = _events(spark, sf_dir).select("event_id", payload.alias("line")).collect()
-    rows.sort(key=lambda r: r["event_id"])
     path = (f"/tmp/cefspark_rawlines_{os.path.basename(os.path.normpath(sf_dir))}"
-            f"_{os.getpid()}.log")
-    with open(path, "w", encoding="utf-8") as f:
-        f.write("\r\n".join(r["line"] for r in rows))
+            f"_{os.getpid()}")
+    (_events(spark, sf_dir).select(payload.alias("line"))
+     .coalesce(1)  # one part-file = one unframed byte stream, like a real log
+     .write.mode("overwrite").option("lineSep", "\r\n").text(path))
     lines = sources.read_raw_lines(spark, path, delimiter="\\r\\n")
     dec = decode_dataframe(lines)
     return dec.select(F.col("deviceEventClassId").cast("long").alias("event_id"),
@@ -1407,13 +1421,47 @@ FROM d ORDER BY cos DESC, vec_id LIMIT 5
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Multi-probe LSH ANN top-5. With 6 hyperplanes and probe radius 2 the
-    scanned buckets cover the exact top-5 on this fixture (recall = 1), so the
-    ANN result — exact cosines over the probed subset — must equal the
-    brute-force oracle row-for-row. Sub-1 recall configs are pytest-covered."""
-    q = _query_vec(spark, sf_dir)
-    return similarity.lsh_bucketed_topk(_embeddings(spark, sf_dir), q, k=5,
-                                        n_planes=6, multiprobe=2)
+    """Multi-probe LSH ANN top-5 under the engine-exact bucket contract:
+    Rademacher hyperplanes from an integer mix + integer-quantized
+    projections make the probed bucket set bit-for-bit reproducible in SQL,
+    so the oracle states the *actual* ANN contract — exact top-5 over the
+    probed buckets — and the gate holds at every scale by construction
+    (no fixture-tuned recall assumption)."""
+    return similarity.lsh_probed_topk(_embeddings(spark, sf_dir), query_id=0,
+                                      k=5, n_planes=6, multiprobe=2)
+
+
+# the probed-subset mirror of lsh_probed_topk: same quantization (floor 1e-6
+# units), same multiplicative-mix +/-1 weights (HUGEINT intermediates — the
+# 32-bit mix product overflows BIGINT), same bucket bits and Hamming probe.
+O_ANN_LSH_PROBED = """
+WITH iv AS (
+  SELECT vec_id, g.i AS d,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, 64) g(i)),
+w AS (
+  SELECT j, d,
+         CASE WHEN ((CAST((j*2654435761 + d*40503) % 4294967296 AS HUGEINT) * 2246822519)
+                    % 4294967296) // 2147483648 = 0 THEN 1 ELSE -1 END AS wt
+  FROM generate_series(0, 5) t(j), generate_series(1, 64) s(d)),
+proj AS (SELECT iv.vec_id, w.j, SUM(iv.x * w.wt) AS p
+         FROM iv JOIN w ON w.d = iv.d GROUP BY 1, 2),
+bucket AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS b
+           FROM proj GROUP BY 1),
+qb AS (SELECT b AS qbucket FROM bucket WHERE vec_id = 0),
+probed AS (SELECT bucket.vec_id FROM bucket, qb WHERE bit_count(xor(b, qbucket)) <= 2),
+d AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dp,
+         SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+         SQRT(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS nq
+  FROM embeddings e JOIN probed USING (vec_id),
+       (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
+       generate_series(1, 64) g(i)
+  GROUP BY e.vec_id)
+SELECT vec_id, ROUND(dp / (na * nq), 6) AS cos
+FROM d ORDER BY cos DESC, vec_id LIMIT 5
+"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1458,60 +1506,157 @@ SELECT a, b, ROUND(dp / (na * nb), 6) AS cos FROM d WHERE ROUND(dp / (na * nb), 
 
 
 # ==============================================================================
+# merged variant gates
+#
+# The driver's correctness gate caps at 50 queries; single-fixture decode /
+# encode variants are unioned into variant-tagged gates (event_id, variant,
+# gate_payload) so every operator family keeps a driver-green row. The
+# underlying per-variant queries stay above as building blocks (pytest uses
+# them individually); gate_payload is the variant's non-key columns joined
+# with chr(31) — concat_ws skips NULLs identically in Spark and DuckDB.
+# ==============================================================================
+
+_US = "\x1f"  # unit separator: never occurs in any fixture payload
+
+
+def _tag_variant(df: DataFrame, name: str) -> DataFrame:
+    cols = [c for c in df.columns if c != "event_id"]
+    payload = F.concat_ws(_US, *[F.col(c).cast("string") for c in cols])
+    return df.select("event_id", F.lit(name).alias("variant"),
+                     payload.alias("gate_payload"))
+
+
+def _wrap_oracle(name: str, sql: str, cols: list[str]) -> str:
+    inner = ", ".join(cols)
+    return (f"SELECT event_id, '{name}' AS variant, "
+            f"concat_ws(chr(31), {inner}) AS gate_payload FROM ({sql}) _{name}")
+
+
+def _merged(parts):
+    """parts: [(variant, q_fn, oracle_sql, oracle_cols)] -> (query fn, sql)."""
+    def q(spark, sf_dir):
+        frames = [_tag_variant(fn(spark, sf_dir), name) for name, fn, _, _ in parts]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+    sql = "\nUNION ALL\n".join(_wrap_oracle(name, s, cols) for name, _, s, cols in parts)
+    return q, sql
+
+
+q_cef_decode_variants, O_CEF_DECODE_VARIANTS = _merged([
+    ("quote_strip", q_cef_decode_quote_strip, O_CEF_DECODE_QUOTE_STRIP,
+     ["deviceVendor", "outcome"]),
+    ("escaped_headers", q_cef_decode_escaped_headers, O_CEF_DECODE_ESCAPED_HEADERS,
+     ["deviceVendor"]),
+    ("escaped_values", q_cef_decode_escaped_values, O_CEF_DECODE_ESCAPED_VALUES,
+     ["query_val", "final_val"]),
+    ("pipe_in_value", q_cef_decode_pipe_in_value, O_CEF_DECODE_PIPE_IN_VALUE,
+     ["moo"]),
+    ("syslog_prelude", q_cef_decode_syslog_prelude, O_CEF_DECODE_SYSLOG_PRELUDE,
+     ["syslog_header", "cefVersion"]),
+    ("dotted_keys", q_cef_decode_dotted_keys, O_CEF_DECODE_DOTTED_KEYS,
+     ["ad_nn", "ad_err", "ad_f0"]),
+    ("missing_headers", q_cef_decode_missing_headers, O_CEF_DECODE_MISSING_HEADERS,
+     ["deviceVendor", "deviceProduct", "src_ip"]),
+])
+q_cef_decode_variants.__doc__ = (
+    "Merged decode-variant gate: D5 quote strip, D8 escaped headers, D14 "
+    "escaped values, D11 pipe-in-value, D9 syslog prelude, D13 dotted/array "
+    "keys, D7 missing headers — one variant-tagged row set per fixture.")
+
+
+q_cef_decode_mapping_variants, O_CEF_DECODE_MAPPING_VARIANTS = _merged([
+    ("custom_numbered", q_cef_decode_custom_numbered, O_CEF_DECODE_CUSTOM_NUMBERED,
+     ["cfp15_val", "cfp15_label", "c6a12_val", "cn7_val", "cs4_label"]),
+    ("legacy_aliases", q_cef_decode_legacy_aliases, O_CEF_DECODE_LEGACY_ALIASES,
+     ["dlong_legacy", "slat_legacy"]),
+    ("ecs_keys", q_cef_decode_ecs_keys, O_CEF_DECODE_ECS_KEYS,
+     ["src_ip", "src_port", "src_user", "msg", "outcome"]),
+    ("ecs_device", q_cef_decode_ecs_device, O_CEF_DECODE_ECS_DEVICE,
+     ["device_cfg", "device_ip", "device_host"]),
+])
+q_cef_decode_mapping_variants.__doc__ = (
+    "Merged D12 key-expansion gate: numbered custom fields, legacy geo "
+    "aliases, ECS-mode key targets, and the device=observer/host dimension.")
+
+
+q_cef_decode_failure_variants, O_CEF_DECODE_FAILURE_VARIANTS = _merged([
+    ("newline_failure", q_cef_decode_newline_failure, O_CEF_DECODE_NEWLINE_FAILURE,
+     ["tag", "err", "failure_payload"]),
+    ("binary_utf8", q_cef_decode_binary_utf8, O_CEF_DECODE_BINARY_UTF8,
+     ["tag", "err", "failure_payload"]),
+    ("raw_data", q_cef_decode_raw_data, O_CEF_DECODE_RAW_DATA,
+     ["raw_captured", "vendor"]),
+])
+q_cef_decode_failure_variants.__doc__ = (
+    "Merged failure-path gate: D6 embedded-newline rejection, D4 binary "
+    "UTF-8 validation, D3 raw-data capture across success/failure rows.")
+
+
+q_cef_encode_variants, O_CEF_ENCODE_VARIANTS = _merged([
+    ("severity", q_cef_encode_severity, O_CEF_ENCODE_SEVERITY, ["severity_out"]),
+    ("defaults", q_cef_encode_defaults, O_CEF_ENCODE_DEFAULTS, ["cef_line"]),
+    ("reverse_mapping", q_cef_encode_reverse_mapping, O_CEF_ENCODE_REVERSE_MAPPING,
+     ["cef_line"]),
+    ("complex", q_cef_encode_complex, O_CEF_ENCODE_COMPLEX, ["cef_line"]),
+])
+q_cef_encode_variants.__doc__ = (
+    "Merged encode-variant gate: E4 severity validation, E3 empty->default "
+    "headers, E6 reverse mapping, E9/E10 complex values + nil skip.")
+
+
+# ==============================================================================
 # registry
 # ==============================================================================
 
 #: name -> (query fn, oracle sql or None)
+#
+# The driver gates the first 50 entries in dict order; the registry is kept
+# strictly under that cap (single-fixture decode/encode variants are merged
+# into the *_variants gates above) so EVERY operator family gets a
+# CORRECTNESS row each round.
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
+    # -- CEF decode core --------------------------------------------------
     "cef_decode_headers": (q_cef_decode_headers, O_CEF_DECODE_HEADERS),
     "cef_decode_extensions": (q_cef_decode_extensions, O_CEF_DECODE_EXTENSIONS),
-    "cef_decode_missing_headers": (q_cef_decode_missing_headers, O_CEF_DECODE_MISSING_HEADERS),
-    "cef_decode_escaped_headers": (q_cef_decode_escaped_headers, O_CEF_DECODE_ESCAPED_HEADERS),
-    "cef_decode_escaped_values": (q_cef_decode_escaped_values, O_CEF_DECODE_ESCAPED_VALUES),
-    "cef_decode_pipe_in_value": (q_cef_decode_pipe_in_value, O_CEF_DECODE_PIPE_IN_VALUE),
-    "cef_decode_syslog_prelude": (q_cef_decode_syslog_prelude, O_CEF_DECODE_SYSLOG_PRELUDE),
-    "cef_decode_quote_strip": (q_cef_decode_quote_strip, O_CEF_DECODE_QUOTE_STRIP),
-    "cef_decode_dotted_keys": (q_cef_decode_dotted_keys, O_CEF_DECODE_DOTTED_KEYS),
-    "cef_decode_custom_numbered": (q_cef_decode_custom_numbered, O_CEF_DECODE_CUSTOM_NUMBERED),
-    "cef_decode_legacy_aliases": (q_cef_decode_legacy_aliases, O_CEF_DECODE_LEGACY_ALIASES),
-    "cef_ts_dtz_side_channel": (q_cef_ts_dtz_side_channel, O_CEF_TS_DTZ_SIDE_CHANNEL),
-    "cef_ts_default_tz": (q_cef_ts_default_tz, O_CEF_TS_DEFAULT_TZ),
-    "top_vendors": (q_top_vendors, O_TOP_VENDORS),
-    "set_ops": (q_set_ops, O_SET_OPS),
+    "cef_decode_variants": (q_cef_decode_variants, O_CEF_DECODE_VARIANTS),
+    "cef_decode_mapping_variants": (q_cef_decode_mapping_variants, O_CEF_DECODE_MAPPING_VARIANTS),
+    "cef_decode_failure_variants": (q_cef_decode_failure_variants, O_CEF_DECODE_FAILURE_VARIANTS),
     "cef_decode_failures": (q_cef_decode_failures, O_CEF_DECODE_FAILURES),
-    "cef_encode": (q_cef_encode, O_CEF_ENCODE),
-    "cef_encode_severity": (q_cef_encode_severity, O_CEF_ENCODE_SEVERITY),
-    "cef_roundtrip": (q_cef_roundtrip, O_CEF_ROUNDTRIP),
+    "cef_raw_lines": (q_cef_raw_lines, O_CEF_RAW_LINES),
+    # -- timestamps -------------------------------------------------------
     "cef_ts_epoch": (q_cef_ts_epoch, O_CEF_TS_EPOCH),
     "cef_ts_format": (q_cef_ts_format, O_CEF_TS_FORMAT),
     "cef_ts_year_inference": (q_cef_ts_year_inference, O_CEF_TS_YEAR_INFERENCE),
+    "cef_ts_dtz_side_channel": (q_cef_ts_dtz_side_channel, O_CEF_TS_DTZ_SIDE_CHANNEL),
+    "cef_ts_default_tz": (q_cef_ts_default_tz, O_CEF_TS_DEFAULT_TZ),
     "cef_decode_locale_de": (q_cef_decode_locale_de, O_CEF_DECODE_LOCALE_DE),
+    # -- encode + round-trip ----------------------------------------------
+    "cef_encode": (q_cef_encode, O_CEF_ENCODE),
     "cef_encode_sanitize": (q_cef_encode_sanitize, O_CEF_ENCODE_SANITIZE),
-    "cef_encode_complex": (q_cef_encode_complex, O_CEF_ENCODE_COMPLEX),
-    "cef_encode_defaults": (q_cef_encode_defaults, O_CEF_ENCODE_DEFAULTS),
-    "cef_encode_reverse_mapping": (q_cef_encode_reverse_mapping, O_CEF_ENCODE_REVERSE_MAPPING),
-    "cef_raw_lines": (q_cef_raw_lines, O_CEF_RAW_LINES),
-    "cef_decode_binary_utf8": (q_cef_decode_binary_utf8, O_CEF_DECODE_BINARY_UTF8),
-    "cef_decode_newline_failure": (q_cef_decode_newline_failure, O_CEF_DECODE_NEWLINE_FAILURE),
-    "cef_decode_raw_data": (q_cef_decode_raw_data, O_CEF_DECODE_RAW_DATA),
-    "streaming_window_counts": (q_streaming_window_counts, O_STREAMING_WINDOW_COUNTS),
-    "streaming_stateful_conv_stats": (q_streaming_stateful_conv_stats, O_STREAMING_STATEFUL_CONV_STATS),
-    "cef_decode_ecs_keys": (q_cef_decode_ecs_keys, O_CEF_DECODE_ECS_KEYS),
-    "cef_decode_ecs_device": (q_cef_decode_ecs_device, O_CEF_DECODE_ECS_DEVICE),
-    "checkpoint_resume": (q_checkpoint_resume, O_CHECKPOINT_RESUME),
-    "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
-    "multimodal_frames": (q_multimodal_frames, O_MULTIMODAL_FRAMES),
+    "cef_encode_variants": (q_cef_encode_variants, O_CEF_ENCODE_VARIANTS),
+    "cef_roundtrip": (q_cef_roundtrip, O_CEF_ROUNDTRIP),
+    # -- pipeline / relational operators ----------------------------------
     "cef_route_counts": (q_cef_route_counts, O_CEF_ROUTE_COUNTS),
     "cef_window_counts": (q_cef_window_counts, O_CEF_WINDOW_COUNTS),
     "cef_enrich_tiers": (q_cef_enrich_tiers, O_CEF_ENRICH_TIERS),
+    "top_vendors": (q_top_vendors, O_TOP_VENDORS),
+    "set_ops": (q_set_ops, O_SET_OPS),
     "turn_ordering": (q_turn_ordering, O_TURN_ORDERING),
     "events_json_props": (q_events_json_props, O_EVENTS_JSON_PROPS),
     "event_sessions": (q_event_sessions, O_EVENT_SESSIONS),
     "user_sessions": (q_user_sessions, O_USER_SESSIONS),
+    # -- streaming / storage ----------------------------------------------
+    "streaming_window_counts": (q_streaming_window_counts, O_STREAMING_WINDOW_COUNTS),
+    "streaming_stateful_conv_stats": (q_streaming_stateful_conv_stats, O_STREAMING_STATEFUL_CONV_STATS),
+    "checkpoint_resume": (q_checkpoint_resume, O_CHECKPOINT_RESUME),
+    # -- training-data ops: dedup ------------------------------------------
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    # -- training-data ops: text -------------------------------------------
     "text_token_count": (q_text_token_count, O_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
@@ -1519,8 +1664,12 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "text_rolling_fingerprint": (q_text_rolling_fingerprint, O_TEXT_ROLLING_FINGERPRINT),
     "text_bpe_tokens": (q_text_bpe_tokens, O_TEXT_BPE_TOKENS),
     "text_vocab": (q_text_vocab, O_TEXT_VOCAB),
+    # -- training-data ops: embeddings -------------------------------------
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_PROBED),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_COSINE_TOPK),
     "emb_neardup_cosine": (q_emb_neardup_cosine, O_EMB_NEARDUP_COSINE),
+    # -- multimodal ---------------------------------------------------------
+    "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
+    "multimodal_frames": (q_multimodal_frames, O_MULTIMODAL_FRAMES),
 }

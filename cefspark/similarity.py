@@ -91,6 +91,80 @@ def lsh_bucketed_topk(df: DataFrame, query: Sequence[float], k: int = 5,
             .limit(k))
 
 
+# --- engine-exact LSH (the gate contract) ------------------------------------
+#
+# Rademacher (+/-1) hyperplanes derived from a multiplicative integer mix, and
+# integer-quantized projections (floor(x * 1e6) per element): every step is
+# computable identically in Spark and ANSI SQL, so the *probed bucket set*
+# itself is part of the oracle-checkable contract — the gate asserts "exact
+# top-k over the probed buckets" and is green at any scale by construction
+# (no recall tuning involved). Sign-random-projection with +/-1 entries is the
+# standard SimHash/angular LSH family (Charikar, STOC'02).
+
+_MIX_A = 2654435761  # Knuth multiplicative hash constants
+_MIX_B = 40503
+_MIX_C = 2246822519
+_MOD = 1 << 32
+
+
+def rademacher_weight(j: int, d: int) -> int:
+    """+1/-1 pseudo-random weight for plane j, dimension d (d is 1-based to
+    match SQL generate_series). Top bit of a multiplicative mix — exactly
+    reproducible in SQL with HUGEINT intermediates."""
+    h = (j * _MIX_A + d * _MIX_B) % _MOD
+    h = (h * _MIX_C) % _MOD
+    return 1 if (h >> 31) == 0 else -1
+
+
+def rademacher_planes(dim: int, n_planes: int) -> list[list[int]]:
+    return [[rademacher_weight(j, d) for d in range(1, dim + 1)]
+            for j in range(n_planes)]
+
+
+def _int_vec(vec: Column) -> Column:
+    """Quantize float elements to integer 1e-6 units: one float64 multiply +
+    floor per element (order-free), after which all LSH arithmetic is exact."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"))
+
+
+def int_bucket_id(vec: Column, planes: list[list[int]]) -> Column:
+    """Hyperplane bucket from integer projections — bit j set iff the exact
+    integer dot of the quantized vector with plane j is > 0."""
+    iv = _int_vec(vec)
+    out = None
+    for j, w in enumerate(planes):
+        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        proj = F.aggregate(F.zip_with(iv, warr, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bit = F.shiftleft(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+        out = bit if out is None else out.bitwiseXOR(bit)
+    return out
+
+
+def lsh_probed_topk(df: DataFrame, query_id: int = 0, k: int = 5,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_planes: int = 6, multiprobe: int = 2) -> DataFrame:
+    """ANN top-k with the engine-exact bucket contract: score exact cosines
+    over every vector whose bucket is within Hamming `multiprobe` of the
+    query's bucket. The scanned fraction is sum(C(n_planes, r<=multiprobe)) /
+    2^n_planes; at scale the bucket is the table's partition key, so the probe
+    set is partition pruning. The probed-set membership is bit-for-bit
+    reproducible in ANSI SQL (see O_ANN_LSH_PROBED in queries.py)."""
+    planes = rademacher_planes(_dim_of(df, vec_col), n_planes)
+    bucketed = df.withColumn("_bucket", int_bucket_id(F.col(vec_col), planes))
+    qrow = bucketed.where(F.col(id_col) == query_id).select(vec_col, "_bucket").first()
+    query, qbucket = qrow[vec_col], qrow["_bucket"]
+    return (bucketed
+            .where(F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket))) <= multiprobe)
+            .select(F.col(id_col), F.round(cosine(F.col(vec_col), _lit_vec(query)), 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.col(id_col))
+            .limit(k))
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
 def ivf_build_centroids(df: DataFrame, n_lists: int = 8, vec_col: str = "embedding",
                         id_col: str = "vec_id", iters: int = 2) -> list[list[float]]:
     """Tiny deterministic k-means: init from the n_lists lowest-id vectors,

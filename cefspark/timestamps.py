@@ -139,17 +139,31 @@ for _lang, _tbl in _MONTHS.items():
 _MONTH_MAX_DAY = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
 
+_LOWER_TABLES: dict[int, dict[str, int]] = {}
+
+
 def resolve_month(table: dict[str, int], token: str) -> Optional[int]:
     """Month-resolution order shared by the parser and the parity-fuzz
     canonicalizer (tools/fuzz_timestamps.py): exact merged-table form first,
-    then the documented case-insensitive fallback."""
+    then the documented case-insensitive fallback. The lowered table is cached
+    per table identity — the tables are module-level constants, and a producer
+    emitting e.g. 'SEP' would otherwise pay a dict build per row."""
     idx = table.get(token)
     if idx is None:
-        idx = {k.lower(): v for k, v in table.items()}.get(token.lower())
+        lowered = _LOWER_TABLES.get(id(table))
+        if lowered is None:
+            lowered = {k.lower(): v for k, v in table.items()}
+            _LOWER_TABLES[id(table)] = lowered
+        idx = lowered.get(token.lower())
     return idx
 
 
+@lru_cache(maxsize=64)
 def _month_table(locale: Optional[str]) -> dict[str, int]:
+    """Merged month table per locale. Cached so the returned dict is a
+    process-lifetime singleton — which also makes the id()-keyed lowered-table
+    cache in resolve_month safe (a freed dict's id could otherwise be reused).
+    Callers treat the result as read-only."""
     if not locale:
         return _MONTHS["en"]
     lang = locale.replace("-", "_").split("_")[0].lower()

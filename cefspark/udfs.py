@@ -98,6 +98,10 @@ def make_decode_udf(config: Optional[DecodeConfig] = None,
         # D3 raw-data capture (cef.rb:234) must survive the UDF boundary: the
         # decode batch emits it as an extra column, so the output struct grows
         # a matching StringType field.
+        if cfg.raw_data_field in out_cols:
+            raise ValueError(
+                f"raw_data_field {cfg.raw_data_field!r} collides with a decoded "
+                f"output column; choose a name outside {sorted(out_cols)}")
         schema = StructType(list(schema.fields) + [StructField(cfg.raw_data_field, StringType())])
         out_cols = out_cols + [cfg.raw_data_field]
 

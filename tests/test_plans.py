@@ -102,9 +102,9 @@ def test_flagship_plan_shape(spark, transcripts):
 def test_set_ops_decodes_once(spark):
     # the two exceptAll legs read the persisted decode: exactly one
     # ArrowEvalPython in the executed plan, not one per leg
-    from cefspark.queries import q_set_ops
+    from cefspark.queries import _set_ops_lazy, q_set_ops
 
-    df = q_set_ops(spark, SF)
+    df, ev = _set_ops_lazy(spark, SF)
     try:
         plan = plan_of(df)
         # both legs read the (single, shared) InMemoryRelation; the decode UDF
@@ -114,7 +114,16 @@ def test_set_ops_decodes_once(spark):
         live = plan.split("InMemoryRelation", 1)[0]
         assert "ArrowEvalPython" not in live
     finally:
+        ev.unpersist()
         spark.catalog.clearCache()
+
+    # the registry entry materializes eagerly and drops its decode cache —
+    # repeated gate/bench invocations must not accumulate cached relations
+    out = q_set_ops(spark, SF)
+    assert out.count() > 0
+    jstorage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    cached_sql = [r for r in jstorage if "In-memory table" in r.name()]
+    assert not cached_sql, [r.name() for r in cached_sql]
 
 
 def test_hamming_pairs_join_keys_have_high_cardinality(spark):

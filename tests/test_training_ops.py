@@ -38,6 +38,24 @@ def test_simhash_hamming_finds_injected_neardups(spark):
     assert found_sources == injected
 
 
+def test_simhash_fixture_pairs_keep_margin_under_gate_radius(spark):
+    # the dedup_simhash GATE asserts injected pairs within Hamming 6; that
+    # guarantee is probabilistic in the fixture (2 appended tokens flip ~4-5
+    # bit-majorities on ~25-token docs). Pin a >=1-bit safety margin here so
+    # any fixture/tokenizer drift fails THIS test loudly, not the driver gate.
+    docs = _docs_simhash_fixture(spark, SF)
+    sim = dedup.simhash(docs)
+    a = sim.where(F.col("doc_id") < 100000).select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sim.where(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("a"), F.col("simhash").alias("sb"))
+    dists = [r["d"] for r in
+             a.join(b, "a").select(
+                 F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("d")).collect()]
+    assert dists, "fixture must inject at least one pair"
+    assert max(dists) <= 5, f"margin eroded: max injected Hamming {max(dists)} (gate radius 6)"
+
+
 def _brute_hamming(spark, sim, max_dist):
     a = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
     b = sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
