@@ -62,6 +62,119 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+# --- real WAV codec (pure stdlib: RIFF chunk walker, PCM fmt) -----------------
+#
+# One genuinely real decode path: RIFF/WAVE is a public, dependency-free
+# container format, so audio metadata extraction needs no codec library. The
+# builder emits spec-conformant PCM WAV bytes (optional extra LIST chunk to
+# keep the walker honest); the parser walks chunks like any real reader would
+# and works on arbitrary PCM WAV files, not just ours.
+
+WAV_META_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits_per_sample", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+
+def build_wav(sample_rate: int, n_frames: int, channels: int = 1,
+              bits_per_sample: int = 16, with_list_chunk: bool = False) -> bytes:
+    """Serialize a real PCM RIFF/WAVE blob with a deterministic sawtooth
+    payload. Readable by any WAV reader (pytest cross-checks with stdlib
+    `wave`)."""
+    import struct
+
+    bytes_per_sample = bits_per_sample // 8
+    block_align = channels * bytes_per_sample
+    byte_rate = sample_rate * block_align
+    data = bytearray()
+    for i in range(n_frames * channels):
+        val = (i * 257) % 65536 - 32768  # deterministic full-range sawtooth
+        data += struct.pack("<h", val)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits_per_sample)
+    chunks = [(b"fmt ", fmt)]
+    if with_list_chunk:  # metadata chunk BEFORE data: parsers must walk, not seek
+        info = b"INFOISFT" + struct.pack("<I", 8) + b"cefspark"
+        chunks.append((b"LIST", info))
+    chunks.append((b"data", bytes(data)))
+    body = bytearray(b"WAVE")
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:  # RIFF chunks are word-aligned
+            body += b"\x00"
+    return bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def parse_wav(payload: bytes) -> dict:
+    """Parse PCM WAV metadata by walking RIFF chunks (fmt + data required).
+    Raises ValueError on malformed containers, NotImplementedError on
+    non-PCM encodings (where a real codec library would take over)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    fmt = None
+    data_len = None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8:pos + 24])
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"non-PCM WAV (format {audio_format}) requires a codec library")
+    if block_align == 0:
+        raise ValueError("zero block_align")
+    n_frames = data_len // block_align
+    return {"channels": channels, "sample_rate": sample_rate,
+            "bits_per_sample": bits, "n_frames": n_frames,
+            "duration_ms": n_frames * 1000 // sample_rate}
+
+
+def synthesize_wav_assets(spark: SparkSession, n: int) -> DataFrame:
+    """Real WAV assets with structurally-varied parameters (rate/channels/
+    length derived from the index; every 5th carries an extra LIST chunk)."""
+    rows = []
+    for i in range(n):
+        sr = 8000 * (1 + i % 3)
+        ch = 1 + i % 2
+        frames = 80 + (i % 7) * 40
+        rows.append((f"asset-{i:06d}", "audio",
+                     build_wav(sr, frames, channels=ch, with_list_chunk=(i % 5 == 0)),
+                     {"codec": "wav"}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """Real audio metadata extraction over binary payloads (mapInPandas):
+    payload bytes never leave the executor; one narrow map, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_wav(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            for c in ("channels", "sample_rate", "bits_per_sample",
+                      "n_frames", "duration_ms"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return df.mapInPandas(run, schema=WAV_META_SCHEMA)
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic pseudo-embedding: SHA-256 -> 16 floats in [-1, 1)."""
     d = hashlib.sha256(payload).digest() + hashlib.sha256(payload + b"x").digest()
@@ -69,20 +182,55 @@ def _fake_features(payload: bytes) -> list[float]:
     return list(((arr / 2**32) * 2 - 1).astype(np.float32))
 
 
+def _wav_samples(payload: bytes) -> np.ndarray:
+    """Raw int16 samples from a PCM WAV blob (chunk walk, no libraries)."""
+    import struct
+
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if cid == b"data":
+            return np.frombuffer(payload[pos + 8:pos + 8 + size], dtype="<i2")
+        pos += 8 + size + (size % 2)
+    raise ValueError("missing data chunk")
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """Real audio features: per-block RMS envelope (FEATURE_DIM blocks),
+    normalized to [0, 1] — deterministic, library-free."""
+    parse_wav(payload)  # container + PCM validation
+    s = _wav_samples(payload).astype(np.float64) / 32768.0
+    blocks = np.array_split(s, FEATURE_DIM)
+    return [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
+
+
 def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
-    """binary payload -> feature vector, batched via mapInPandas."""
+    """binary payload -> feature vector, batched via mapInPandas.
+
+    ``deterministic_fake=False`` runs the REAL decode where one exists: PCM
+    WAV audio (pure-stdlib RIFF parser + RMS envelope). Image/video decode
+    still needs a codec library and raises — that is the one remaining
+    stubbed codec interior."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real multimodal decode requires an image/audio codec library; "
-                    "install one and plug it in here")
+            feats = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                if deterministic_fake:
+                    feats.append(_fake_features(b))
+                elif kind == "audio" and b[:4] == b"RIFF":
+                    feats.append(_wav_features(b))
+                else:
+                    raise NotImplementedError(
+                        "real image/video decode requires a codec library; "
+                        "plug one in here")
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "features": pdf["payload"].map(_fake_features),
+                "features": feats,
             })
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)

@@ -515,6 +515,31 @@ FROM events
 """
 
 
+def q_cef_ts_ns_parity(spark, sf_dir):
+    """T1 nanosecond parity: rt carries DECIMAL epoch millis with 6 fractional
+    digits (sub-microsecond precision); the normalizer is ns-exact internally
+    (Decimal path, timestamps.py) and the @timestamp rendering keeps all 9
+    fractional digits — ecs_timestamp_ns recovers the exact epoch-ns long that
+    Spark's µs TimestampType would truncate (spec
+    timestamp_normalizer_spec.rb:97-129 asserts ns survival)."""
+    from .udfs import ecs_timestamp_ns
+
+    frac6 = F.lpad((F.col("event_id") % 1000000).cast("string"), 6, "0")
+    df = _events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|rt="),
+                         F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
+                         F.lit("."), frac6))
+    dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, now=NOW))
+    return dec.select("event_id", ecs_timestamp_ns(ext("@timestamp")).alias("ts_ns"))
+
+
+O_CEF_TS_NS_PARITY = """
+SELECT event_id,
+       CAST(epoch_ms(ts) * 1000000 + event_id % 1000000 AS BIGINT) AS ts_ns
+FROM events
+"""
+
+
 def q_cef_ts_format(spark, sf_dir):
     """T2: CEF 'MMM dd yyyy HH:mm:ss' format normalized in ECS mode."""
     df = _events(spark, sf_dir).withColumn(
@@ -1034,6 +1059,36 @@ SELECT printf('asset-%06d', i) AS asset_id, CAST(fi AS BIGINT) AS frame_idx,
        CAST(32 AS BIGINT) AS n_frame_bytes
 FROM generate_series(0, 299) t(i), (VALUES (0), (2)) u(fi)
 WHERE i % 3 = 2
+"""
+
+
+def q_multimodal_wav_meta(spark, sf_dir):
+    """REAL multimodal codec path: spec-conformant PCM WAV blobs are built
+    executor-side and parsed back by the pure-stdlib RIFF chunk walker
+    (multimodal.parse_wav — works on any PCM WAV, pytest cross-checks against
+    stdlib `wave`). The oracle states the generation formula; a match proves
+    the parser recovered rate/channels/frame-count/duration from real bytes
+    (every 5th asset carries an extra LIST chunk before data, so seeking to a
+    fixed offset would fail — the walker is genuinely walking)."""
+    from . import multimodal
+
+    assets = multimodal.synthesize_wav_assets(spark, n=240)
+    meta = multimodal.extract_audio_meta(assets)
+    return meta.select(
+        "asset_id",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("duration_ms").cast("long").alias("duration_ms"))
+
+
+O_MULTIMODAL_WAV_META = """
+SELECT printf('asset-%06d', i) AS asset_id,
+       CAST(1 + i % 2 AS BIGINT) AS channels,
+       CAST(8000 * (1 + i % 3) AS BIGINT) AS sample_rate,
+       CAST(80 + (i % 7) * 40 AS BIGINT) AS n_frames,
+       CAST((80 + (i % 7) * 40) * 1000 // (8000 * (1 + i % 3)) AS BIGINT) AS duration_ms
+FROM generate_series(0, 239) t(i)
 """
 
 
@@ -1627,6 +1682,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cef_raw_lines": (q_cef_raw_lines, O_CEF_RAW_LINES),
     # -- timestamps -------------------------------------------------------
     "cef_ts_epoch": (q_cef_ts_epoch, O_CEF_TS_EPOCH),
+    "cef_ts_ns_parity": (q_cef_ts_ns_parity, O_CEF_TS_NS_PARITY),
     "cef_ts_format": (q_cef_ts_format, O_CEF_TS_FORMAT),
     "cef_ts_year_inference": (q_cef_ts_year_inference, O_CEF_TS_YEAR_INFERENCE),
     "cef_ts_dtz_side_channel": (q_cef_ts_dtz_side_channel, O_CEF_TS_DTZ_SIDE_CHANNEL),
@@ -1672,4 +1728,5 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     # -- multimodal ---------------------------------------------------------
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, O_MULTIMODAL_FRAMES),
+    "multimodal_wav_meta": (q_multimodal_wav_meta, O_MULTIMODAL_WAV_META),
 }

@@ -200,6 +200,18 @@ def ecs_timestamp(col: Column) -> Column:
     return F.to_timestamp(F.regexp_replace(col, r"(\.\d{6})\d{3}Z$", "$1Z"))
 
 
+#: ECS timestamp string -> epoch-nanosecond LongType. Spark TimestampType
+#: truncates to µs, but the reference's normalizer is ns-precise
+#: (iso8601(9), timestamp_normalizer_spec.rb:97-129) and our ISO rendering
+#: carries all 9 fractional digits — this column preserves full parity for
+#: sub-microsecond producers. Pure built-ins (whole-stage codegen, no UDF).
+def ecs_timestamp_ns(col: Column) -> Column:
+    micro_ts = F.to_timestamp(F.regexp_replace(col, r"(\.\d{6})\d{3}Z$", "$1Z"))
+    sub_us = F.regexp_extract(col, r"\.\d{6}(\d{3})Z$", 1).cast("long")
+    return (F.unix_micros(micro_ts) * F.lit(1000).cast("long")
+            + F.coalesce(sub_us, F.lit(0))).cast("long")
+
+
 def ecs_view(df: DataFrame, device: str = "observer") -> DataFrame:
     """Logical ECS-mode view over the physical decode columns: headers are
     renamed to their ECS references (cef.rb:362-371) and the @timestamp
@@ -212,4 +224,6 @@ def ecs_view(df: DataFrame, device: str = "observer") -> DataFrame:
     for phys, ecs in zip(HEADER_COLUMNS, HEADER_FIELDS["v1"]):
         out = out.withColumnRenamed(phys, ecs)
     out = out.withColumnRenamed("syslog", SYSLOG_HEADER["v1"])
-    return out.withColumn("@timestamp", ecs_timestamp(ext("@timestamp")))
+    # µs TimestampType for relational work + the ns-parity long beside it
+    return (out.withColumn("@timestamp_ns", ecs_timestamp_ns(ext("@timestamp")))
+            .withColumn("@timestamp", ecs_timestamp(ext("@timestamp"))))

@@ -98,3 +98,71 @@ def test_stateful_conversation_stats(spark, tmp_path):
                F.max("turn_idx").alias("l")).collect()}
     assert got_m == exp
     assert all(v[0] == 8 for v in got_m.values())  # 8 turns per conversation
+
+
+# --- real WAV codec -----------------------------------------------------------
+
+def test_build_wav_is_readable_by_stdlib_wave():
+    import io
+    import wave
+
+    from cefspark import multimodal
+
+    blob = multimodal.build_wav(16000, 200, channels=2, with_list_chunk=True)
+    with wave.open(io.BytesIO(blob)) as w:
+        assert w.getnchannels() == 2
+        assert w.getframerate() == 16000
+        assert w.getnframes() == 200
+        assert w.getsampwidth() == 2
+
+
+def test_parse_wav_reads_stdlib_wave_output():
+    import io
+    import struct
+    import wave
+
+    from cefspark import multimodal
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<160h", *range(160)))
+    meta = multimodal.parse_wav(buf.getvalue())
+    assert meta == {"channels": 1, "sample_rate": 8000, "bits_per_sample": 16,
+                    "n_frames": 160, "duration_ms": 20}
+
+
+def test_parse_wav_rejects_malformed_and_non_pcm():
+    import pytest as _pytest
+    import struct
+
+    from cefspark import multimodal
+
+    with _pytest.raises(ValueError):
+        multimodal.parse_wav(b"not a wav at all")
+    # IEEE-float format tag (3): real container, unsupported encoding
+    blob = bytearray(multimodal.build_wav(8000, 10))
+    fmt_at = blob.find(b"fmt ") + 8
+    blob[fmt_at:fmt_at + 2] = struct.pack("<H", 3)
+    with _pytest.raises(NotImplementedError):
+        multimodal.parse_wav(bytes(blob))
+
+
+def test_real_audio_features_are_rms_envelope(spark):
+    import numpy as np
+
+    from cefspark import multimodal
+
+    assets = multimodal.synthesize_wav_assets(spark, n=6)
+    feats = {r["asset_id"]: r["features"] for r in
+             multimodal.extract_features(assets, deterministic_fake=False).collect()}
+    assert len(feats) == 6
+    for aid, f in feats.items():
+        assert len(f) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in f)
+    # deterministic: same input -> same features, executor-independent
+    again = {r["asset_id"]: r["features"] for r in
+             multimodal.extract_features(assets, deterministic_fake=False).collect()}
+    assert all(np.allclose(feats[k], again[k]) for k in feats)
