@@ -47,12 +47,13 @@ def job():
 
 job()  # warmup: python workers, broadcast, code paths
 walls = []
-for _ in range(3):
+for _ in range(5):
     t0 = time.time(); counts = job(); walls.append(time.time() - t0)
 wall = statistics.median(walls)
+spread = (max(walls) - min(walls)) / min(walls)
 print("RESULT " + json.dumps({{"cores": {cores}, "n": n, "wall": wall,
                                "walls": walls, "thr": n / wall,
-                               "sinks": len(counts)}}))
+                               "spread": spread, "sinks": len(counts)}}))
 spark.stop()
 """
 
@@ -87,7 +88,8 @@ def main() -> None:
     for cores in (hi, lo):
         r = run_level(cores, inp)
         results[cores] = r
-        print(f"cores={cores}: {r['thr']:,.0f} turns/s (median {r['wall']:.1f}s of {r['walls']})")
+        print(f"cores={cores}: {r['thr']:,.0f} turns/s (median {r['wall']:.1f}s, "
+              f"spread {r['spread']:.1%} of {r['walls']})")
 
     thr_lo, thr_hi = results[lo]["thr"], results[hi]["thr"]
     eff = (thr_hi / thr_lo) / 4
@@ -97,6 +99,11 @@ def main() -> None:
         "thr_lo": round(thr_lo, 1), "thr_hi": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "gate": "PASS" if eff >= 0.8 else "FAIL",
+        # contamination rule (BENCH/BASELINE.md): a level whose 5 timed walls
+        # spread >10% saw bursty host CPU steal — the run is untrustworthy in
+        # EITHER direction (steal at the low level inflates efficiency, at the
+        # high level deflates it) and must be discarded and re-measured
+        "contaminated": bool(max(results[c]["spread"] for c in results) > 0.10),
     }
     print(json.dumps(summary))
 
