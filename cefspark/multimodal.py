@@ -87,6 +87,10 @@ def build_wav(sample_rate: int, n_frames: int, channels: int = 1,
     `wave`)."""
     import struct
 
+    if bits_per_sample != 16:
+        # the sample packer is '<h'; a different declared width would produce
+        # an internally inconsistent blob (fmt says one size, data another)
+        raise ValueError("build_wav packs 16-bit PCM only")
     bytes_per_sample = bits_per_sample // 8
     block_align = channels * bytes_per_sample
     byte_rate = sample_rate * block_align
@@ -123,6 +127,11 @@ def parse_wav(payload: bytes) -> dict:
     while pos + 8 <= end:
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if pos + 8 + size > len(payload):
+            # truncated blob: the chunk declares more bytes than exist — a
+            # typed error, never struct.error / inflated frame counts
+            raise ValueError(f"truncated {cid!r} chunk ({size} declared, "
+                             f"{len(payload) - pos - 8} available)")
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("fmt chunk too short")
@@ -146,29 +155,42 @@ def parse_wav(payload: bytes) -> dict:
 
 def synthesize_wav_assets(spark: SparkSession, n: int) -> DataFrame:
     """Real WAV assets with structurally-varied parameters (rate/channels/
-    length derived from the index; every 5th carries an extra LIST chunk)."""
-    rows = []
-    for i in range(n):
-        sr = 8000 * (1 + i % 3)
-        ch = 1 + i % 2
-        frames = 80 + (i % 7) * 40
-        rows.append((f"asset-{i:06d}", "audio",
-                     build_wav(sr, frames, channels=ch, with_list_chunk=(i % 5 == 0)),
-                     {"codec": "wav"}))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    length derived from the index; every 5th carries an extra LIST chunk).
+    Blobs are built EXECUTOR-SIDE (mapInPandas over a range) — parameters are
+    pure functions of the index, so synthesis scales with the cluster, not
+    the driver."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_i in pdf["id"]:
+                i = int(raw_i)
+                sr = 8000 * (1 + i % 3)
+                frames = 80 + (i % 7) * 40
+                rows.append((f"asset-{i:06d}", "audio",
+                             build_wav(sr, frames, channels=1 + i % 2,
+                                       with_list_chunk=(i % 5 == 0)),
+                             {"codec": "wav"}))
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def extract_audio_meta(df: DataFrame) -> DataFrame:
     """Real audio metadata extraction over binary payloads (mapInPandas):
     payload bytes never leave the executor; one narrow map, no shuffle."""
 
+    meta_cols = ["channels", "sample_rate", "bits_per_sample",
+                 "n_frames", "duration_ms"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [parse_wav(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(metas)
+            # explicit columns: a zero-row Arrow batch must still yield a
+            # valid empty frame, not a KeyError on the casts below
+            out = pd.DataFrame(metas, columns=meta_cols)
             out.insert(0, "asset_id", pdf["asset_id"].values)
-            for c in ("channels", "sample_rate", "bits_per_sample",
-                      "n_frames", "duration_ms"):
+            for c in meta_cols:
                 out[c] = out[c].astype("int32")
             yield out
 
@@ -190,6 +212,8 @@ def _wav_samples(payload: bytes) -> np.ndarray:
     while pos + 8 <= end:
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if pos + 8 + size > len(payload):
+            raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"data":
             return np.frombuffer(payload[pos + 8:pos + 8 + size], dtype="<i2")
         pos += 8 + size + (size % 2)

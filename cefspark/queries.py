@@ -408,7 +408,7 @@ def q_set_ops(spark, sf_dir):
     # cache can drop immediately; the checkpointed result (event_ids only,
     # tiny) is GC-reclaimed with the returned DataFrame, unlike a SQL cache
     out = lazy.localCheckpoint(eager=True)
-    ev.unpersist()
+    ev.unpersist(blocking=True)  # blocking: gone before the caller's next action
     return out
 
 
@@ -1167,13 +1167,17 @@ def q_user_sessions(spark, sf_dir):
         # group total is shuffle-order-independent on both engines. (A floored
         # float *mean* is not — its summation order varies run to run, which
         # made this gate flip at ULP-adjacent boundaries. avg = sum/n_events
-        # stays derivable downstream.)
-        e4 = [int(math.floor(v * 10000 + 0.5)) for v in pdf["value"].astype("float64")]
+        # stays derivable downstream.) NULL value cells arrive as NaN and are
+        # skipped, matching SQL SUM's NULL semantics; n_events still counts
+        # every row like COUNT(*).
+        e4 = [int(math.floor(v * 10000 + 0.5))
+              for v in pdf["value"].astype("float64") if not math.isnan(v)]
         return pd.DataFrame({
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [len(pdf)],
             "span_seconds": [int((ts.iloc[-1] - ts.iloc[0]).total_seconds())],
-            "sum_value_e4": [sum(e4)],
+            # SQL SUM over an all-NULL group is NULL, not 0
+            "sum_value_e4": [sum(e4) if e4 else None],
         })
 
     return (_events(spark, sf_dir).groupBy("user_id")

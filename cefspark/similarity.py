@@ -150,19 +150,26 @@ def lsh_probed_topk(df: DataFrame, query_id: int = 0, k: int = 5,
     2^n_planes; at scale the bucket is the table's partition key, so the probe
     set is partition pruning. The probed-set membership is bit-for-bit
     reproducible in ANSI SQL (see O_ANN_LSH_PROBED in queries.py)."""
-    planes = rademacher_planes(_dim_of(df, vec_col), n_planes)
+    import math
+
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id!r} not found")
+    query = qrow[vec_col]
+    planes = rademacher_planes(len(query), n_planes)
+    # the query's bucket computes driver-side with the same exact integer
+    # arithmetic (python ints == Spark longs here) — one driver fetch total
+    iq = [math.floor(float(x) * 1e6) for x in query]
+    qbucket = 0
+    for j, w in enumerate(planes):
+        if sum(wi * xi for wi, xi in zip(w, iq)) > 0:
+            qbucket |= 1 << j
     bucketed = df.withColumn("_bucket", int_bucket_id(F.col(vec_col), planes))
-    qrow = bucketed.where(F.col(id_col) == query_id).select(vec_col, "_bucket").first()
-    query, qbucket = qrow[vec_col], qrow["_bucket"]
     return (bucketed
             .where(F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket))) <= multiprobe)
             .select(F.col(id_col), F.round(cosine(F.col(vec_col), _lit_vec(query)), 6).alias("cos"))
             .orderBy(F.desc("cos"), F.col(id_col))
             .limit(k))
-
-
-def _dim_of(df: DataFrame, vec_col: str) -> int:
-    return len(df.select(vec_col).first()[0])
 
 
 def ivf_build_centroids(df: DataFrame, n_lists: int = 8, vec_col: str = "embedding",

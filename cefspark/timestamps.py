@@ -158,12 +158,14 @@ def resolve_month(table: dict[str, int], token: str) -> Optional[int]:
     return idx
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=None)
 def _month_table(locale: Optional[str]) -> dict[str, int]:
-    """Merged month table per locale. Cached so the returned dict is a
-    process-lifetime singleton — which also makes the id()-keyed lowered-table
-    cache in resolve_month safe (a freed dict's id could otherwise be reused).
-    Callers treat the result as read-only."""
+    """Merged month table per locale. Cached UNBOUNDED so the returned dict is
+    a true process-lifetime singleton — the id()-keyed lowered-table cache in
+    resolve_month is only safe if table dicts are never freed (a bounded cache
+    could evict, GC the dict, and let a new table reuse its id, silently
+    serving the wrong locale). Growth is bounded by distinct locale strings in
+    the config surface (tiny). Callers treat the result as read-only."""
     if not locale:
         return _MONTHS["en"]
     lang = locale.replace("-", "_").split("_")[0].lower()
