@@ -194,6 +194,46 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         sets_df=sets_df)
 
 
+def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs (a, b): label propagation to
+    the minimum reachable id — the clustering step between pair-finding and
+    representative-keeping in a dedup pipeline.
+
+    Each iteration is one equi-join + one min-aggregate (both shuffle on id);
+    iterations needed = graph diameter (near-dup clusters are shallow stars,
+    so typically 2-3). The per-iteration ``localCheckpoint`` truncates lineage
+    — without it the plan doubles every iteration and the job dies on plan-
+    compilation long before data size matters. Convergence is detected by an
+    exact changed-label count (a driver-side scalar per iteration).
+
+    Returns (id, component) for every id appearing in ``pairs``, where
+    component is the minimum id of the connected component.
+    """
+    edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+             .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("x").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # each node adopts min(own comp, neighbors' comps)
+        nbr = (edges.join(labels.withColumnRenamed("id", "y"), "y")
+               .groupBy("x").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr.withColumnRenamed("x", "id"), "id", "left")
+                      .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
+                              .alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("comp", "new_comp")
+                   .join(labels, "id")
+                   .where(F.col("new_comp") != F.col("comp")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"components did not converge in {max_iter} iterations "
+                       f"(graph diameter larger than expected for near-dup clusters)")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document: per-bit majority vote over token hashes.
 

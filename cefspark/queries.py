@@ -1350,6 +1350,37 @@ WHERE doc_id < 200 AND doc_id % 5 = 0
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-components duplicate clustering (the step between pair-
+    finding and representative-keeping): the REAL iterative label-propagation
+    operator (dedup.components — equi-join + min-aggregate per round,
+    localCheckpoint lineage truncation, exact convergence detection) runs over
+    a pair graph built from the documents table. The fixture's components are
+    3-node paths (center i, members i+100000 / i+200000 when present), so the
+    oracle can state the final labels in closed form while the Spark side
+    genuinely iterates to convergence."""
+    d = _documents(spark, sf_dir).where(F.col("doc_id") < 100).select("doc_id")
+    p1 = (d.where(F.col("doc_id") % 5 == 0)
+          .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 100000).alias("b")))
+    # the second edge attaches to the FIRST copy, not the center: components
+    # are paths (diameter 2), so propagation must take two rounds to converge
+    p2 = (d.where(F.col("doc_id") % 10 == 0)
+          .select((F.col("doc_id") + 100000).alias("a"),
+                  (F.col("doc_id") + 200000).alias("b")))
+    return (dedup.components(p1.unionByName(p2))
+            .select(F.col("id").alias("doc_id"), F.col("comp").alias("component")))
+
+
+O_DEDUP_CLUSTERS = """
+WITH centers AS (SELECT doc_id FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0)
+SELECT doc_id, doc_id AS component FROM centers
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, doc_id AS component FROM centers
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, doc_id AS component FROM centers WHERE doc_id % 10 = 0
+"""
+
+
 def q_text_token_count(spark, sf_dir):
     return _documents(spark, sf_dir).select(
         "doc_id", textops.token_count(F.col("text")))
@@ -1716,6 +1747,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     # -- training-data ops: text -------------------------------------------
     "text_token_count": (q_text_token_count, O_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),

@@ -159,3 +159,22 @@ def test_signatures_from_sets_equals_agg_signatures(spark):
     via_sets = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(64))
                 for r in dedup.signatures_from_sets(dedup.shingle_sets(docs)).collect()}
     assert via_agg == via_sets
+
+
+def test_components_label_propagation_on_chains_and_isolates(spark):
+    # a 6-node chain (diameter 5 — needs several propagation rounds), a
+    # triangle, and a 2-node component; every node must label to its
+    # component's min id
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (11, 12), (12, 10),
+             (20, 21)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["comp"] for r in dedup.components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_raises_when_budget_too_small(spark):
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "a long, b long")
+    with pytest.raises(RuntimeError):
+        dedup.components(chain, max_iter=1)
