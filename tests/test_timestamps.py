@@ -245,6 +245,17 @@ def test_single_digit_day_rejected_like_java_dd():
     ("de_DE", "Jan 17 2019 17:57:06 +01:00", "2019-01-17T16:57:06"),
     ("fr_FR", "janv 17 2019 17:57:06 +01:00", "2019-01-17T16:57:06"),
     ("es_ES", "sept 17 2019 17:57:06 +01:00", "2019-09-17T16:57:06"),
+    # round-3 locales (CLDR primaries, java-verified via /tmp MonthDump)
+    ("ru_RU", "сент. 17 2019 17:57:06 +03:00", "2019-09-17T14:57:06"),
+    ("ja_JP", "9月 17 2019 17:57:06 +09:00", "2019-09-17T08:57:06"),
+    ("zh_CN", "10月 17 2019 17:57:06 +08:00", "2019-10-17T09:57:06"),
+    ("ko_KR", "5월 17 2019 17:57:06 +09:00", "2019-05-17T08:57:06"),
+    ("hu_HU", "márc. 17 2019 17:57:06 +01:00", "2019-03-17T16:57:06"),
+    ("el_GR", "Μαΐ 17 2019 17:57:06 +03:00", "2019-05-17T14:57:06"),
+    ("uk_UA", "груд. 17 2019 17:57:06 +02:00", "2019-12-17T15:57:06"),
+    ("hr_HR", "ožu 17 2019 17:57:06 +01:00", "2019-03-17T16:57:06"),
+    ("lv_LV", "jūl. 17 2019 17:57:06 +03:00", "2019-07-17T14:57:06"),
+    ("et_EE", "märts 17 2019 17:57:06 +02:00", "2019-03-17T15:57:06"),
 ])
 def test_locale_month_tables_match_jdk_cldr(locale, text, expect):
     n = TimestampNormalizer(locale=locale)
@@ -260,6 +271,15 @@ def test_locale_month_tables_match_jdk_cldr(locale, text, expect):
     ("pt_PT", "out 17 2019 17:57:06 +01:00", 10),
     ("nl_NL", "mrt 17 2019 17:57:06 +01:00", 3),
     ("nb_NO", "des 17 2019 17:57:06 +01:00", 12),
+    # round-3 COMPAT forms (java.locale.providers=COMPAT, /tmp MonthDump):
+    # ru short names, ja bare digits, zh CJK ordinals, bg Roman numerals —
+    # all genuinely what a COMPAT JVM parses for MMM under these locales
+    ("ru_RU", "сен 17 2019 17:57:06 +03:00", 9),
+    ("ja_JP", "11 17 2019 17:57:06 +09:00", 11),
+    ("zh_CN", "十一月 17 2019 17:57:06 +08:00", 11),
+    ("bg_BG", "VII 17 2019 17:57:06 +03:00", 7),
+    ("ro_RO", "Iun 17 2019 17:57:06 +03:00", 6),
+    ("lt_LT", "Rgp 17 2019 17:57:06 +03:00", 8),
 ])
 def test_compat_provider_month_forms_accepted(locale, text, month):
     n = TimestampNormalizer(locale=locale)

@@ -28,14 +28,20 @@ from cefspark.timestamps import InvalidTimestamp, TimestampNormalizer  # noqa: E
 NOW = "2026-08-16T00:00:00Z"
 
 MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct",
-          "Nov", "Dec", "jan", "MAR", "Mär", "März", "janv.", "kesäk.", "Foo"]
+          "Nov", "Dec", "jan", "MAR", "Mär", "März", "janv.", "kesäk.", "Foo",
+          # round-3 locale forms: exercised against java under EVERY locale in
+          # the pool (accepted only where that locale's tables say so)
+          "сент.", "9月", "5월", "márc.", "Μαΐ", "груд.", "ožu", "jūn.",
+          "märts", "VII", "Rgp", "十一月"]
 ZONES = ["", "UTC", "Z", "GMT", "+05:30", "-08:00", "+0530", "+5", "-18:00",
          "America/New_York", "Europe/Moscow", "Asia/Tokyo", "PST", "PDT",
          "EST", "CET", "EET", "BST", "AEST", "GMT+05:30", "UTC+3", "+300",
          "+25", "Mars/Olympus", "+05:30:30", "GMT+5", "+5:30", "UT-02:00"]
 DTZS = ["", "America/New_York", "Europe/Paris", "Asia/Kolkata", "CET", "EET",
         "EST", "PST", "+02:00", "+0530", "+5", "GMT-07:00", "nonsense/zone"]
-LOCALES = ["", "en", "de", "fr", "fi", "tr"]
+LOCALES = ["", "en", "de", "fr", "fi", "tr",
+           # round-3 locale-table additions (java-dumped)
+           "ru", "ja", "el", "hu", "uk", "hr", "lv", "et", "bg", "sk"]
 
 
 VALID_MONTHS = MONTHS[:12]
