@@ -28,7 +28,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",         # multi-index block join
+    "dedup_clusters",        # iterative connected-components label propagation
     "emb_neardup_cosine",    # bucketed near-dup path
+    "multimodal_wav_meta",   # real WAV codec through mapInPandas
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",

@@ -55,3 +55,14 @@ def test_decode_metrics_accumulators(spark):
     got = metrics.as_dict()
     assert got["failed"] == n_failed_truth > 0
     assert got["parsed"] == 600 - n_failed_truth
+
+
+def test_read_raw_lines_over_multi_file_directory(spark, tmp_path):
+    # distributed framing: each part file is an independent byte stream;
+    # frames never span files, and the union covers every frame exactly once
+    d = tmp_path / "rawdir"
+    d.mkdir()
+    (d / "part-0.log").write_text("a1\r\nb1\r\n")
+    (d / "part-1.log").write_text("c2\r\nd2")
+    df = sources.read_raw_lines(spark, str(d), delimiter="\\r\\n")
+    assert sorted(r["text"] for r in df.collect()) == ["a1", "b1", "c2", "d2"]
