@@ -175,16 +175,26 @@ def lsh_probed_topk(df: DataFrame, query_id: int = 0, k: int = 5,
 def ivf_build_centroids(df: DataFrame, n_lists: int = 8, vec_col: str = "embedding",
                         id_col: str = "vec_id", iters: int = 2) -> list[list[float]]:
     """Tiny deterministic k-means: init from the n_lists lowest-id vectors,
-    refine with `iters` Lloyd steps (each one scan + one small groupBy)."""
-    cents = [r[vec_col] for r in
+    refine with `iters` Lloyd steps (each one scan + one small groupBy).
+
+    Centroid means are computed as EXACT integer sums of 1e-6-quantized
+    elements divided by the count — a float F.avg across a shuffle is
+    summation-order-dependent at the ULP level, which would make centroids
+    (and therefore borderline list assignments, probe choices, and the gate)
+    a run-to-run coin flip. Integer sums make the whole index build a pure
+    function of the data."""
+    cents = [list(map(float, r[vec_col])) for r in
              df.orderBy(id_col).limit(n_lists).select(vec_col).collect()]
+    dim = len(cents[0])
     for _ in range(iters):
         assigned = assign_lists(df, cents, vec_col, id_col)
-        dim = len(cents[0])
+        qcol = [F.sum(F.floor(F.col(vec_col).getItem(i).cast("double") * F.lit(1000000.0))
+                      .cast("long")).alias(f"s{i}") for i in range(dim)]
         means = (assigned.groupBy("list_id")
-                 .agg(*[F.avg(F.col(vec_col).getItem(i)).alias(f"c{i}") for i in range(dim)])
+                 .agg(F.count(F.lit(1)).alias("_n"), *qcol)
                  .collect())
-        new = {r["list_id"]: [r[f"c{i}"] for i in range(dim)] for r in means}
+        new = {r["list_id"]: [r[f"s{i}"] / (r["_n"] * 1e6) for i in range(dim)]
+               for r in means}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return [list(map(float, c)) for c in cents]
 

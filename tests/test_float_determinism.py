@@ -26,8 +26,22 @@ FLOAT_GATES = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "emb_neardup_cosine",
 ]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_ann_ivf_recall_is_one_at_every_shipped_sf(spark, sf_dir):
+    # the ivf gate's oracle is the brute-force top-5, so its contract is
+    # recall = 1 on the shipped fixtures; assert it per sf so a driver run at
+    # any shipped scale can't surprise the gate (sf0.1 is covered by the
+    # check_correctness runs — it is too slow for the unit suite)
+    from cefspark.queries import REGISTRY
+    ivf = REGISTRY["ann_ivf_topk"][0](spark, sf_dir).collect()
+    brute = REGISTRY["ann_cosine_topk"][0](spark, sf_dir).collect()
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
 
 
 def _result_hash(df) -> int:
