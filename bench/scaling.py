@@ -63,7 +63,12 @@ job()  # warmup 2: JIT steady state (first timed runs were ~10-25% slower)
 s0, tot0 = cpu_ticks()
 t0 = time.time(); counts = job(); wall = time.time() - t0
 s1, tot1 = cpu_ticks()
-steal = (s1 - s0) / max(tot1 - tot0, 1)
+import os as _os
+# whole-machine steal understates what the RUN suffered by ncpu/cores: steal
+# accrues on runnable vcpus (ours), while the denominator counts all vcpus —
+# a local[2] run on 32 vcpus dilutes its steal 16x. Scale to busy-core terms
+# so the flag threshold means "fraction of OUR cpu time stolen" at any level.
+steal = (s1 - s0) / max(tot1 - tot0, 1) * (_os.cpu_count() / {cores})
 print("RESULT " + json.dumps({{"cores": {cores}, "n": n, "wall": wall,
                                "thr": n / wall, "steal": steal,
                                "sinks": len(counts)}}))
@@ -124,11 +129,13 @@ def main() -> None:
         "gate": "PASS" if eff >= 0.8 else "FAIL",
         "max_steal": round(max(p["steal"] for p in pairs), 4),
         # contamination rule (BENCH/BASELINE.md): per-pair efficiencies
-        # spreading >10% mean steal bursts hit inside pairs; measured in-run
-        # steal >2% means another guest is eating the cores the wide level
-        # needs (deflating efficiency). Either way: discard and re-measure.
+        # spreading >10% mean steal bursts hit inside pairs; busy-core-scaled
+        # in-run steal >5% means ≥5% of the cpu time OUR run needed was
+        # stolen — inflating the narrow level's wall (false-PASS direction)
+        # or the wide level's (false-FAIL) alike. Either way: discard the
+        # affected pair and re-measure.
         "contaminated": bool(spread > 0.10
-                             or max(p["steal"] for p in pairs) > 0.02),
+                             or max(p["steal"] for p in pairs) > 0.05),
     }
     print(json.dumps(summary))
 

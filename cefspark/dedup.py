@@ -217,19 +217,28 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        # each node adopts min(own comp, neighbors' comps)
+        # each node adopts min(own comp, neighbors' comps); the changed count
+        # comes from the SAME join (new_comp < comp), not a second one
         nbr = (edges.join(labels.withColumnRenamed("id", "y"), "y")
                .groupBy("x").agg(F.min("comp").alias("nbr_comp")))
-        new_labels = (labels.join(nbr.withColumnRenamed("x", "id"), "id", "left")
-                      .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
-                              .alias("comp"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.withColumnRenamed("comp", "new_comp")
-                   .join(labels, "id")
-                   .where(F.col("new_comp") != F.col("comp")).count())
-        labels = new_labels
+        joined = (labels.join(nbr.withColumnRenamed("x", "id"), "id", "left")
+                  .select("id", "comp",
+                          F.least("comp", F.coalesce("nbr_comp", "comp"))
+                          .alias("new_comp"))
+                  .persist())
+        changed = joined.where(F.col("new_comp") < F.col("comp")).count()
         if changed == 0:
+            joined.unpersist()
             return labels
+        # rebinding `labels` drops the last driver reference to the previous
+        # checkpoint; CPython refcounting + Spark's ContextCleaner then
+        # reclaim its blocks (no public API unpersists a localCheckpoint
+        # directly — verified: DataFrame.unpersist()/.rdd.unpersist() are
+        # no-ops on it), so at most a couple of superseded label tables are
+        # ever resident
+        labels = (joined.select("id", F.col("new_comp").alias("comp"))
+                  .localCheckpoint(eager=True))
+        joined.unpersist()
     raise RuntimeError(f"components did not converge in {max_iter} iterations "
                        f"(graph diameter larger than expected for near-dup clusters)")
 

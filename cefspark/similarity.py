@@ -121,10 +121,18 @@ def rademacher_planes(dim: int, n_planes: int) -> list[list[int]]:
             for j in range(n_planes)]
 
 
+_QUANTUM = 1000000.0  # the engine-exact quantum shared by LSH buckets and IVF centroids
+
+
+def _int_elem(x: Column) -> Column:
+    """Quantize one float element to integer 1e-6 units: one float64 multiply
+    + floor (order-free), after which the arithmetic is exact in Spark,
+    Python, and ANSI SQL alike."""
+    return F.floor(x.cast("double") * F.lit(_QUANTUM)).cast("long")
+
+
 def _int_vec(vec: Column) -> Column:
-    """Quantize float elements to integer 1e-6 units: one float64 multiply +
-    floor per element (order-free), after which all LSH arithmetic is exact."""
-    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"))
+    return F.transform(vec, _int_elem)
 
 
 def int_bucket_id(vec: Column, planes: list[list[int]]) -> Column:
@@ -188,12 +196,14 @@ def ivf_build_centroids(df: DataFrame, n_lists: int = 8, vec_col: str = "embeddi
     dim = len(cents[0])
     for _ in range(iters):
         assigned = assign_lists(df, cents, vec_col, id_col)
-        qcol = [F.sum(F.floor(F.col(vec_col).getItem(i).cast("double") * F.lit(1000000.0))
-                      .cast("long")).alias(f"s{i}") for i in range(dim)]
+        # per-element quantization (same engine-exact quantum as the LSH
+        # contract), one column per dimension so each row costs O(dim)
+        qcol = [F.sum(_int_elem(F.col(vec_col).getItem(i))).alias(f"s{i}")
+                for i in range(dim)]
         means = (assigned.groupBy("list_id")
                  .agg(F.count(F.lit(1)).alias("_n"), *qcol)
                  .collect())
-        new = {r["list_id"]: [r[f"s{i}"] / (r["_n"] * 1e6) for i in range(dim)]
+        new = {r["list_id"]: [r[f"s{i}"] / (r["_n"] * _QUANTUM) for i in range(dim)]
                for r in means}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return [list(map(float, c)) for c in cents]

@@ -40,8 +40,11 @@ ZONES = ["", "UTC", "Z", "GMT", "+05:30", "-08:00", "+0530", "+5", "-18:00",
 DTZS = ["", "America/New_York", "Europe/Paris", "Asia/Kolkata", "CET", "EET",
         "EST", "PST", "+02:00", "+0530", "+5", "GMT-07:00", "nonsense/zone"]
 LOCALES = ["", "en", "de", "fr", "fi", "tr",
-           # round-3 locale-table additions (java-dumped)
-           "ru", "ja", "el", "hu", "uk", "hr", "lv", "et", "bg", "sk"]
+           # round-3 locale-table additions (java-dumped); every locale whose
+           # month forms appear in MONTHS must be listed here, or those forms
+           # only ever exercise the both-reject branch
+           "ru", "ja", "el", "hu", "uk", "hr", "lv", "et", "bg", "sk",
+           "ko", "lt", "zh", "ro", "sl", "id"]
 
 
 VALID_MONTHS = MONTHS[:12]
