@@ -1381,6 +1381,31 @@ SELECT doc_id + 200000 AS doc_id, doc_id AS component FROM centers WHERE doc_id 
 """
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5): a pure integer-hash
+    function of the row key — reproducible across runs, engines, partitioning
+    and cluster sizes (Spark's randomSplit is not: its seed stability breaks
+    when AQE re-partitions). No UDF, no shuffle; the split predicate is
+    pushable. The oracle runs the IDENTICAL two-round multiply-mod bucket
+    arithmetic in SQL (every intermediate fits int64)."""
+    from . import sampling
+
+    return sampling.assign_split(
+        _documents(spark, sf_dir).select("doc_id"),
+        weights=(0.9, 0.05, 0.05), salt=7).select("doc_id", "split")
+
+
+from .sampling import split_bucket_sql as _sbs  # noqa: E402 (module-level reuse)
+
+O_SAMPLE_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_sbs('doc_id', 7)} < 900 THEN 'train'
+            WHEN {_sbs('doc_id', 7)} < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_text_token_count(spark, sf_dir):
     return _documents(spark, sf_dir).select(
         "doc_id", textops.token_count(F.col("text")))
@@ -1748,6 +1773,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
+    "sample_split": (q_sample_split, O_SAMPLE_SPLIT),
     # -- training-data ops: text -------------------------------------------
     "text_token_count": (q_text_token_count, O_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),

@@ -178,3 +178,34 @@ def test_components_raises_when_budget_too_small(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "a long, b long")
     with pytest.raises(RuntimeError):
         dedup.components(chain, max_iter=1)
+
+
+def test_assign_split_is_deterministic_and_proportional(spark):
+    from cefspark import sampling
+
+    docs = spark.range(20000).withColumnRenamed("id", "doc_id")
+    s1 = sampling.assign_split(docs, (0.9, 0.05, 0.05), salt=7)
+    counts = {r["split"]: r["n"] for r in
+              s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+    # pure function of the key: identical under different partitioning
+    a = {(r["doc_id"], r["split"]) for r in s1.collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         sampling.assign_split(docs.repartition(13), (0.9, 0.05, 0.05), salt=7).collect()}
+    assert a == b
+    # a different salt reshuffles assignments
+    c = {(r["doc_id"], r["split"]) for r in
+         sampling.assign_split(docs, (0.9, 0.05, 0.05), salt=8).collect()}
+    assert a != c
+
+
+def test_sample_fraction_is_nested_and_exactly_repeatable(spark):
+    from cefspark import sampling
+
+    docs = spark.range(10000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in sampling.sample_fraction(docs, 0.1).collect()}
+    s30 = {r["doc_id"] for r in sampling.sample_fraction(docs, 0.3).collect()}
+    assert s10 and s10 < s30  # smaller cutoff nests inside the larger
+    assert s10 == {r["doc_id"] for r in sampling.sample_fraction(docs, 0.1).collect()}
