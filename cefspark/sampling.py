@@ -26,18 +26,31 @@ _MOD = 1 << 32
 _BUCKETS = 1000
 
 
+_HALF = 1 << 31
+
+
 def split_bucket(id_col: Column, salt: int = 0) -> Column:
-    """Deterministic bucket in [0, 1000) from an integer key: two
-    multiply-mod-2^32 rounds, high 16 bits, mod 1000. Max intermediate is
-    (2^32-1) * 69069 < 2^63, so the arithmetic is exact in every engine."""
-    h1 = (id_col.cast("long") * F.lit(_M1) + F.lit(40503 + salt)) % F.lit(_MOD)
+    """Deterministic bucket in [0, 1000) from an integer key: the key's low
+    31 bits and high bits are folded with separate multipliers, then a second
+    multiply-mod-2^32 round, high 16 bits, mod 1000.
+
+    Overflow-proof for the FULL int64 key range (a naive `id * M1` overflows
+    a signed 64-bit long — and throws under Spark's ANSI mode — for ids above
+    ~3.4e9, which a web-scale corpus exceeds): max intermediate here is
+    2^31 * 2654435761 + 2^33 * 40503 < 2^63. Exact in Spark, Python, and
+    ANSI SQL alike."""
+    key = id_col.cast("long")
+    h1 = ((key % F.lit(_HALF)) * F.lit(_M1)
+          + F.shiftright(key, 31) * F.lit(40503)
+          + F.lit(40503 + salt)) % F.lit(_MOD)
     h2 = (h1 * F.lit(_M2)) % F.lit(_MOD)
     return F.shiftright(h2, 16) % F.lit(_BUCKETS)
 
 
 def split_bucket_sql(id_expr: str, salt: int = 0) -> str:
     """The identical bucket expression in ANSI SQL (DuckDB-ready)."""
-    h1 = f"(({id_expr}) * {_M1} + {40503 + salt}) % {_MOD}"
+    h1 = (f"((({id_expr}) % {_HALF}) * {_M1}"
+          f" + (({id_expr}) // {_HALF}) * 40503 + {40503 + salt}) % {_MOD}")
     return f"((({h1}) * {_M2}) % {_MOD} // 65536) % {_BUCKETS}"
 
 

@@ -209,3 +209,22 @@ def test_sample_fraction_is_nested_and_exactly_repeatable(spark):
     s30 = {r["doc_id"] for r in sampling.sample_fraction(docs, 0.3).collect()}
     assert s10 and s10 < s30  # smaller cutoff nests inside the larger
     assert s10 == {r["doc_id"] for r in sampling.sample_fraction(docs, 0.1).collect()}
+
+
+def test_split_bucket_full_int64_range_matches_sql_oracle(spark):
+    import duckdb
+
+    from cefspark import sampling
+
+    # keys beyond 2^32 would overflow a naive id*M1 under ANSI mode; the
+    # folded form must stay exact and SQL-identical across the full range
+    ids = [0, 1, 999, 2**31 - 1, 2**31, 2**32 + 12345, 10**15, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["b"] for r in
+           df.select("doc_id", sampling.split_bucket(F.col("doc_id"), salt=7)
+                     .alias("b")).collect()}
+    con = duckdb.connect()
+    for i in ids:
+        want = con.execute(
+            f"SELECT {sampling.split_bucket_sql(str(i), 7)}").fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
