@@ -19,7 +19,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, pipeline, similarity, sources, textops
+from . import dedup, pipeline, sampling, similarity, sources, textops
 from . import timestamps as ts_mod
 from .encoder import EncoderConfig
 from .parser import DecodeConfig
@@ -1388,19 +1388,15 @@ def q_sample_split(spark, sf_dir):
     when AQE re-partitions). No UDF, no shuffle; the split predicate is
     pushable. The oracle runs the IDENTICAL two-round multiply-mod bucket
     arithmetic in SQL (every intermediate fits int64)."""
-    from . import sampling
-
     return sampling.assign_split(
         _documents(spark, sf_dir).select("doc_id"),
         weights=(0.9, 0.05, 0.05), salt=7).select("doc_id", "split")
 
 
-from .sampling import split_bucket_sql as _sbs  # noqa: E402 (module-level reuse)
-
 O_SAMPLE_SPLIT = f"""
 SELECT doc_id,
-       CASE WHEN {_sbs('doc_id', 7)} < 900 THEN 'train'
-            WHEN {_sbs('doc_id', 7)} < 950 THEN 'val'
+       CASE WHEN {sampling.split_bucket_sql('doc_id', 7)} < 900 THEN 'train'
+            WHEN {sampling.split_bucket_sql('doc_id', 7)} < 950 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """

@@ -8,9 +8,15 @@ different input split — unusable as a durable dataset contract), and (b)
 computable push-down-side as a plain integer expression (no UDF), so a
 "train only" reader scans with a catalyst filter.
 
-The hash is two rounds of multiply-mod-2^32 taking high bits — every
-intermediate fits a signed 64-bit integer, so the same expression runs
-exactly in Spark, Python, and ANSI SQL (the oracle mirrors it verbatim).
+The hash folds the key's low/high bits with two multiply-mod-2^32 rounds and
+takes high bits — every intermediate fits a signed 64-bit integer, so the
+same expression runs exactly in Spark, Python, and ANSI SQL.
+
+Keys MUST be non-negative: engines disagree on negative integer division
+(Spark shiftright floors, DuckDB `//` truncates toward zero, Python `//`
+floors), so a negative key cannot have an engine-exact bucket. The Spark
+expression fails loudly (assert_true) rather than assigning silently-wrong
+splits.
 """
 
 from __future__ import annotations
@@ -20,37 +26,42 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_M1 = 2654435761  # Knuth multiplicative constants (same family as similarity)
+# the same Knuth multiplicative-mix family as the engine-exact LSH contract
+from .similarity import _MIX_A as _M1
+from .similarity import _MIX_B as _FOLD
+from .similarity import _MOD
+
 _M2 = 69069
-_MOD = 1 << 32
 _BUCKETS = 1000
-
-
 _HALF = 1 << 31
 
 
 def split_bucket(id_col: Column, salt: int = 0) -> Column:
-    """Deterministic bucket in [0, 1000) from an integer key: the key's low
-    31 bits and high bits are folded with separate multipliers, then a second
-    multiply-mod-2^32 round, high 16 bits, mod 1000.
+    """Deterministic bucket in [0, 1000) from a NON-NEGATIVE integer key:
+    the key's low 31 bits and high bits are folded with separate multipliers,
+    then a second multiply-mod-2^32 round, high 16 bits, mod 1000.
 
-    Overflow-proof for the FULL int64 key range (a naive `id * M1` overflows
-    a signed 64-bit long — and throws under Spark's ANSI mode — for ids above
-    ~3.4e9, which a web-scale corpus exceeds): max intermediate here is
-    2^31 * 2654435761 + 2^33 * 40503 < 2^63. Exact in Spark, Python, and
-    ANSI SQL alike."""
+    Overflow-proof for the full non-negative int64 range (a naive `id * M1`
+    overflows a signed long — and throws under Spark's ANSI mode — for ids
+    above ~3.4e9, which a web-scale corpus exceeds): max intermediate is
+    2^31 * 2654435761 + 2^32 * 40503 < 2^63. A negative key raises at
+    runtime (see module docstring)."""
     key = id_col.cast("long")
+    guard = F.assert_true(key >= F.lit(0),
+                          F.lit("split_bucket requires non-negative keys"))
     h1 = ((key % F.lit(_HALF)) * F.lit(_M1)
-          + F.shiftright(key, 31) * F.lit(40503)
-          + F.lit(40503 + salt)) % F.lit(_MOD)
+          + F.shiftright(key, 31) * F.lit(_FOLD)
+          + F.lit(_FOLD + salt)) % F.lit(_MOD)
     h2 = (h1 * F.lit(_M2)) % F.lit(_MOD)
-    return F.shiftright(h2, 16) % F.lit(_BUCKETS)
+    bucket = F.shiftright(h2, 16) % F.lit(_BUCKETS)
+    return F.when(guard.isNull(), bucket)
 
 
 def split_bucket_sql(id_expr: str, salt: int = 0) -> str:
-    """The identical bucket expression in ANSI SQL (DuckDB-ready)."""
+    """The identical bucket expression in ANSI SQL (DuckDB-ready); callers
+    guarantee the key expression is non-negative."""
     h1 = (f"((({id_expr}) % {_HALF}) * {_M1}"
-          f" + (({id_expr}) // {_HALF}) * 40503 + {40503 + salt}) % {_MOD}")
+          f" + (({id_expr}) // {_HALF}) * {_FOLD} + {_FOLD + salt}) % {_MOD}")
     return f"((({h1}) * {_M2}) % {_MOD} // 65536) % {_BUCKETS}"
 
 
@@ -67,17 +78,23 @@ def assign_split(df: DataFrame, weights: Sequence[float],
     cuts = []
     acc = 0.0
     for w in weights:
+        if w <= 0:
+            raise ValueError(f"weights must be positive (got {w})")
         acc += w
-        cuts.append(round(acc * _BUCKETS))
+        hi = round(acc * _BUCKETS)
+        if hi <= (cuts[-1] if cuts else 0):
+            raise ValueError(
+                f"weight {w} resolves to an empty bucket range at {_BUCKETS} "
+                f"buckets (cutoffs so far {cuts + [hi]}); use larger weights")
+        cuts.append(hi)
     if cuts[-1] != _BUCKETS:
         raise ValueError(f"weights must sum to 1.0 (got cutoffs {cuts})")
     b = split_bucket(F.col(id_col), salt)
+    # when-chains are first-match-wins, so `b < hi` alone suffices per branch
     expr = None
-    lo = 0
     for name, hi in zip(names, cuts):
-        cond = b < F.lit(hi) if expr is None else (b >= F.lit(lo)) & (b < F.lit(hi))
+        cond = b < F.lit(hi)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-        lo = hi
     return df.withColumn("split", expr)
 
 

@@ -217,8 +217,11 @@ def test_split_bucket_full_int64_range_matches_sql_oracle(spark):
     from cefspark import sampling
 
     # keys beyond 2^32 would overflow a naive id*M1 under ANSI mode; the
-    # folded form must stay exact and SQL-identical across the full range
-    ids = [0, 1, 999, 2**31 - 1, 2**31, 2**32 + 12345, 10**15, 2**62]
+    # folded form must stay exact and SQL-identical across the full
+    # NON-NEGATIVE range (engines disagree on negative integer division —
+    # Spark shiftright floors, DuckDB // truncates — so negatives are
+    # rejected loudly rather than silently diverging)
+    ids = [0, 1, 999, 2**31 - 1, 2**31, 2**32 + 12345, 10**15, 2**62, 2**63 - 1]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     got = {r["doc_id"]: r["b"] for r in
            df.select("doc_id", sampling.split_bucket(F.col("doc_id"), salt=7)
@@ -228,3 +231,19 @@ def test_split_bucket_full_int64_range_matches_sql_oracle(spark):
         want = con.execute(
             f"SELECT {sampling.split_bucket_sql(str(i), 7)}").fetchone()[0]
         assert got[i] == want, (i, got[i], want)
+
+    neg = spark.createDataFrame([(-1,), (-2**62,)], "doc_id long")
+    with pytest.raises(Exception, match="non-negative"):
+        neg.select(sampling.split_bucket(F.col("doc_id")).alias("b")).collect()
+
+
+def test_assign_split_rejects_degenerate_weights(spark):
+    from cefspark import sampling
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        sampling.assign_split(docs, (1.1, -0.05, -0.05))
+    with pytest.raises(ValueError, match="empty bucket range"):
+        sampling.assign_split(docs, (0.0004, 0.0006, 0.999))
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        sampling.assign_split(docs, (0.5, 0.2, 0.2))
