@@ -30,7 +30,7 @@ HEADLINE = [
     "dedup_simhash",         # multi-index block join
     "dedup_clusters",        # iterative connected-components label propagation
     "emb_neardup_cosine",    # bucketed near-dup path
-    "multimodal_wav_meta",   # real WAV codec through mapInPandas
+    "multimodal_codec_meta", # real WAV + BMP codecs through mapInPandas
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",

@@ -153,6 +153,69 @@ def parse_wav(payload: bytes) -> dict:
             "duration_ms": n_frames * 1000 // sample_rate}
 
 
+# --- real BMP codec (pure stdlib: BITMAPFILEHEADER + BITMAPINFOHEADER) --------
+
+def build_bmp(width: int, height: int, with_gap: bool = False) -> bytes:
+    """Serialize a real 24-bit uncompressed BMP with a deterministic gradient
+    payload. ``with_gap`` inserts padding between headers and pixel data (the
+    pixel-array offset field must be honored, not assumed) — readable by any
+    BMP reader."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    pixels = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((x * 7 + y * 13) % 256 for _ in range(3)))
+        row += b"\x00" * (row_bytes - len(row))
+        pixels += row
+    gap = b"GAPGAPGP" if with_gap else b""
+    offset = 14 + 40 + len(gap)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    return bytes(header + info + gap + pixels)
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Parse uncompressed-BMP metadata (width/height/bpp/pixel bytes).
+    Raises ValueError on malformed/truncated containers, NotImplementedError
+    on compressed encodings (a real codec library's job)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    _, file_size, _, _, offset = struct.unpack("<2sIHHI", payload[:14])
+    hdr_size, width, height, _, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34])
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header version")
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) requires a codec library")
+    height = abs(height)  # negative height = top-down row order
+    row_bytes = (width * 3 + 3) & ~3 if bpp == 24 else (width * bpp // 8 + 3) & ~3
+    n_pixel_bytes = row_bytes * height
+    if offset + n_pixel_bytes > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    return {"width": width, "height": height, "bits_per_pixel": bpp,
+            "n_pixel_bytes": n_pixel_bytes}
+
+
+def _bmp_features(payload: bytes) -> list[float]:
+    """Real image features: mean intensity per horizontal band (FEATURE_DIM
+    bands), normalized to [0, 1] — deterministic, library-free."""
+    import struct
+
+    meta = parse_bmp(payload)
+    offset = struct.unpack("<I", payload[10:14])[0]
+    px = np.frombuffer(payload[offset:offset + meta["n_pixel_bytes"]],
+                       dtype=np.uint8).astype(np.float64)
+    bands = np.array_split(px, FEATURE_DIM)
+    return [float(np.mean(b) / 255.0) if len(b) else 0.0 for b in bands]
+
+
 def synthesize_wav_assets(spark: SparkSession, n: int) -> DataFrame:
     """Real WAV assets with structurally-varied parameters (rate/channels/
     length derived from the index; every 5th carries an extra LIST chunk).
@@ -174,6 +237,49 @@ def synthesize_wav_assets(spark: SparkSession, n: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
 
     return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def synthesize_bmp_assets(spark: SparkSession, n: int) -> DataFrame:
+    """Real BMP assets with index-derived dimensions (every 4th carries a
+    header-to-pixels gap, so parsers must honor the offset field). Built
+    executor-side like the WAV fixture."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_i in pdf["id"]:
+                i = int(raw_i)
+                rows.append((f"img-{i:06d}", "image",
+                             build_bmp(4 + i % 9, 3 + i % 5, with_gap=(i % 4 == 0)),
+                             {"codec": "bmp"}))
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("bits_per_pixel", IntegerType()),
+    StructField("n_pixel_bytes", IntegerType()),
+])
+
+
+def extract_image_meta(df: DataFrame) -> DataFrame:
+    """Real image metadata extraction (mapInPandas over BMP payloads)."""
+    meta_cols = ["width", "height", "bits_per_pixel", "n_pixel_bytes"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_bmp(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(metas, columns=meta_cols)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            for c in meta_cols:
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return df.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
 def extract_audio_meta(df: DataFrame) -> DataFrame:
@@ -233,9 +339,9 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
     """binary payload -> feature vector, batched via mapInPandas.
 
     ``deterministic_fake=False`` runs the REAL decode where one exists: PCM
-    WAV audio (pure-stdlib RIFF parser + RMS envelope). Image/video decode
-    still needs a codec library and raises — that is the one remaining
-    stubbed codec interior."""
+    WAV audio (pure-stdlib RIFF parser + RMS envelope) and uncompressed BMP
+    images (header walk + band intensities). Video decode still needs a
+    codec library and raises — the one remaining stubbed codec interior."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,9 +352,11 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
                     feats.append(_fake_features(b))
                 elif kind == "audio" and b[:4] == b"RIFF":
                     feats.append(_wav_features(b))
+                elif kind == "image" and b[:2] == b"BM":
+                    feats.append(_bmp_features(b))
                 else:
                     raise NotImplementedError(
-                        "real image/video decode requires a codec library; "
+                        "real video decode requires a codec library; "
                         "plug one in here")
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],

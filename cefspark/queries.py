@@ -1062,33 +1062,49 @@ WHERE i % 3 = 2
 """
 
 
-def q_multimodal_wav_meta(spark, sf_dir):
-    """REAL multimodal codec path: spec-conformant PCM WAV blobs are built
-    executor-side and parsed back by the pure-stdlib RIFF chunk walker
-    (multimodal.parse_wav — works on any PCM WAV, pytest cross-checks against
-    stdlib `wave`). The oracle states the generation formula; a match proves
-    the parser recovered rate/channels/frame-count/duration from real bytes
-    (every 5th asset carries an extra LIST chunk before data, so seeking to a
-    fixed offset would fail — the walker is genuinely walking)."""
+def q_multimodal_codec_meta(spark, sf_dir):
+    """REAL multimodal codec paths: spec-conformant PCM WAV and uncompressed
+    BMP blobs are built executor-side and parsed back by pure-stdlib walkers
+    (multimodal.parse_wav / parse_bmp — they work on any real PCM WAV /
+    uncompressed BMP; pytest cross-checks WAV against stdlib `wave`). The
+    oracle states the generation formulas; a match proves the parsers
+    recovered rate/channels/frames/duration and width/height/bpp/pixel-bytes
+    from real bytes. Fixtures include structural traps (every 5th WAV has an
+    extra LIST chunk before data; every 4th BMP has a header-to-pixel gap),
+    so fixed-offset 'parsing' would fail — the walkers genuinely walk."""
     from . import multimodal
 
-    assets = multimodal.synthesize_wav_assets(spark, n=240)
-    meta = multimodal.extract_audio_meta(assets)
-    return meta.select(
-        "asset_id",
-        F.col("channels").cast("long").alias("channels"),
-        F.col("sample_rate").cast("long").alias("sample_rate"),
-        F.col("n_frames").cast("long").alias("n_frames"),
-        F.col("duration_ms").cast("long").alias("duration_ms"))
+    wav = multimodal.extract_audio_meta(
+        multimodal.synthesize_wav_assets(spark, n=240)).select(
+        "asset_id", F.lit("wav").alias("codec"),
+        F.col("channels").cast("long").alias("m1"),
+        F.col("sample_rate").cast("long").alias("m2"),
+        F.col("n_frames").cast("long").alias("m3"),
+        F.col("duration_ms").cast("long").alias("m4"))
+    bmp = multimodal.extract_image_meta(
+        multimodal.synthesize_bmp_assets(spark, n=200)).select(
+        "asset_id", F.lit("bmp").alias("codec"),
+        F.col("width").cast("long").alias("m1"),
+        F.col("height").cast("long").alias("m2"),
+        F.col("bits_per_pixel").cast("long").alias("m3"),
+        F.col("n_pixel_bytes").cast("long").alias("m4"))
+    return wav.unionByName(bmp)
 
 
-O_MULTIMODAL_WAV_META = """
-SELECT printf('asset-%06d', i) AS asset_id,
-       CAST(1 + i % 2 AS BIGINT) AS channels,
-       CAST(8000 * (1 + i % 3) AS BIGINT) AS sample_rate,
-       CAST(80 + (i % 7) * 40 AS BIGINT) AS n_frames,
-       CAST((80 + (i % 7) * 40) * 1000 // (8000 * (1 + i % 3)) AS BIGINT) AS duration_ms
+O_MULTIMODAL_CODEC_META = """
+SELECT printf('asset-%06d', i) AS asset_id, 'wav' AS codec,
+       CAST(1 + i % 2 AS BIGINT) AS m1,
+       CAST(8000 * (1 + i % 3) AS BIGINT) AS m2,
+       CAST(80 + (i % 7) * 40 AS BIGINT) AS m3,
+       CAST((80 + (i % 7) * 40) * 1000 // (8000 * (1 + i % 3)) AS BIGINT) AS m4
 FROM generate_series(0, 239) t(i)
+UNION ALL
+SELECT printf('img-%06d', i) AS asset_id, 'bmp' AS codec,
+       CAST(4 + i % 9 AS BIGINT) AS m1,
+       CAST(3 + i % 5 AS BIGINT) AS m2,
+       CAST(24 AS BIGINT) AS m3,
+       CAST((((4 + i % 9) * 3 + 3) // 4 * 4) * (3 + i % 5) AS BIGINT) AS m4
+FROM generate_series(0, 199) t(i)
 """
 
 
@@ -1786,5 +1802,5 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     # -- multimodal ---------------------------------------------------------
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, O_MULTIMODAL_FRAMES),
-    "multimodal_wav_meta": (q_multimodal_wav_meta, O_MULTIMODAL_WAV_META),
+    "multimodal_codec_meta": (q_multimodal_codec_meta, O_MULTIMODAL_CODEC_META),
 }

@@ -166,3 +166,38 @@ def test_real_audio_features_are_rms_envelope(spark):
     again = {r["asset_id"]: r["features"] for r in
              multimodal.extract_features(assets, deterministic_fake=False).collect()}
     assert all(np.allclose(feats[k], again[k]) for k in feats)
+
+
+def test_parse_bmp_honors_pixel_offset_and_rejects_bad_input():
+    import struct
+
+    import pytest as _pytest
+
+    from cefspark import multimodal
+
+    # gap between headers and pixels: the offset field must be honored
+    blob = multimodal.build_bmp(7, 5, with_gap=True)
+    meta = multimodal.parse_bmp(blob)
+    assert meta == {"width": 7, "height": 5, "bits_per_pixel": 24,
+                    "n_pixel_bytes": 24 * 5}  # rows pad 21 -> 24 bytes
+    with _pytest.raises(ValueError):
+        multimodal.parse_bmp(b"BMtooshort")
+    with _pytest.raises(ValueError):
+        multimodal.parse_bmp(blob[:40])  # truncated pixel array
+    comp = bytearray(blob)
+    comp[30:34] = struct.pack("<I", 1)  # BI_RLE8 compression tag
+    with _pytest.raises(NotImplementedError):
+        multimodal.parse_bmp(bytes(comp))
+
+
+def test_real_image_features_are_band_intensities(spark):
+    from cefspark import multimodal
+
+    assets = multimodal.synthesize_bmp_assets(spark, n=6)
+    feats = {r["asset_id"]: r["features"] for r in
+             multimodal.extract_features(assets, deterministic_fake=False).collect()}
+    assert len(feats) == 6
+    for f in feats.values():
+        assert len(f) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in f)
+        assert any(x > 0.0 for x in f)  # gradient payload is not all-black
