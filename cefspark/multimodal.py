@@ -147,6 +147,8 @@ def parse_wav(payload: bytes) -> dict:
             f"non-PCM WAV (format {audio_format}) requires a codec library")
     if block_align == 0:
         raise ValueError("zero block_align")
+    if sample_rate == 0:
+        raise ValueError("zero sample_rate")
     n_frames = data_len // block_align
     return {"channels": channels, "sample_rate": sample_rate,
             "bits_per_sample": bits, "n_frames": n_frames,
@@ -194,8 +196,14 @@ def parse_bmp(payload: bytes) -> dict:
     if compression != 0:
         raise NotImplementedError(
             f"compressed BMP (method {compression}) requires a codec library")
+    if width <= 0:
+        raise ValueError(f"non-positive BMP width {width}")
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
     height = abs(height)  # negative height = top-down row order
-    row_bytes = (width * 3 + 3) & ~3 if bpp == 24 else (width * bpp // 8 + 3) & ~3
+    # rows pad to 4-byte boundaries in BITS, not bytes: width=33 @ 1bpp is
+    # 8 stride bytes (ceil(33/32)*4), which the naive byte formula gets wrong
+    row_bytes = ((width * bpp + 31) // 32) * 4
     n_pixel_bytes = row_bytes * height
     if offset + n_pixel_bytes > len(payload):
         raise ValueError("truncated BMP pixel array")
@@ -350,9 +358,12 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
                 b = bytes(payload)
                 if deterministic_fake:
                     feats.append(_fake_features(b))
-                elif kind == "audio" and b[:4] == b"RIFF":
+                elif kind == "audio":
+                    # dispatch on kind, not magic bytes: a corrupt audio blob
+                    # must hit parse_wav's typed ValueError, not fall through
+                    # to the video NotImplementedError
                     feats.append(_wav_features(b))
-                elif kind == "image" and b[:2] == b"BM":
+                elif kind == "image":
                     feats.append(_bmp_features(b))
                 else:
                     raise NotImplementedError(

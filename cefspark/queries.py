@@ -406,9 +406,13 @@ def q_set_ops(spark, sf_dir):
     lazy, ev = _set_ops_lazy(spark, sf_dir)
     # eager localCheckpoint materializes through the cache, then the decode
     # cache can drop immediately; the checkpointed result (event_ids only,
-    # tiny) is GC-reclaimed with the returned DataFrame, unlike a SQL cache
-    out = lazy.localCheckpoint(eager=True)
-    ev.unpersist(blocking=True)  # blocking: gone before the caller's next action
+    # tiny) is GC-reclaimed with the returned DataFrame, unlike a SQL cache.
+    # finally: a failed materialization must not leave the session-lifetime
+    # cache behind — that cache is exactly what this function exists to drop.
+    try:
+        out = lazy.localCheckpoint(eager=True)
+    finally:
+        ev.unpersist(blocking=True)  # blocking: gone before the caller's next action
     return out
 
 

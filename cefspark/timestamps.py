@@ -179,21 +179,31 @@ for _lang, _tbl in _MONTHS.items():
 _MONTH_MAX_DAY = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
 
-_LOWER_TABLES: dict[int, dict[str, int]] = {}
+# id(table) -> (table, lowered). The strong reference to `table` is the
+# correctness guarantee: a cached id can never be GC'd and reused by a
+# different dict, so a caller-supplied temporary table can't silently
+# resolve months against a stale entry. Size-capped so hostile/degenerate
+# callers can't grow it unboundedly — past the cap we just rebuild per call.
+_LOWER_TABLES: dict[int, tuple[dict[str, int], dict[str, int]]] = {}
+_LOWER_TABLES_CAP = 256
 
 
 def resolve_month(table: dict[str, int], token: str) -> Optional[int]:
     """Month-resolution order shared by the parser and the parity-fuzz
     canonicalizer (tools/fuzz_timestamps.py): exact merged-table form first,
     then the documented case-insensitive fallback. The lowered table is cached
-    per table identity — the tables are module-level constants, and a producer
-    emitting e.g. 'SEP' would otherwise pay a dict build per row."""
+    per table identity (pinning the table itself so ids stay unique) — the
+    tables are module-level constants, and a producer emitting e.g. 'SEP'
+    would otherwise pay a dict build per row."""
     idx = table.get(token)
     if idx is None:
-        lowered = _LOWER_TABLES.get(id(table))
-        if lowered is None:
+        entry = _LOWER_TABLES.get(id(table))
+        if entry is not None and entry[0] is table:
+            lowered = entry[1]
+        else:
             lowered = {k.lower(): v for k, v in table.items()}
-            _LOWER_TABLES[id(table)] = lowered
+            if len(_LOWER_TABLES) < _LOWER_TABLES_CAP:
+                _LOWER_TABLES[id(table)] = (table, lowered)
         idx = lowered.get(token.lower())
     return idx
 
@@ -201,11 +211,10 @@ def resolve_month(table: dict[str, int], token: str) -> Optional[int]:
 @lru_cache(maxsize=None)
 def _month_table(locale: Optional[str]) -> dict[str, int]:
     """Merged month table per locale. Cached UNBOUNDED so the returned dict is
-    a true process-lifetime singleton — the id()-keyed lowered-table cache in
-    resolve_month is only safe if table dicts are never freed (a bounded cache
-    could evict, GC the dict, and let a new table reuse its id, silently
-    serving the wrong locale). Growth is bounded by distinct locale strings in
-    the config surface (tiny). Callers treat the result as read-only."""
+    a true process-lifetime singleton (resolve_month's lowered-table cache now
+    pins tables itself, so this is a perf property, not a safety one). Growth
+    is bounded by distinct locale strings in the config surface (tiny).
+    Callers treat the result as read-only."""
     if not locale:
         return _MONTHS["en"]
     lang = locale.replace("-", "_").split("_")[0].lower()

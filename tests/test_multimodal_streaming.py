@@ -201,3 +201,61 @@ def test_real_image_features_are_band_intensities(spark):
         assert len(f) == multimodal.FEATURE_DIM
         assert all(0.0 <= x <= 1.0 for x in f)
         assert any(x > 0.0 for x in f)  # gradient payload is not all-black
+
+
+def test_parse_bmp_sub_byte_stride_and_negative_width():
+    """ADVICE r3: stride must round up in BITS (width=33 @ 1bpp -> 8 bytes,
+    not 4), width<=0 and exotic bit depths are typed rejections."""
+    import struct
+
+    import pytest as _pytest
+
+    from cefspark import multimodal
+
+    def bmp_with(width, height, bpp, n_pixel_bytes):
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                           n_pixel_bytes, 2835, 2835, 0, 0)
+        header = struct.pack("<2sIHHI", b"BM", 54 + n_pixel_bytes, 0, 0, 54)
+        return header + info + b"\x00" * n_pixel_bytes
+
+    # 33px @ 1bpp: ceil(33/32)*4 = 8 stride bytes per row
+    meta = multimodal.parse_bmp(bmp_with(33, 2, 1, 16))
+    assert meta["n_pixel_bytes"] == 16
+    # the old byte-granularity formula would claim 4-byte rows -> 8 total and
+    # wrongly accept this truncated blob; the bit-exact formula rejects it
+    with _pytest.raises(ValueError):
+        multimodal.parse_bmp(bmp_with(33, 2, 1, 8))
+    with _pytest.raises(ValueError):
+        multimodal.parse_bmp(bmp_with(-7, 2, 24, 64))
+    with _pytest.raises(ValueError):
+        multimodal.parse_bmp(bmp_with(4, 2, 13, 64))
+
+
+def test_parse_wav_zero_sample_rate_is_typed():
+    """ADVICE r3: sample_rate=0 must raise ValueError, not ZeroDivisionError."""
+    import struct
+
+    import pytest as _pytest
+
+    from cefspark import multimodal
+
+    blob = bytearray(multimodal.build_wav(8000, 10))
+    fmt_at = blob.find(b"fmt ") + 8
+    blob[fmt_at + 4:fmt_at + 8] = struct.pack("<I", 0)  # sample_rate = 0
+    with _pytest.raises(ValueError):
+        multimodal.parse_wav(bytes(blob))
+
+
+def test_extract_features_dispatches_on_kind_not_magic(spark):
+    """ADVICE r3: a corrupt audio payload (kind='audio', wrong magic) must
+    surface the parser's typed ValueError, not the video NotImplementedError."""
+    import pytest as _pytest
+
+    from cefspark import multimodal
+
+    bad = spark.createDataFrame(
+        [("a-0", "audio", b"not riff at all", {})], multimodal.ASSET_SCHEMA)
+    with _pytest.raises(Exception) as ei:
+        multimodal.extract_features(bad, deterministic_fake=False).collect()
+    assert "not a RIFF/WAVE container" in str(ei.value)
+    assert "NotImplementedError" not in str(ei.value)

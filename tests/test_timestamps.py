@@ -356,3 +356,22 @@ def test_epoch_millis_out_of_range_fails_per_row():
         n.normalize("1755302400000000")  # epoch MICROseconds -> year ~57588
     with pytest.raises(InvalidTimestamp):
         n.normalize("99999999999999999999")
+
+
+def test_resolve_month_temporary_table_never_misresolves():
+    """ADVICE r3: id()-reuse after GC of a caller-temporary table must not
+    serve another table's lowered cache — the cache pins the keyed table."""
+    import gc
+
+    from cefspark import timestamps
+
+    for i in range(50):
+        tbl = {f"Mo{i}": i + 1, "Zzz": 12}
+        assert timestamps.resolve_month(dict(tbl), f"MO{i}") == i + 1
+        gc.collect()
+    # cache stays bounded even under a churn of temporaries
+    assert len(timestamps._LOWER_TABLES) <= timestamps._LOWER_TABLES_CAP
+    # and every cached entry still matches the object it was built from
+    for _id, (tbl, lowered) in timestamps._LOWER_TABLES.items():
+        assert id(tbl) == _id
+        assert lowered == {k.lower(): v for k, v in tbl.items()}
