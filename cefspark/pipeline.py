@@ -149,32 +149,60 @@ def lineage(routed: DataFrame) -> DataFrame:
 
 @dataclass
 class PipelineResult:
+    """Driver-bounded job report: top-line scalars + a bounded top-k, never
+    the full sink x window count relation (at 100 TB x years that is millions
+    of rows — it belongs in a table, not a dataclass). The full counts land
+    at ``counts_path`` when one is given."""
     n_input: int
     n_failed: int
-    counts: list
+    n_sinks: int
+    top_sinks: list  # [(sink_id, n_events)] — at most top_k rows
     wall_seconds: float
     lineage_rows: int = 0
+    counts_path: Optional[str] = None
 
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  sink_path: Optional[str] = None,
                  decode_config: Optional[DecodeConfig] = None,
                  salt_buckets: int = 8,
-                 collect_lineage: bool = False) -> PipelineResult:
-    """decode -> enrich -> route -> (optional sink write) -> windowed counts."""
+                 collect_lineage: bool = False,
+                 counts_path: Optional[str] = None,
+                 top_k: int = 10) -> PipelineResult:
+    """decode -> enrich -> route -> (optional sink write) -> windowed counts.
+
+    The windowed counts stay distributed: they are materialized once
+    (eager localCheckpoint — tiny relation, sinks x hours rows), optionally
+    written to ``counts_path`` as the system-of-record report table, and the
+    driver receives only scalars plus the ``top_k`` busiest sinks."""
     t0 = time.time()
     # counts-only runs skip the extensions-map Arrow transfer entirely;
     # sink writes need the full event (sinks are the system of record)
     cols = None if sink_path else ROUTING_COLUMNS
     routed = route(enrich(decode(transcripts, config=decode_config, columns=cols), spark))
     routed = routed.persist() if sink_path else routed
-    if sink_path:
-        write_sinks(routed, sink_path, salt_buckets=salt_buckets)
-    counts = sink_counts(routed).collect()
-    n_input = sum(r["n_events"] for r in counts)
-    n_failed = sum(r["n_events"] for r in counts if r["sink_id"] == FAILURE_SINK)
-    lin = lineage(routed).count() if collect_lineage else 0
-    if sink_path:
-        routed.unpersist()
-    return PipelineResult(n_input=n_input, n_failed=n_failed, counts=counts,
-                          wall_seconds=time.time() - t0, lineage_rows=lin)
+    try:
+        if sink_path:
+            write_sinks(routed, sink_path, salt_buckets=salt_buckets)
+        # materialize the (tiny) agg once; the scalar/top-k jobs below then
+        # read the checkpoint instead of re-running the decode
+        counts = sink_counts(routed).localCheckpoint(eager=True)
+        if counts_path:
+            counts.write.mode("overwrite").parquet(counts_path)
+        agg = counts.agg(
+            F.sum("n_events").alias("n_input"),
+            F.sum(F.when(F.col("sink_id") == FAILURE_SINK, F.col("n_events"))
+                  .otherwise(F.lit(0))).alias("n_failed"),
+            F.count_distinct("sink_id").alias("n_sinks")).first()
+        top = (counts.groupBy("sink_id").agg(F.sum("n_events").alias("n_events"))
+               .orderBy(F.desc("n_events"), F.asc("sink_id")).limit(top_k).collect())
+        lin = lineage(routed).count() if collect_lineage else 0
+    finally:
+        if sink_path:
+            routed.unpersist()
+    return PipelineResult(
+        n_input=int(agg["n_input"] or 0), n_failed=int(agg["n_failed"] or 0),
+        n_sinks=int(agg["n_sinks"]),
+        top_sinks=[(r["sink_id"], r["n_events"]) for r in top],
+        wall_seconds=time.time() - t0, lineage_rows=lin,
+        counts_path=counts_path)

@@ -924,9 +924,11 @@ def q_checkpoint_resume(spark, sf_dir):
     t.commit(scan1.select("event_id"), inputs=storage.list_input_files(scan1))
     scan_all = spark.read.parquet(f"{base}/in/batch1", f"{base}/in/batch2")
     fresh = t.filter_new_inputs(scan_all)
-    # per-snapshot lineage records what THIS commit actually consumed (the
-    # chain union still covers everything for resume)
-    t.commit(fresh.select("event_id"), inputs=storage.list_input_files(fresh))
+    # lineage records the files visible to this run's scan (list_input_files
+    # is plan metadata — call it on the scan, not the post-anti-join `fresh`,
+    # whose leaves also include the manifest JSONs); re-listing batch1 is
+    # idempotent for resume, the chain union still covers everything once
+    t.commit(fresh.select("event_id"), inputs=storage.list_input_files(scan_all))
 
     out = None
     sid = t.latest_snapshot_id()

