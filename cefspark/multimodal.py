@@ -25,7 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
-                               MapType, StringType, StructField, StructType)
+                               LongType, MapType, StringType, StructField,
+                               StructType)
 
 ASSET_SCHEMA = StructType([
     StructField("asset_id", StringType()),
@@ -211,17 +212,25 @@ def parse_bmp(payload: bytes) -> dict:
             "n_pixel_bytes": n_pixel_bytes}
 
 
-def _bmp_features(payload: bytes) -> list[float]:
-    """Real image features: mean intensity per horizontal band (FEATURE_DIM
-    bands), normalized to [0, 1] — deterministic, library-free."""
+def _bmp_block_stats(payload: bytes) -> list[tuple[int, int]]:
+    """Exact integer per-band stats: (sum of pixel bytes, n bytes) for each of
+    FEATURE_DIM np.array_split bands. Integer-exact by construction, so an SQL
+    oracle can reproduce them bit-for-bit from the fixture's closed form."""
     import struct
 
     meta = parse_bmp(payload)
     offset = struct.unpack("<I", payload[10:14])[0]
     px = np.frombuffer(payload[offset:offset + meta["n_pixel_bytes"]],
-                       dtype=np.uint8).astype(np.float64)
-    bands = np.array_split(px, FEATURE_DIM)
-    return [float(np.mean(b) / 255.0) if len(b) else 0.0 for b in bands]
+                       dtype=np.uint8).astype(np.int64)
+    return [(int(b.sum()), len(b)) for b in np.array_split(px, FEATURE_DIM)]
+
+
+def _bmp_features(payload: bytes) -> list[float]:
+    """Real image features: mean intensity per horizontal band (FEATURE_DIM
+    bands), normalized to [0, 1] — a scalar function of the integer band
+    stats, so the oracle-gated sums transitively cover these floats."""
+    return [float(s) / n / 255.0 if n else 0.0
+            for s, n in _bmp_block_stats(payload)]
 
 
 def synthesize_wav_assets(spark: SparkSession, n: int) -> DataFrame:
@@ -334,13 +343,65 @@ def _wav_samples(payload: bytes) -> np.ndarray:
     raise ValueError("missing data chunk")
 
 
+def _wav_block_stats(payload: bytes) -> list[tuple[int, int]]:
+    """Exact integer per-block stats: (sum of squared int16 samples, n) for
+    each of FEATURE_DIM np.array_split blocks. Sums fit int64 (32768^2 * n);
+    integer-exact, so an SQL oracle reproduces them from the sawtooth's
+    closed form."""
+    parse_wav(payload)  # container + PCM validation
+    v = _wav_samples(payload).astype(np.int64)
+    return [(int((b * b).sum()), len(b)) for b in np.array_split(v, FEATURE_DIM)]
+
+
 def _wav_features(payload: bytes) -> list[float]:
     """Real audio features: per-block RMS envelope (FEATURE_DIM blocks),
-    normalized to [0, 1] — deterministic, library-free."""
-    parse_wav(payload)  # container + PCM validation
-    s = _wav_samples(payload).astype(np.float64) / 32768.0
-    blocks = np.array_split(s, FEATURE_DIM)
-    return [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
+    normalized to [0, 1] — sqrt(sum_sq/n)/32768, a scalar function of the
+    integer block stats, so the oracle-gated sums transitively cover these."""
+    import math
+
+    return [math.sqrt(s / n) / 32768.0 if n else 0.0
+            for s, n in _wav_block_stats(payload)]
+
+
+BLOCK_STATS_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("block_idx", IntegerType()),
+    StructField("block_sum", LongType()),   # audio: sum(sample^2); image: sum(byte)
+    StructField("block_n", LongType()),
+])
+
+
+def extract_block_stats(df: DataFrame) -> DataFrame:
+    """REAL per-block decode numerics as exact integers (mapInPandas,
+    FEATURE_DIM rows per asset): audio -> per-block sum of squared samples,
+    image -> per-band pixel-byte sums. This is the oracle-checkable face of
+    the real feature extractors — the float features are scalar functions of
+    these rows. One narrow map, payload bytes never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, idxs, sums, ns = [], [], [], [], []
+            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"],
+                                          pdf["payload"]):
+                b = bytes(payload)
+                if kind == "audio":
+                    stats = _wav_block_stats(b)
+                elif kind == "image":
+                    stats = _bmp_block_stats(b)
+                else:
+                    raise NotImplementedError(
+                        "real video decode requires a codec library")
+                for bi, (s, n) in enumerate(stats):
+                    ids.append(aid); kinds.append(kind); idxs.append(bi)
+                    sums.append(s); ns.append(n)
+            yield pd.DataFrame({
+                "asset_id": ids, "kind": kinds,
+                "block_idx": pd.array(idxs, dtype="int32"),
+                "block_sum": pd.array(sums, dtype="int64"),
+                "block_n": pd.array(ns, dtype="int64")})
+
+    return df.mapInPandas(run, schema=BLOCK_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:

@@ -1029,22 +1029,83 @@ FROM events GROUP BY user_id
 # ==============================================================================
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal feature extraction (mapInPandas over binary payloads):
-    structural outputs (kind, byte counts) are oracle-checked; the fake-codec
-    feature values are pytest-pinned (the real decoder slots in behind the
-    same schema)."""
+    """Multimodal feature extraction, REAL decode numerics oracle-gated
+    (VERDICT r3 #2). Three merged variants:
+
+    - ``fake``: structural rows (kind, byte count) from the SHA-256
+      pseudo-codec path (schema/plumbing coverage, as before).
+    - ``wav_rms``: per-block (sum of squared int16 samples, n) from REAL
+      PCM WAV decode of the sawtooth fixtures — the RMS feature is
+      sqrt(m1/m2)/32768, so the gated integers transitively pin the real
+      float features while staying engine-exact (no cross-engine float
+      summation in the hash).
+    - ``bmp_band``: per-band (pixel-byte sum, n) from REAL BMP decode of
+      the gradient fixtures; band mean = m1/m2/255.
+
+    The oracle restates the fixtures' closed forms (sawtooth
+    (j*257)%65536-32768; gradient (x*7+y*13)%256 with 4-byte row padding)
+    and np.array_split's block-boundary rule in integer SQL — a match
+    proves the container walk, sample extraction, and blocking are right."""
     from . import multimodal
 
-    assets = multimodal.synthesize_assets(spark, n=300)
-    feats = multimodal.extract_features(assets)
-    return feats.select("asset_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"))
+    fake = multimodal.extract_features(multimodal.synthesize_assets(spark, n=300))
+    fake_rows = fake.select(
+        "asset_id", "kind", F.lit("fake").alias("variant"),
+        F.lit(-1).cast("long").alias("block_idx"),
+        F.col("n_bytes").cast("long").alias("m1"),
+        F.lit(-1).cast("long").alias("m2"))
+    wav = multimodal.extract_block_stats(
+        multimodal.synthesize_wav_assets(spark, n=240)).select(
+        "asset_id", "kind", F.lit("wav_rms").alias("variant"),
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
+    bmp = multimodal.extract_block_stats(
+        multimodal.synthesize_bmp_assets(spark, n=200)).select(
+        "asset_id", "kind", F.lit("bmp_band").alias("variant"),
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
+    return fake_rows.unionByName(wav).unionByName(bmp)
 
 
-O_MULTIMODAL_FEATURES = """
+# np.array_split block index for position j of L items in 16 blocks:
+# first L%16 blocks carry L//16+1 items, the rest L//16.
+_BLOCK_IDX_SQL = """CASE WHEN {j} < ({L} % 16) * ({L} // 16 + 1)
+             THEN {j} // ({L} // 16 + 1)
+             ELSE ({L} % 16) + ({j} - ({L} % 16) * ({L} // 16 + 1)) // ({L} // 16) END"""
+
+O_MULTIMODAL_FEATURES = f"""
 SELECT printf('asset-%06d', i) AS asset_id,
        CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(32 * (4 + i % 4) AS BIGINT) AS n_bytes
+       'fake' AS variant, CAST(-1 AS BIGINT) AS block_idx,
+       CAST(32 * (4 + i % 4) AS BIGINT) AS m1, CAST(-1 AS BIGINT) AS m2
 FROM generate_series(0, 299) t(i)
+UNION ALL
+SELECT asset_id, 'audio' AS kind, 'wav_rms' AS variant,
+       CAST(b AS BIGINT) AS block_idx, CAST(SUM(val * val) AS BIGINT) AS m1, CAST(COUNT(*) AS BIGINT) AS m2
+FROM (
+  SELECT printf('asset-%06d', i) AS asset_id,
+         (j * 257) % 65536 - 32768 AS val,
+         {_BLOCK_IDX_SQL.format(j='j', L='L')} AS b
+  FROM (SELECT i, (80 + (i % 7) * 40) * (1 + i % 2) AS L
+        FROM generate_series(0, 239) t(i)) a
+  CROSS JOIN generate_series(0, 1279) s(j)
+  WHERE j < L
+) w GROUP BY asset_id, b
+UNION ALL
+SELECT asset_id, 'image' AS kind, 'bmp_band' AS variant,
+       CAST(b AS BIGINT) AS block_idx, CAST(SUM(val) AS BIGINT) AS m1, CAST(COUNT(*) AS BIGINT) AS m2
+FROM (
+  SELECT printf('img-%06d', i) AS asset_id,
+         CASE WHEN p % rb < 3 * w
+              THEN (((p % rb) // 3) * 7 + (p // rb) * 13) % 256 ELSE 0 END AS val,
+         {_BLOCK_IDX_SQL.format(j='p', L='L')} AS b
+  FROM (SELECT i, 4 + i % 9 AS w,
+               ((3 * (4 + i % 9) + 3) // 4) * 4 AS rb,
+               (((3 * (4 + i % 9) + 3) // 4) * 4) * (3 + i % 5) AS L
+        FROM generate_series(0, 199) t(i)) a
+  CROSS JOIN generate_series(0, 255) s(p)
+  WHERE p < L
+) m GROUP BY asset_id, b
 """
 
 
