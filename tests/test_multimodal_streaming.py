@@ -21,10 +21,19 @@ def test_multimodal_feature_extraction_deterministic(spark):
         assets.where(F.col("asset_id") == "asset-000000").first()["payload"])
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
+def test_multimodal_real_decode_rejects_fake_payloads(spark):
+    # kind-keyed dispatch: a non-container image/audio payload surfaces the
+    # parser's typed ValueError; only video hits the codec-library stub
     assets = multimodal.synthesize_assets(spark, 3)
     with pytest.raises(Exception) as ei:
-        multimodal.extract_features(assets, deterministic_fake=False).collect()
+        multimodal.extract_features(
+            assets.where(F.col("kind") == "image"),
+            deterministic_fake=False).collect()
+    assert "not a BMP container" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(
+            assets.where(F.col("kind") == "video"),
+            deterministic_fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
 
