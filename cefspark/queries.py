@@ -1064,7 +1064,12 @@ def q_multimodal_features(spark, sf_dir):
         "asset_id", "kind", F.lit("bmp_band").alias("variant"),
         F.col("block_idx").cast("long").alias("block_idx"),
         F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
-    return fake_rows.unionByName(wav).unionByName(bmp)
+    gif = multimodal.extract_block_stats(
+        multimodal.synthesize_gif_assets(spark, n=180)).select(
+        "asset_id", "kind", F.lit("gif_px").alias("variant"),
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
+    return fake_rows.unionByName(wav).unionByName(bmp).unionByName(gif)
 
 
 # np.array_split block index for position j of L items in 16 blocks:
@@ -1106,26 +1111,80 @@ FROM (
   CROSS JOIN generate_series(0, 255) s(p)
   WHERE p < L
 ) m GROUP BY asset_id, b
+UNION ALL
+SELECT asset_id, 'video' AS kind, 'gif_px' AS variant,
+       CAST(b AS BIGINT) AS block_idx,
+       CAST(SUM(val) AS BIGINT) AS m1, CAST(COUNT(*) AS BIGINT) AS m2
+FROM (
+  WITH gsz AS (SELECT i, 5 + i % 6 AS w, 4 + i % 4 AS h, 1 + i % 5 AS nf
+               FROM generate_series(0, 179) t(i)),
+  fr AS (SELECT i, f, w - f % 3 AS fw, h - f % 2 AS fh
+         FROM gsz CROSS JOIN generate_series(0, 4) s(f) WHERE f < nf),
+  fr2 AS (SELECT i, f, fw, fh, fw * fh AS sz,
+                 COALESCE(SUM(fw * fh) OVER (PARTITION BY i ORDER BY f
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+                 SUM(fw * fh) OVER (PARTITION BY i) AS L
+          FROM fr)
+  SELECT printf('vid-%06d', i) AS asset_id,
+         ((p % fw) + (p // fw) + f) % 4 AS val,
+         {_BLOCK_IDX_SQL.format(j='(off + p)', L='L')} AS b
+  FROM fr2 CROSS JOIN generate_series(0, 69) s(p) WHERE p < sz
+) v GROUP BY asset_id, b
 """
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame sampling fan-out (1 asset -> N frame rows): frame indices
-    and sizes are structural and oracle-checked."""
+    """Video frame sampling fan-out (1 asset -> N frame rows), REAL decode
+    oracle-gated. Two merged variants:
+
+    - ``fake``: payload-slice fan-out over the pseudo-codec assets (frame
+      indices and fixed 32-byte sizes — plumbing coverage, as before).
+    - ``gif``: REAL frame sampling over animated GIF fixtures — the block
+      walker locates each frame's descriptor-through-terminator span and
+      emits the actual encoded slice. m1 = slice length (closed-form from
+      the fixed-width LZW size: pixels n -> (6n+13)//8 data bytes plus
+      sub-block/terminator overhead), m2 = first slice byte (0x2C, the
+      image-descriptor marker): a match proves real frame counts, spans,
+      and per-frame sub-rectangle geometry."""
     from . import multimodal
 
-    assets = multimodal.synthesize_assets(spark, n=300)
-    frames = multimodal.sample_frames(assets, every_n=2, max_frames=4)
-    return frames.select("asset_id",
-                         F.col("frame_idx").cast("long").alias("frame_idx"),
-                         F.length("frame_payload").cast("long").alias("n_frame_bytes"))
+    fake = multimodal.sample_frames(
+        multimodal.synthesize_assets(spark, n=300), every_n=2, max_frames=4)
+    fake_rows = fake.select(
+        "asset_id", F.lit("fake").alias("variant"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame_payload").cast("long").alias("m1"),
+        F.lit(-1).cast("long").alias("m2"))
+    gif = multimodal.sample_frames(
+        multimodal.synthesize_gif_assets(spark, n=180), every_n=1,
+        max_frames=8, deterministic_fake=False)
+    gif_rows = gif.select(
+        "asset_id", F.lit("gif").alias("variant"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame_payload").cast("long").alias("m1"),
+        F.expr("CAST(conv(hex(substring(frame_payload, 1, 1)), 16, 10) "
+               "AS BIGINT)").alias("m2"))
+    return fake_rows.unionByName(gif_rows)
 
 
 O_MULTIMODAL_FRAMES = """
-SELECT printf('asset-%06d', i) AS asset_id, CAST(fi AS BIGINT) AS frame_idx,
-       CAST(32 AS BIGINT) AS n_frame_bytes
+SELECT printf('asset-%06d', i) AS asset_id, 'fake' AS variant,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS BIGINT) AS m1, CAST(-1 AS BIGINT) AS m2
 FROM generate_series(0, 299) t(i), (VALUES (0), (2)) u(fi)
 WHERE i % 3 = 2
+UNION ALL
+SELECT printf('vid-%06d', i) AS asset_id, 'gif' AS variant,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(12 + (6 * sz + 13) // 8 + ((6 * sz + 13) // 8 + 254) // 255
+            AS BIGINT) AS m1,
+       CAST(44 AS BIGINT) AS m2
+FROM (
+  SELECT i, f, ((5 + i % 6) - f % 3) * ((4 + i % 4) - f % 2) AS sz
+  FROM generate_series(0, 179) t(i)
+  CROSS JOIN generate_series(0, 4) s(f)
+  WHERE f < 1 + i % 5
+) g
 """
 
 

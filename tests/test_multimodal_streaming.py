@@ -22,19 +22,17 @@ def test_multimodal_feature_extraction_deterministic(spark):
 
 
 def test_multimodal_real_decode_rejects_fake_payloads(spark):
-    # kind-keyed dispatch: a non-container image/audio payload surfaces the
-    # parser's typed ValueError; only video hits the codec-library stub
+    # kind-keyed dispatch: a non-container payload surfaces the matching
+    # parser's typed ValueError for every kind — no silent fallthrough
     assets = multimodal.synthesize_assets(spark, 3)
-    with pytest.raises(Exception) as ei:
-        multimodal.extract_features(
-            assets.where(F.col("kind") == "image"),
-            deterministic_fake=False).collect()
-    assert "not a BMP container" in str(ei.value)
-    with pytest.raises(Exception) as ei:
-        multimodal.extract_features(
-            assets.where(F.col("kind") == "video"),
-            deterministic_fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    for kind, msg in [("image", "not a BMP container"),
+                      ("audio", "not a RIFF/WAVE container"),
+                      ("video", "not a GIF container")]:
+        with pytest.raises(Exception) as ei:
+            multimodal.extract_features(
+                assets.where(F.col("kind") == kind),
+                deterministic_fake=False).collect()
+        assert msg in str(ei.value)
 
 
 def test_frame_sampling_only_videos(spark):
@@ -268,3 +266,127 @@ def test_extract_features_dispatches_on_kind_not_magic(spark):
         multimodal.extract_features(bad, deterministic_fake=False).collect()
     assert "not a RIFF/WAVE container" in str(ei.value)
     assert "NotImplementedError" not in str(ei.value)
+
+
+# --- real GIF codec -----------------------------------------------------------
+
+def test_build_gif_parse_gif_roundtrip():
+    blob = multimodal.build_gif(8, 6, 4, with_comment=True)
+    meta = multimodal.parse_gif(blob)
+    assert meta["version"] == "GIF89a"
+    assert (meta["width"], meta["height"]) == (8, 6)
+    assert meta["n_colors"] == 4
+    assert meta["n_frames"] == 4
+    for f, fr in enumerate(meta["frames"]):
+        assert (fr["left"], fr["top"]) == (f % 3, f % 2)
+        assert (fr["width"], fr["height"]) == (8 - f % 3, 6 - f % 2)
+        # frame byte spans start at the image descriptor
+        assert blob[fr["offset"]] == 0x2C
+
+
+def test_parse_gif_rejects_malformed():
+    with pytest.raises(ValueError):
+        multimodal.parse_gif(b"not a gif")
+    blob = multimodal.build_gif(5, 4, 2)
+    with pytest.raises(ValueError):
+        multimodal.parse_gif(blob[:-1])  # trailer gone
+    with pytest.raises(ValueError):
+        multimodal.parse_gif(blob[:30])  # truncated mid-frame
+    bad = bytearray(blob)
+    bad[25] = 0x99  # neither extension, descriptor, nor trailer
+    with pytest.raises(ValueError):
+        multimodal.parse_gif(bytes(bad))
+
+
+def test_decode_gif_pixels_recovers_pattern():
+    import numpy as np
+
+    blob = multimodal.build_gif(7, 5, 3)
+    frames = multimodal.decode_gif_pixels(blob)
+    assert len(frames) == 3
+    for f, px in enumerate(frames):
+        fw, fh = 7 - f % 3, 5 - f % 2
+        assert px.shape == (fh, fw)
+        want = np.fromfunction(lambda y, x: (x + y + f) % 4, (fh, fw))
+        assert np.array_equal(px, want)
+
+
+def test_gif_lzw_decoder_handles_adaptive_streams():
+    """The decoder must handle table growth, width increases, and KwKwK —
+    proven against an independent ADAPTIVE encoder (the builder only emits
+    fixed-width streams)."""
+    import random
+
+    def adaptive_encode(pixels, min_code_size):
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code, width = eoi + 1, min_code_size + 1
+        bits = nbits = 0
+        out = bytearray()
+
+        def emit(code, w):
+            nonlocal bits, nbits
+            bits |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(bits & 0xFF)
+                bits >>= 8
+                nbits -= 8
+
+        emit(clear, width)
+        run = (pixels[0],)
+        for p in pixels[1:]:
+            if run + (p,) in table:
+                run = run + (p,)
+                continue
+            emit(table[run], width)
+            table[run + (p,)] = next_code
+            next_code += 1
+            # GIF spec: width grows AFTER the code that fills the table
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            run = (p,)
+        emit(table[run], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(bits & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(7)
+    # KwKwK-inducing repetition + enough symbols to grow past 2 width bumps
+    pixels = [0, 0, 0, 0] + [rng.randrange(4) for _ in range(3000)]
+    enc = adaptive_encode(pixels, 2)
+    assert multimodal._gif_lzw_decode(enc, 2) == pixels
+    # corrupt stream: out-of-range code is a typed error
+    with pytest.raises(ValueError):
+        multimodal._gif_lzw_decode(b"\xff\xff\xff\xff", 2)
+
+
+def test_sample_frames_real_gif_path(spark):
+    assets = multimodal.synthesize_gif_assets(spark, 9)
+    rows = multimodal.sample_frames(assets, every_n=1, max_frames=8,
+                                    deterministic_fake=False).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for i in range(9):
+        aid = f"vid-{i:06d}"
+        assert len(by_asset[aid]) == 1 + i % 5  # real frame counts
+        for r in by_asset[aid]:
+            assert bytes(r["frame_payload"])[0] == 0x2C  # real descriptor slice
+
+
+def test_gif_block_stats_match_closed_form():
+    import numpy as np
+
+    blob = multimodal.build_gif(6, 5, 2)
+    flat = []
+    for f in range(2):
+        fw, fh = 6 - f % 3, 5 - f % 2
+        flat.extend((x + y + f) % 4 for y in range(fh) for x in range(fw))
+    want = [(int(b.sum()), len(b)) for b in
+            np.array_split(np.array(flat, dtype=np.int64), multimodal.FEATURE_DIM)]
+    assert multimodal._gif_block_stats(blob) == want
+    feats = multimodal._gif_features(blob)
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in feats)
