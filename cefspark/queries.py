@@ -784,7 +784,9 @@ SELECT event_id, '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS src_ip FROM eve
 def q_cef_decode_binary_utf8(spark, sf_dir):
     """D4: BinaryType ingest with strict UTF-8 validation — an invalid byte
     sequence fails the event early (cef.rb:236-240, spec cef_spec.rb:996-1009)
-    with the replacement-char rendering kept as the failure payload."""
+    with the replacement-char rendering kept as the failure payload AND the
+    ORIGINAL bytes kept byte-exact in ``message_bytes`` (gated via hex(),
+    closing the reference's raw-bytes-in-message contract up to rendering)."""
     base = _with_payload(_events(spark, sf_dir))
     good = F.encode(F.col("text"), "UTF-8")
     bad = F.concat(good, F.lit(bytearray(b"\xff")))
@@ -796,14 +798,18 @@ def q_cef_decode_binary_utf8(spark, sf_dir):
         "event_id",
         F.coalesce(F.col("tags").getItem(0), F.lit("ok")).alias("tag"),
         F.coalesce("error", F.lit("")).alias("err"),
-        F.coalesce("message", F.lit("")).alias("failure_payload"))
+        F.coalesce("message", F.lit("")).alias("failure_payload"),
+        F.coalesce(F.hex("message_bytes"), F.lit("")).alias("payload_hex"))
 
 
 O_CEF_DECODE_BINARY_UTF8 = f"""
 SELECT event_id,
        CASE WHEN event_id % 7 = 0 THEN '_cefparsefailure' ELSE 'ok' END AS tag,
        CASE WHEN event_id % 7 = 0 THEN 'invalid byte sequence in UTF-8' ELSE '' END AS err,
-       CASE WHEN event_id % 7 = 0 THEN {_CANONICAL_PAYLOAD_SQL} || chr(65533) ELSE '' END AS failure_payload
+       CASE WHEN event_id % 7 = 0 THEN {_CANONICAL_PAYLOAD_SQL} || chr(65533) ELSE '' END AS failure_payload,
+       CASE WHEN event_id % 7 = 0
+            THEN hex(encode({_CANONICAL_PAYLOAD_SQL}) || '\\xFF'::BLOB)
+            ELSE '' END AS payload_hex
 FROM events
 """
 
@@ -1838,7 +1844,7 @@ q_cef_decode_failure_variants, O_CEF_DECODE_FAILURE_VARIANTS = _merged([
     ("newline_failure", q_cef_decode_newline_failure, O_CEF_DECODE_NEWLINE_FAILURE,
      ["tag", "err", "failure_payload"]),
     ("binary_utf8", q_cef_decode_binary_utf8, O_CEF_DECODE_BINARY_UTF8,
-     ["tag", "err", "failure_payload"]),
+     ["tag", "err", "failure_payload", "payload_hex"]),
     ("raw_data", q_cef_decode_raw_data, O_CEF_DECODE_RAW_DATA,
      ["raw_captured", "vendor"]),
 ])

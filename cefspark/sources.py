@@ -13,8 +13,10 @@ the reference's other ingestion shapes:
   decode first; invalid byte sequences fail the event early exactly like
   the reference (cef.rb:236-240, spec cef_spec.rb:996-1009). The failure
   event's ``message`` holds a replacement-char rendering of the original
-  bytes (Spark strings cannot carry invalid bytes; the raw bytes stay
-  available in the input column).
+  bytes (Spark strings cannot carry invalid bytes), and ``message_bytes``
+  carries the ORIGINAL raw bytes (BinaryType) so the reference's byte-exact
+  failure payload survives ingestion — the remaining deviation is
+  rendering-only.
 """
 
 from __future__ import annotations
@@ -58,17 +60,21 @@ def decode_binary_dataframe(df: DataFrame, bytes_col: str = "payload",
         for pdf in batches:
             texts = []
             bad = []
+            raw = []
             for b in pdf[bytes_col]:
                 if b is None:
                     texts.append(None)
                     bad.append(False)
+                    raw.append(None)
                     continue
                 try:
                     texts.append(bytes(b).decode("utf-8", errors="strict"))
                     bad.append(False)
+                    raw.append(None)
                 except UnicodeDecodeError:
                     texts.append(bytes(b).decode("utf-8", errors="replace"))
                     bad.append(True)
+                    raw.append(bytes(b))  # byte-exact failure payload
             dec = decode_batch(pd.Series(texts, index=pdf.index), cfg)
             for pos, (i, is_bad) in enumerate(zip(pdf.index, bad)):
                 if is_bad:  # fail early like cef.rb:238-240, keep payload rendering
@@ -80,8 +86,10 @@ def decode_binary_dataframe(df: DataFrame, bytes_col: str = "payload",
             out = pdf.copy()
             for c in [f.name for f in DECODED_STRUCT.fields]:
                 out[c] = dec[c]
+            out["message_bytes"] = raw
             yield out
 
-    from pyspark.sql.types import StructType
-    schema = StructType(df.schema.fields + DECODED_STRUCT.fields)
+    from pyspark.sql.types import BinaryType, StructField, StructType
+    schema = StructType(df.schema.fields + DECODED_STRUCT.fields +
+                        [StructField("message_bytes", BinaryType())])
     return df.mapInPandas(run, schema=schema)
