@@ -1582,14 +1582,46 @@ FROM m
 
 
 def q_text_lang_id(spark, sf_dir):
-    return textops.lang_id(_documents(spark, sf_dir))
+    """Language identification, three merged variants (VERDICT r3 #8):
+
+    - ``heuristic``: the original English-stopword check over `documents`
+      (that table's text is monolingual synthetic vocab, so its `lang`
+      column is a label, not a signal).
+    - ``trigram``: the REAL Cavnar-Trenkle char-trigram profile classifier
+      (cefspark.langid — rank-weighted integer profiles over 10 languages,
+      scored entirely with built-in functions: literal map + aggregate +
+      zip_with, no UDF, no shuffle) over a held-out multilingual fixture
+      whose true labels the oracle states closed-form. A match means all
+      300 fixture docs classify correctly.
+    - ``trigram_unknown``: profile-miss text (digits) must fall below
+      min_score and yield 'unknown'."""
+    from . import langid
+
+    heur = textops.lang_id(_documents(spark, sf_dir)).select(
+        "doc_id", F.lit("heuristic").alias("variant"), "lang_pred")
+    tri = langid.lang_id(langid.multilingual_docs(spark, 300)).select(
+        "doc_id", F.lit("trigram").alias("variant"), "lang_pred")
+    nums = spark.range(30).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15").alias("text"))
+    unk = langid.lang_id(nums).select(
+        "doc_id", F.lit("trigram_unknown").alias("variant"), "lang_pred")
+    return heur.unionByName(tri).unionByName(unk)
 
 
 O_TEXT_LANG_ID = """
-SELECT doc_id,
+SELECT doc_id, 'heuristic' AS variant,
        CASE WHEN len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|a|for|on|with)\\b')) >= 2
             THEN 'en' ELSE 'unknown' END AS lang_pred
 FROM documents
+UNION ALL
+SELECT i AS doc_id, 'trigram' AS variant,
+       list_extract(['de','en','es','fr','it','nl','pl','pt','sv','tr'],
+                    CAST(i % 10 AS INT) + 1) AS lang_pred
+FROM generate_series(0, 299) t(i)
+UNION ALL
+SELECT i AS doc_id, 'trigram_unknown' AS variant, 'unknown' AS lang_pred
+FROM generate_series(0, 29) t(i)
 """
 
 

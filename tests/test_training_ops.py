@@ -247,3 +247,37 @@ def test_assign_split_rejects_degenerate_weights(spark):
         sampling.assign_split(docs, (0.0004, 0.0006, 0.999))
     with pytest.raises(ValueError, match="sum to 1.0"):
         sampling.assign_split(docs, (0.5, 0.2, 0.2))
+
+
+def test_langid_trigram_classifier(spark):
+    """Real trigram lang-id: 100% on the held-out fixture, 'unknown' for
+    profile-miss text, and a shuffle-free no-UDF plan."""
+    from pyspark.sql import functions as F
+
+    from cefspark import langid
+
+    docs = langid.multilingual_docs(spark, 300)
+    out = langid.lang_id(docs)
+    joined = out.join(docs.select("doc_id", "lang_true"), "doc_id")
+    assert joined.where(F.col("lang_pred") != F.col("lang_true")).count() == 0
+
+    nums = spark.range(5).select(F.col("id").alias("doc_id"),
+                                 F.lit("123 456 789").alias("text"))
+    assert all(r["lang_pred"] == "unknown"
+               for r in langid.lang_id(nums).collect())
+
+    # the classifier itself is a narrow projection: no shuffle, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_langid_profiles_are_deterministic_integers():
+    from cefspark import langid
+
+    p1 = langid.build_profiles()
+    assert all(isinstance(w, int) for ws in p1.values() for w in ws)
+    # every language contributes exactly PROFILE_SIZE ranked trigrams
+    for li, lang in enumerate(langid.LANGS):
+        n = sum(1 for ws in p1.values() if ws[li] > 0)
+        assert n == langid.PROFILE_SIZE, (lang, n)
