@@ -209,55 +209,204 @@ def resolve_month(table: dict[str, int], token: str) -> Optional[int]:
 
 
 @lru_cache(maxsize=None)
-def _month_table(locale: Optional[str]) -> dict[str, int]:
-    """Merged month table per locale. Cached UNBOUNDED so the returned dict is
-    a true process-lifetime singleton (resolve_month's lowered-table cache now
-    pins tables itself, so this is a perf property, not a safety one). Growth
-    is bounded by distinct locale strings in the config surface (tiny).
-    Callers treat the result as read-only."""
-    if not locale:
-        return _MONTHS["en"]
-    lang = locale.replace("-", "_").split("_")[0].lower()
-    table = _MONTHS.get(lang, _MONTHS["en"])
-    aliases = _MONTH_ALIASES.get(lang if lang in _MONTHS else "en", {})
+def _jdk_tag_tables() -> dict[str, list[str]]:
+    """Case-insensitive language-tag -> CLDR SHORT month list, covering every
+    locale this sandbox JDK exposes (978 tags, 209 distinct tables — see the
+    generated cefspark/locale_months.py and tools/DumpMonths.java)."""
+    from . import locale_months as lm
+
+    return {t.lower(): lm.TABLES[i] for t, i in lm.TAG_TO_TABLE.items()}
+
+
+def _with_dotless_aliases(names: list[str]) -> dict[str, int]:
+    """Name->month table plus the documented dotless leniency ('Jan' for
+    'Jan.'), mirroring the module-level alias generation for hand tables."""
+    table = {m: i + 1 for i, m in enumerate(names)}
+    aliases = {m[:-1]: i for m, i in table.items()
+               if m.endswith(".") and m[:-1] not in table}
     return {**aliases, **table}  # primary forms win on collision
 
 
-# java's `zzz` parses TZDB short names (e.g. 'PDT', 'CET') to region zones via
-# the CLDR preferred-zone table; ZoneInfo does not. Carry the common
-# abbreviations with java's preferred-zone resolutions (verified against
-# java.time on this JDK — including the surprising BST = Pacific/Bougainville,
-# NOT Europe/London). The local time then resolves under the full zone rules
-# (so 'PST' on a July date still yields the DST offset, exactly as java does).
-# Ambiguous abbreviations java cannot parse either (e.g. 'IST') stay unknown.
-# This table applies ONLY to the in-payload `zzz` token: the dtz side-channel
-# and configured default timezone go through ZoneId.of in the reference, which
+@lru_cache(maxsize=None)
+def _month_table(locale: Optional[str]) -> dict[str, int]:
+    """Merged month table per locale. Resolution mirrors java's
+    Locale.forLanguageTag under the CLDR provider:
+
+    1. a country/script-qualified tag resolves to THAT locale's JDK-dumped
+       table (de-AT accepts 'Jän.', not just 'Jan.'), unioned with its
+       language's documented COMPAT/dotless leniency aliases;
+    2. a bare language in the hand-verified set keeps its round-2/3 table
+       (CLDR primaries + COMPAT-provider aliases + dotless leniency);
+    3. any other tag/language known to the JDK uses its dumped CLDR table
+       (+ dotless leniency);
+    4. unknown locales fall back to English, as before.
+
+    Cached UNBOUNDED so the returned dict is a true process-lifetime
+    singleton (a perf property; resolve_month pins tables itself). Growth is
+    bounded by distinct locale strings in the config surface (tiny).
+    Callers treat the result as read-only."""
+    if not locale:
+        return _MONTHS["en"]
+    tag = locale.replace("_", "-").lower()
+    lang = tag.split("-")[0]
+    jdk = _jdk_tag_tables()
+    if lang != tag and tag in jdk:
+        return {**_MONTH_ALIASES.get(lang, {}),
+                **_with_dotless_aliases(jdk[tag])}
+    if lang in _MONTHS:
+        return {**_MONTH_ALIASES.get(lang, {}), **_MONTHS[lang]}
+    if tag in jdk:
+        return _with_dotless_aliases(jdk[tag])
+    if lang in jdk:
+        return _with_dotless_aliases(jdk[lang])
+    return {**_MONTH_ALIASES.get("en", {}), **_MONTHS["en"]}
+
+
+# java's `zzz` parses TZDB short names (e.g. 'PDT', 'CET') to region zones
+# via the CLDR preferred-zone/metazone tables — and that resolution is
+# LOCALE-SENSITIVE ('CST' is America/Chicago under en but Asia/Shanghai
+# under zh; 605 of this JDK's 1015 locales override at least one entry,
+# many to the JDK's legacy SystemV zones). The full matrix is dumped by
+# tools/DumpZoneAbbrevs.java into the generated cefspark/locale_zones.py;
+# _zone_abbrev_map resolves per locale (exact tag > language > en BASE).
+# The local time then resolves under the full zone rules (so 'PST' on a
+# July date still yields the DST offset, exactly as java does). This table
+# applies ONLY to the in-payload `zzz` token: the dtz side-channel and
+# configured default timezone go through ZoneId.of in the reference, which
 # rejects bare abbreviations.
-_ZONE_ABBREVIATIONS: dict[str, str] = {
-    "PST": "America/Los_Angeles", "PDT": "America/Los_Angeles",
-    "MST": "America/Denver", "MDT": "America/Denver",
-    "CST": "America/Chicago", "CDT": "America/Chicago",
-    "EST": "America/New_York", "EDT": "America/New_York",
-    "AKST": "America/Anchorage", "AKDT": "America/Anchorage",
-    "HST": "Pacific/Honolulu",
-    "BST": "Pacific/Bougainville",  # java CLDR preferred zone; not London
-    "CET": "Europe/Paris", "CEST": "Europe/Paris",
-    "EET": "Europe/Bucharest", "EEST": "Europe/Bucharest",
-    "JST": "Asia/Tokyo", "KST": "Asia/Seoul",
-    "AEST": "Australia/Sydney", "AEDT": "Australia/Sydney",
+
+
+@lru_cache(maxsize=None)
+def _zone_abbrev_map(locale: Optional[str]) -> dict[str, Optional[str]]:
+    """abbreviation -> java zone id (None where java rejects it under this
+    locale), resolved exact-tag-first like _month_table."""
+    from . import locale_zones as lz
+
+    base = {a: (None if z == "REJECT" else z) for a, z in lz.BASE.items()}
+    if not locale:
+        return base
+    tag = locale.replace("_", "-").lower()
+    by_tag = _zone_override_lookup()
+    known = _known_locale_tags()
+    # a tag the JDK dump covers is AUTHORITATIVE even when it has no
+    # override (ff resolves BST to Abidjan, but ff-Adlm-GH to BASE's
+    # Bougainville — falling back to the language there would diverge);
+    # progressive subtag-stripping applies only to genuinely unknown tags
+    parts = tag.split("-")
+    while parts:
+        cand = "-".join(parts)
+        pat = by_tag.get(cand)
+        if pat is not None:
+            return {**base, **{a: (None if z == "REJECT" else z)
+                               for a, z in pat.items()}}
+        if cand in known:
+            return base
+        parts.pop()
+    return base
+
+
+@lru_cache(maxsize=None)
+def _known_locale_tags() -> frozenset:
+    """Every tag the JDK dumps cover (month tables + space-named exclusions),
+    lowercased — the set over which exact-tag resolution is authoritative."""
+    from . import locale_months as lm
+
+    return frozenset({t.lower() for t in lm.TAG_TO_TABLE}
+                     | {t.lower() for t in lm.EXCLUDED_TAGS})
+
+
+@lru_cache(maxsize=None)
+def _zone_override_lookup() -> dict[str, dict[str, str]]:
+    from . import locale_zones as lz
+
+    return {t.lower(): lz.PATTERNS[i] for t, i in lz.TAG_TO_PATTERN.items()}
+
+
+class _SystemVZone(dt.tzinfo):
+    """The JDK's legacy SystemV zones (absent from Python's tzdata): fixed
+    standard offset, optionally with the old US DST rule the JDK applies —
+    +1h from the Sunday on/after Apr 24 02:00 wall to the Sunday on/after
+    Oct 25 02:00 wall (java-verified via ZoneRules.getTransitionRules).
+    PEP 495 fold semantics match java's resolver: gap -> shift forward,
+    overlap -> earlier offset."""
+
+    def __init__(self, name: str, std_hours: int, has_dst: bool):
+        self._name = name
+        self._std = dt.timedelta(hours=std_hours)
+        self._has_dst = has_dst
+
+    def __repr__(self):
+        return f"_SystemVZone({self._name!r})"
+
+    @staticmethod
+    def _sunday_on_or_after(year: int, month: int, day: int) -> dt.datetime:
+        d = dt.date(year, month, day)
+        d += dt.timedelta(days=(6 - d.weekday()) % 7)
+        return dt.datetime(d.year, d.month, d.day, 2)
+
+    def dst(self, d: Optional[dt.datetime]) -> dt.timedelta:
+        if not self._has_dst or d is None:
+            return dt.timedelta(0)
+        start = self._sunday_on_or_after(d.year, 4, 24)  # 02:00 std wall
+        end = self._sunday_on_or_after(d.year, 10, 25)   # 02:00 dst wall
+        naive = d.replace(tzinfo=None)
+        hour = dt.timedelta(hours=1)
+        if start + hour <= naive < end - hour:
+            return hour
+        if end - hour <= naive < end:  # overlap: fold picks the later offset
+            return dt.timedelta(0) if d.fold else hour
+        if start <= naive < start + hour:  # gap: fold-0 uses pre-transition
+            return hour if d.fold else dt.timedelta(0)
+        return dt.timedelta(0)
+
+    def utcoffset(self, d: Optional[dt.datetime]) -> dt.timedelta:
+        return self._std + self.dst(d)
+
+    def tzname(self, d: Optional[dt.datetime]) -> str:
+        return self._name
+
+
+_SYSTEMV_ZONES: dict[str, dt.tzinfo] = {
+    "SystemV/EST5EDT": _SystemVZone("SystemV/EST5EDT", -5, True),
+    "SystemV/CST6CDT": _SystemVZone("SystemV/CST6CDT", -6, True),
+    "SystemV/MST7MDT": _SystemVZone("SystemV/MST7MDT", -7, True),
+    "SystemV/PST8PDT": _SystemVZone("SystemV/PST8PDT", -8, True),
+    "SystemV/YST9YDT": _SystemVZone("SystemV/YST9YDT", -9, True),
+    "SystemV/HST10": _SystemVZone("SystemV/HST10", -10, False),
+    "SystemV/PST8": _SystemVZone("SystemV/PST8", -8, False),
+    "SystemV/YST9": _SystemVZone("SystemV/YST9", -9, False),
 }
 
-# Names java's ZoneId.of rejects (verified on this JDK): every short name
-# except the genuine tzdb zones CET/EET. EST/MST/HST are tzdb backward names
-# Python's ZoneInfo would accept, but java moved them to the opt-in SHORT_IDS
-# table — strict mode must fail them for ZoneId.of parity.
-_JAVA_REJECTED_IDS = frozenset(_ZONE_ABBREVIATIONS) - {"CET", "EET"}
+
+def _zone_target(zone_id: str) -> dt.tzinfo:
+    """java zone id -> tzinfo: Python tzdata where it exists, the SystemV
+    re-implementation for the JDK-only legacy ids."""
+    sysv = _SYSTEMV_ZONES.get(zone_id)
+    if sysv is not None:
+        return sysv
+    return ZoneInfo(zone_id)
 
 
-def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
+# Names java's ZoneId.of rejects (verified on this JDK, tools probe): every
+# zzz abbreviation except the genuine tzdb region ids CET/EET/WET (and
+# GMT/UTC, handled upstream). EST/MST/HST are tzdb backward names Python's
+# ZoneInfo would accept, but java moved them to the opt-in SHORT_IDS table —
+# strict mode must fail them for ZoneId.of parity.
+def _java_rejected_ids() -> frozenset:
+    from . import locale_zones as lz
+
+    return frozenset(lz.BASE) - {"CET", "EET", "WET", "GMT", "UTC"}
+
+
+_JAVA_REJECTED_IDS = _java_rejected_ids()
+
+
+def _zone_of(name: str, allow_names: bool = False,
+             locale: Optional[str] = None) -> dt.tzinfo:
     """Resolve a zone string. ``allow_names=True`` is the in-payload `zzz`
-    path (CLDR short-name table active); False mirrors java ZoneId.of (region
-    IDs, offsets, and prefixed-offset spellings only) for the dtz side-channel
+    path (CLDR short-name table active — LOCALE-SENSITIVE, so the parse
+    locale threads through); False mirrors java ZoneId.of (region IDs,
+    offsets, and prefixed-offset spellings only) for the dtz side-channel
     and the configured default timezone.
 
     Cached (success AND failure): the decode hot path resolves the dtz side
@@ -265,25 +414,30 @@ def _zone_of(name: str, allow_names: bool = False) -> dt.tzinfo:
     self-zones) and real batches carry a handful of distinct zone strings —
     including invalid ones, whose ZoneInfo lookup probes the filesystem, so
     failures must hit the cache too (lru_cache alone never caches raises)."""
-    res = _zone_of_cached(name, allow_names)
+    res = _zone_of_cached(name, allow_names, locale if allow_names else None)
     if isinstance(res, str):
         raise InvalidTimestamp(res)
     return res
 
 
-@lru_cache(maxsize=512)
-def _zone_of_cached(name: str, allow_names: bool):
+@lru_cache(maxsize=2048)
+def _zone_of_cached(name: str, allow_names: bool, locale: Optional[str]):
     try:
-        return _zone_of_impl(name, allow_names)
+        return _zone_of_impl(name, allow_names, locale)
     except InvalidTimestamp as e:
         return str(e)
 
 
-def _zone_of_impl(name: str, allow_names: bool) -> dt.tzinfo:
+def _zone_of_impl(name: str, allow_names: bool,
+                  locale: Optional[str]) -> dt.tzinfo:
     if allow_names:
-        abbrev = _ZONE_ABBREVIATIONS.get(name)
-        if abbrev is not None:
-            return ZoneInfo(abbrev)
+        abbrevs = _zone_abbrev_map(locale)
+        if name in abbrevs:
+            target = abbrevs[name]
+            if target is None:  # java rejects this short name in this locale
+                raise InvalidTimestamp(f"unknown zone `{name}`")
+            if target not in ("GMT", "UTC"):  # fall through to offset/UTC path
+                return _zone_target(target)
     elif name in _JAVA_REJECTED_IDS:
         raise InvalidTimestamp(f"unknown zone `{name}`")
     pref = _PREFIXED_OFFSET.match(name)
@@ -330,6 +484,7 @@ class TimestampNormalizer:
     def __init__(self, locale: Optional[str] = None, timezone: Optional[str] = None,
                  now: Union[None, str, int, float, dt.datetime, pd.Timestamp] = None):
         self._months = _month_table(locale)
+        self._locale = locale  # zzz short-name resolution is locale-sensitive
         self._default_zone: dt.tzinfo = _zone_of(timezone) if timezone else dt.timezone.utc
         if now is None:
             self._now = pd.Timestamp.now(tz="UTC")
@@ -392,7 +547,8 @@ class TimestampNormalizer:
         # its own zone — java-verified by tools/fuzz_timestamps.py.
         dtz_zone = _zone_of(device_timezone) if device_timezone else None
         if m.group("zone"):
-            zone = _zone_of(m.group("zone"), allow_names=True)
+            zone = _zone_of(m.group("zone"), allow_names=True,
+                            locale=self._locale)
         elif dtz_zone is not None:
             zone = dtz_zone
         else:

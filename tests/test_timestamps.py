@@ -375,3 +375,59 @@ def test_resolve_month_temporary_table_never_misresolves():
     for _id, (tbl, lowered) in timestamps._LOWER_TABLES.items():
         assert id(tbl) == _id
         assert lowered == {k.lower(): v for k, v in tbl.items()}
+
+
+def test_zone_abbreviations_are_locale_sensitive():
+    """Round-4: java's zzz short-name resolution varies by locale (dumped
+    matrix in cefspark.locale_zones). CST: America/Chicago under en,
+    Asia/Shanghai under en-001 (international English); a qualified tag
+    with its own dump entry is authoritative over its language (ff-Adlm-GH
+    keeps BASE's Bougainville BST while bare ff maps it to Abidjan)."""
+    from cefspark.timestamps import (TimestampNormalizer, _zone_abbrev_map)
+
+    def instant(locale, value):
+        return TimestampNormalizer(locale=locale, now="2026-08-16T00:00:00Z"
+                                   ).normalize(value)
+
+    v = "Jan 05 2020 12:00:00 CST"
+    # en: America/Chicago (-6) -> 18:00Z; en-001: Asia/Shanghai (+8) -> 04:00Z
+    assert str(instant("en", v)) == "2020-01-05 18:00:00+00:00"
+    assert str(instant("en-001", v)) == "2020-01-05 04:00:00+00:00"
+    # exact-tag authority over the language fallback
+    assert _zone_abbrev_map("ff")["BST"] == "Africa/Abidjan"
+    assert _zone_abbrev_map("ff-Adlm-GH")["BST"] == "Pacific/Bougainville"
+
+
+def test_systemv_zones_match_jdk_rules():
+    """The JDK-only SystemV legacy zones: old US DST rule (Sun >= Apr 24 to
+    Sun >= Oct 25, 02:00 wall), java-verified via ZoneRules — distinct from
+    the modern US rule in the Mar/Apr and Oct/Nov windows."""
+    import datetime as dt
+
+    from cefspark.timestamps import _SYSTEMV_ZONES
+
+    z = _SYSTEMV_ZONES["SystemV/EST5EDT"]
+    # 2020: spring transition Apr 26 (modern US rule was Mar 8)
+    assert dt.datetime(2020, 4, 25, 12, tzinfo=z).utcoffset() == dt.timedelta(hours=-5)
+    assert dt.datetime(2020, 4, 26, 12, tzinfo=z).utcoffset() == dt.timedelta(hours=-4)
+    # fall transition Oct 25 (modern US rule was Nov 1)
+    assert dt.datetime(2020, 10, 24, 12, tzinfo=z).utcoffset() == dt.timedelta(hours=-4)
+    assert dt.datetime(2020, 10, 25, 12, tzinfo=z).utcoffset() == dt.timedelta(hours=-5)
+    # fixed variants carry no DST
+    hst = _SYSTEMV_ZONES["SystemV/HST10"]
+    assert dt.datetime(2020, 7, 1, tzinfo=hst).utcoffset() == dt.timedelta(hours=-10)
+
+
+def test_full_locale_month_tables_resolve():
+    """Every dumped JDK locale resolves to a 12-month table whose primary
+    forms map 1..12 exactly once; qualified tags pick their own CLDR table
+    (de-AT January short name differs from de)."""
+    from cefspark import locale_months as lm
+    from cefspark.timestamps import _month_table
+
+    assert len(lm.TAG_TO_TABLE) == 978 and len(lm.TABLES) == 209
+    for tag in list(lm.TAG_TO_TABLE)[::37]:  # sampled sweep
+        t = _month_table(tag)
+        assert sorted(set(t.values())) == list(range(1, 13)), tag
+    assert "Jän." in _month_table("de-AT")
+    assert "Jän." not in _month_table("de")

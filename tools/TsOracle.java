@@ -28,7 +28,8 @@ public class TsOracle {
     while ((line = in.readLine()) != null) {
       String[] f = line.split("\t", -1);
       try {
-        Locale loc = f[0].isEmpty() ? Locale.ENGLISH : new Locale(f[0]);
+        Locale loc = f[0].isEmpty() ? Locale.ENGLISH
+            : Locale.forLanguageTag(f[0].replace('_', '-'));
         ZoneId zone = f[1].isEmpty() ? ZoneId.of("UTC") : ZoneId.of(f[1]);
         DateTimeFormatter fmt = DateTimeFormatter
             .ofPattern("MMM dd[ yyyy] HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][ zzz]")

@@ -50,7 +50,38 @@ LOCALES = ["", "en", "de", "fr", "fi", "tr",
 VALID_MONTHS = MONTHS[:12]
 
 
+def _full_locale_pool() -> list[tuple[str, list[str]]]:
+    """(tag, month table) for EVERY parseable locale the sandbox JDK exposes
+    (the round-4 full dump — 978 tags, space-named locales pre-excluded)."""
+    from cefspark import locale_months as lm
+
+    return sorted((t, lm.TABLES[i]) for t, i in lm.TAG_TO_TABLE.items())
+
+
+def gen_full_locale_case(rng: random.Random) -> tuple[str, str, str, str]:
+    """A case drawn from the full JDK locale sweep: the tag's own CLDR month
+    forms most of the time (exercising accept-parity for all 209 distinct
+    tables), a random other locale's form otherwise (reject-parity)."""
+    pool = _full_locale_pool()
+    tag, table = pool[rng.randrange(len(pool))]
+    if rng.random() < 0.75:
+        mon = rng.choice(table)
+    else:
+        mon = rng.choice(pool[rng.randrange(len(pool))][1])
+    day = f"{rng.randint(1, 28):02d}"
+    year = f" {rng.randint(1980, 2030)}" if rng.random() < 0.7 else ""
+    value = (f"{mon} {day}{year} {rng.randint(0, 23):02d}:"
+             f"{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}")
+    zone = rng.choice(ZONES)
+    if zone:
+        value += f" {zone}"
+    return tag, rng.choice(["", "America/New_York", "CET"]), \
+        rng.choice(DTZS), value
+
+
 def gen_case(rng: random.Random) -> tuple[str, str, str, str]:
+    if rng.random() < 0.45:  # round-4: sweep the full JDK locale surface
+        return gen_full_locale_case(rng)
     mon = rng.choice(VALID_MONTHS) if rng.random() < 0.8 else rng.choice(MONTHS)
     day = (f"{rng.randint(1, 28):02d}" if rng.random() < 0.7 else
            rng.choice([f"{rng.randint(29, 31):02d}", str(rng.randint(1, 9)), "00"]))
@@ -92,10 +123,23 @@ def ours(locale: str, tz: str, dtz: str, value: str) -> str:
 
 
 def _primary_table(locale: str) -> dict:
-    from cefspark.timestamps import _MONTHS
+    """CLDR PRIMARY forms for the locale (no aliases), mirroring
+    cefspark.timestamps._month_table's resolution order: exact qualified tag
+    -> hand-verified language table -> JDK language table -> en."""
+    from cefspark.timestamps import _MONTHS, _jdk_tag_tables
 
-    lang = (locale or "en").replace("-", "_").split("_")[0].lower()
-    return _MONTHS.get(lang, _MONTHS["en"])
+    tag = (locale or "en").replace("_", "-").lower()
+    lang = tag.split("-")[0]
+    jdk = _jdk_tag_tables()
+    if lang != tag and tag in jdk:
+        return {m: i + 1 for i, m in enumerate(jdk[tag])}
+    if lang in _MONTHS:
+        return _MONTHS[lang]
+    if tag in jdk:
+        return {m: i + 1 for i, m in enumerate(jdk[tag])}
+    if lang in jdk:
+        return {m: i + 1 for i, m in enumerate(jdk[lang])}
+    return _MONTHS["en"]
 
 
 def is_month_leniency_candidate(locale: str, value: str) -> bool:
