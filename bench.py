@@ -1,11 +1,31 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
- "sf": ..., "turns_per_sec": ...}
+ "queries_median": {...}, "sf": ..., "turns_per_sec": ...,
+ "steady_turns_per_sec": ..., "steady_turns_per_sec_local8": ...,
+ "steady_scaling_efficiency": ...}
 
 Each query is forced with a noop write (full materialization — count() alone
 would let Catalyst prune the decode UDF). The flagship pipeline number also
 reports decode+route throughput in turns/sec, the BASELINE.md metric.
+
+Per-query statistics: "queries" carries the MIN over reps (damps this box's
+documented shared-host CPU-steal bursts) and "queries_median" the MEDIAN —
+round-over-round deltas should cite medians so code speedups separate from
+the steal lottery (VERDICT r3 #4).
+
+The steady-state 2M-row pipeline is measured at THREE parallelism levels:
+local[$CPUS] in-process (the headline throughput), then local[2] and
+local[8] in fresh follow-on JVMs after the wide session stops (levels never
+compete for cores). The scaling-efficiency pair is 2 vs 8 — INSIDE the
+physical-core envelope, matching the BASELINE.md gate; 8 vs 32 crosses the
+SMT boundary where the hardware itself scales at ~0.66 (see the pure-Python
+envelope table in BENCH/BASELINE.md). Each steady measurement records its
+busy-core-scaled /proc/stat steal so a contaminated window is visible in
+the artifact. BENCH_rN.json alone then evidences the north rule's
+two-cluster-size criterion (steady_scaling_efficiency = (thr8/8)/(thr2/2));
+the steal-instrumented interleaved-pairs study in bench/scaling.py remains
+the rigorous methodology.
 """
 
 from __future__ import annotations
@@ -13,6 +33,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
@@ -37,13 +59,68 @@ HEADLINE = [
     "turn_ordering",
 ]
 
+STEADY_DIR = "/tmp/cefspark_scaling/transcripts_2000000"
+
 
 def force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
 
 
+def _cpu_ticks():
+    f = open("/proc/stat").readline().split()
+    return int(f[8]), sum(int(x) for x in f[1:9])  # steal, total
+
+
+def measure_steady(spark, cores: int, reps: int = 5):
+    """(min_sec, median_sec, rows, max_steal) for the 2M-row decode->enrich->
+    route->counts pipeline on the pre-written transcript table. Steal is
+    scaled to busy-core terms (whole-machine steal dilutes a narrow run's
+    steal by ncpu/cores) and the MAX over timed runs is reported — nonzero
+    values mean the window was contended and the numbers undercount."""
+    from cefspark import pipeline as _pipe
+    from cefspark.udfs import decode_dataframe
+
+    tdf = spark.read.parquet(STEADY_DIR)
+    # count the table actually on disk (a stale/partial dir must not
+    # inflate the metric) and divide by that, not the nominal 2M
+    rows = tdf.count()
+
+    def job():
+        return _pipe.sink_counts(_pipe.route(_pipe.enrich(
+            decode_dataframe(tdf), spark))).collect()
+
+    job()  # warmup 1: python workers, broadcast, code paths
+    job()  # warmup 2: JIT steady state
+    times, steals = [], []
+    for _ in range(reps):
+        s0, tot0 = _cpu_ticks()
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+        s1, tot1 = _cpu_ticks()
+        steals.append((s1 - s0) / max(tot1 - tot0, 1)
+                      * (os.cpu_count() / cores))
+    return min(times), statistics.median(times), rows, round(max(steals), 4)
+
+
+def steady_only(cores: int) -> None:
+    """Subprocess mode: fresh JVM at local[cores], steady measurement only."""
+    from cefspark.session import get_spark
+
+    spark = get_spark(app_name=f"cefspark-bench-steady{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    mn, med, rows, steal = measure_steady(spark, cores, reps=3)
+    print(json.dumps({"min_sec": mn, "median_sec": med, "rows": rows,
+                      "steal": steal}))
+    spark.stop()
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_STEADY_ONLY"):
+        steady_only(int(os.environ["SPARK_GRAFT_STEADY_ONLY"]))
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -67,68 +144,87 @@ def main() -> None:
     decode_dataframe(warm).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    timings_median: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         fn(spark, sf_dir).count()  # warm scan/plan caches
-        best = float("inf")
-        # min-of-N damps shared-host CPU-steal bursts (this box's documented
-        # noise source); the flagship gets extra repeats since its number is
-        # the headline turns_per_sec
         reps = 5 if name == "cef_window_counts" else 3
+        times = []
         for _ in range(reps):
             t0 = time.time()
             force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.time() - t0)
+        timings[name] = round(min(times), 3)
+        timings_median[name] = round(statistics.median(times), 3)
 
     total = round(sum(timings.values()), 3)
     flagship = timings["cef_window_counts"] or 1e-9
 
-    # Steady-state throughput: the sf0.1 flagship time is dominated by fixed
-    # per-query overhead (~100k rows finish in ~0.2s of actual decode), so
-    # also measure the same decode->enrich->route->counts job on a 2M-row
-    # pre-written transcript table (the scaling study's input) where compute
-    # dominates. This is the number comparable to BENCH/BASELINE.md.
-    steady, steady_rows = None, None
+    # Steady-state throughput at the wide level: the sf0.1 flagship time is
+    # dominated by fixed per-query overhead (~100k rows finish in ~0.2s of
+    # actual decode), so also measure the same pipeline on a 2M-row
+    # pre-written transcript table where compute dominates.
+    steady = steady_median = steady_rows = steady_steal = None
     try:
-        steady_dir = "/tmp/cefspark_scaling/transcripts_2000000"
-        if not os.path.isdir(steady_dir):
+        if not os.path.isdir(STEADY_DIR):
             from cefspark import fixtures
             fixtures.transcripts_df(spark, 2_000_000, partitions=128).write.mode(
-                "overwrite").parquet(steady_dir)
-        from cefspark import pipeline as _pipe
-        tdf = spark.read.parquet(steady_dir)
-        # count the table actually on disk (a stale/partial dir must not
-        # inflate the metric) and divide by that, not the nominal 2M
-        steady_rows = tdf.count()
-
-        def steady_job():
-            return _pipe.sink_counts(_pipe.route(_pipe.enrich(
-                decode_dataframe(tdf), spark))).collect()
-
-        steady_job()  # warm
-        best = float("inf")
-        for _ in range(5):  # min-of-5: the steady number is the BASELINE.md claim
-            t0 = time.time()
-            steady_job()
-            best = min(best, time.time() - t0)
-        steady = round(steady_rows / best, 1)
+                "overwrite").parquet(STEADY_DIR)
+        mn, med, steady_rows, steady_steal = measure_steady(spark, cpus, reps=5)
+        steady = round(steady_rows / mn, 1)
+        steady_median = round(steady_rows / med, 1)
     except Exception:
         # never lose the headline results to a failed steady-state add-on
-        steady, steady_rows = None, None
+        steady = steady_median = steady_rows = steady_steal = None
+
+    spark.stop()
+
+    # Scaling-evidence pair local[2] vs local[8] in FRESH follow-on JVMs
+    # (the wide session is stopped, so levels never compete for cores).
+    levels: dict[int, dict] = {}
+    eff = None
+    try:
+        if steady is not None:
+            for cores in (8, 2):
+                env = dict(os.environ, SPARK_GRAFT_STEADY_ONLY=str(cores))
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True, timeout=1800)
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                levels[cores] = json.loads(line)
+            thr8 = levels[8]["rows"] / levels[8]["min_sec"]
+            thr2 = levels[2]["rows"] / levels[2]["min_sec"]
+            eff = round((thr8 / 8) / (thr2 / 2), 3)
+    except Exception:
+        levels, eff = {}, None
+
+    def thr(cores, stat):
+        d = levels.get(cores)
+        return round(d["rows"] / d[stat], 1) if d else None
 
     print(json.dumps({
         "metric": "cefspark headline suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": timings_median,
         "sf": sf,
         "turns_per_sec": round(n_turns / flagship, 1),
         "steady_turns_per_sec": steady,
+        "steady_turns_per_sec_median": steady_median,
+        "steady_steal": steady_steal,
+        "steady_turns_per_sec_local8": thr(8, "min_sec"),
+        "steady_turns_per_sec_local8_median": thr(8, "median_sec"),
+        "steady_local8_steal": levels.get(8, {}).get("steal"),
+        "steady_turns_per_sec_local2": thr(2, "min_sec"),
+        "steady_turns_per_sec_local2_median": thr(2, "median_sec"),
+        "steady_local2_steal": levels.get(2, {}).get("steal"),
+        "steady_scaling_efficiency": eff,
+        "steady_scaling_pair": "local[2] vs local[8] (physical-core envelope)",
         "steady_rows": steady_rows,
         "cpus": cpus,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":
