@@ -85,13 +85,21 @@ def main() -> None:
 
     if args.sinks:
         pipeline.write_sinks(routed, args.sinks, salt_buckets=args.salt)
-    counts = pipeline.sink_counts(routed)
+    # counts stay distributed: materialize the (tiny) agg once, then the
+    # commit / scalar jobs read the checkpoint — the driver only ever sees
+    # scalars, never the sink x window relation (100 TB x years = millions
+    # of report rows)
+    from pyspark.sql import functions as F
+    counts = pipeline.sink_counts(routed).localCheckpoint(eager=True)
+    agg = counts.agg(
+        F.sum("n_events").alias("n"),
+        F.sum(F.when(F.col("sink_id") == pipeline.FAILURE_SINK,
+                     F.col("n_events")).otherwise(F.lit(0))).alias("nf")).first()
+    n, n_failed = int(agg["n"] or 0), int(agg["nf"] or 0)
     if table is not None:
-        n = routed.count()
+        # n_rows=None -> commit counts the written snapshot itself (the
+        # snapshot holds the counts relation, not the event rows)
         table.commit(counts, inputs=inputs, n_rows=None)
-    else:
-        n = sum(r["n_events"] for r in counts.collect())
-    n_failed = routed.where(routed["error"].isNotNull()).count()
     lineage_rows = pipeline.lineage(routed).count() if args.input else 0
     routed.unpersist()
 
