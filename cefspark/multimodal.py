@@ -293,15 +293,18 @@ def parse_gif(payload: bytes) -> dict:
             if fw == 0 or fh == 0 or left + fw > width or top + fh > height:
                 raise ValueError("GIF frame exceeds logical screen")
             pos += 10
+            n_local = 0
             if ipacked & 0x80:  # local color table
-                pos += 3 * (2 << (ipacked & 0x07))
+                n_local = 2 << (ipacked & 0x07)
+                pos += 3 * n_local
             if pos >= len(payload):
                 raise ValueError("truncated GIF frame")
             pos += 1  # LZW minimum code size
             pos = _gif_skip_subblocks(payload, pos)
             frames.append({"left": left, "top": top, "width": fw,
                            "height": fh, "offset": start,
-                           "n_bytes": pos - start})
+                           "n_bytes": pos - start,
+                           "n_local_colors": n_local})
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     return {"version": payload[:6].decode(), "width": width, "height": height,
@@ -403,9 +406,14 @@ def _gif_block_stats(payload: bytes) -> list[tuple[int, int]]:
 
 def _gif_features(payload: bytes) -> list[float]:
     """Real video features: mean palette index per temporal block, normalized
-    by the palette span — a scalar function of the integer block stats."""
+    by the palette span — a scalar function of the integer block stats. The
+    span is the largest ACTIVE palette (a frame's local color table overrides
+    the global one), so features stay in [0, 1] even for GIFs with no global
+    table."""
     meta = parse_gif(payload)
-    span = max(1, meta["n_colors"] - 1)
+    palettes = [fr["n_local_colors"] or meta["n_colors"]
+                for fr in meta["frames"]]
+    span = max(1, max(palettes, default=1) - 1)
     return [float(s) / n / span if n else 0.0
             for s, n in _gif_block_stats(payload)]
 
@@ -638,7 +646,13 @@ def _wav_block_stats(payload: bytes) -> list[tuple[int, int]]:
     each of FEATURE_DIM np.array_split blocks. Sums fit int64 (32768^2 * n);
     integer-exact, so an SQL oracle reproduces them from the sawtooth's
     closed form."""
-    parse_wav(payload)  # container + PCM validation
+    meta = parse_wav(payload)  # container + PCM validation
+    if meta["bits_per_sample"] != 16:
+        # the sample reader is '<i2'; silently reinterpreting 8/24/32-bit
+        # data as int16 would emit confidently wrong stats
+        raise NotImplementedError(
+            f"{meta['bits_per_sample']}-bit PCM sample decode not "
+            "implemented (metadata extraction still works)")
     v = _wav_samples(payload).astype(np.int64)
     return [(int((b * b).sum()), len(b)) for b in np.array_split(v, FEATURE_DIM)]
 

@@ -126,14 +126,45 @@ def write_sinks(routed: DataFrame, base_path: str, salt_buckets: int = 8,
     out.write.mode("overwrite").partitionBy("sink_id").parquet(base_path)
 
 
+_WINDOW_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _window_seconds(window: str) -> int:
+    parts = window.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(f"unsupported window spec {window!r}")
+    unit = _WINDOW_UNITS.get(parts[1].rstrip("s"))
+    if unit is None:
+        raise ValueError(f"unsupported window unit {window!r}")
+    return int(parts[0]) * unit
+
+
 def sink_counts(routed: DataFrame, ts_col: str = "ts",
                 window: str = "1 hour") -> DataFrame:
-    """Per-sink event counts windowed by ts (partial+final hash agg)."""
+    """Per-sink event counts in epoch-aligned tumbling windows (partial+final
+    hash agg). Implemented as floor-division bucketing rather than
+    ``F.window``: identical window starts for tumbling windows, no
+    TimeWindow generator in the plan, and — the load-bearing difference —
+    NULL timestamps survive as a NULL-window row instead of being silently
+    dropped, so the counts relation (the job's system of record) reconciles
+    exactly with the routed rows."""
+    secs = _window_seconds(window)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs)
     return (
-        routed.groupBy("sink_id", F.window(F.col(ts_col), window).alias("w"))
+        routed.groupBy("sink_id", bucket.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("sink_id", F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def counts_scalars(counts: DataFrame) -> tuple[int, int]:
+    """(n_input, n_failed) from a (materialized) sink_counts relation — the
+    single shared driver-bounded report aggregation."""
+    agg = counts.agg(
+        F.sum("n_events").alias("n"),
+        F.sum(F.when(F.col("sink_id") == FAILURE_SINK, F.col("n_events"))
+              .otherwise(F.lit(0))).alias("nf")).first()
+    return int(agg["n"] or 0), int(agg["nf"] or 0)
 
 
 def lineage(routed: DataFrame) -> DataFrame:
@@ -189,11 +220,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         counts = sink_counts(routed).localCheckpoint(eager=True)
         if counts_path:
             counts.write.mode("overwrite").parquet(counts_path)
-        agg = counts.agg(
-            F.sum("n_events").alias("n_input"),
-            F.sum(F.when(F.col("sink_id") == FAILURE_SINK, F.col("n_events"))
-                  .otherwise(F.lit(0))).alias("n_failed"),
-            F.count_distinct("sink_id").alias("n_sinks")).first()
+        n_input, n_failed = counts_scalars(counts)
+        n_sinks = counts.select("sink_id").distinct().count()
         top = (counts.groupBy("sink_id").agg(F.sum("n_events").alias("n_events"))
                .orderBy(F.desc("n_events"), F.asc("sink_id")).limit(top_k).collect())
         lin = lineage(routed).count() if collect_lineage else 0
@@ -201,8 +229,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         if sink_path:
             routed.unpersist()
     return PipelineResult(
-        n_input=int(agg["n_input"] or 0), n_failed=int(agg["n_failed"] or 0),
-        n_sinks=int(agg["n_sinks"]),
+        n_input=n_input, n_failed=n_failed,
+        n_sinks=n_sinks,
         top_sinks=[(r["sink_id"], r["n_events"]) for r in top],
         wall_seconds=time.time() - t0, lineage_rows=lin,
         counts_path=counts_path)

@@ -89,13 +89,8 @@ def main() -> None:
     # commit / scalar jobs read the checkpoint — the driver only ever sees
     # scalars, never the sink x window relation (100 TB x years = millions
     # of report rows)
-    from pyspark.sql import functions as F
     counts = pipeline.sink_counts(routed).localCheckpoint(eager=True)
-    agg = counts.agg(
-        F.sum("n_events").alias("n"),
-        F.sum(F.when(F.col("sink_id") == pipeline.FAILURE_SINK,
-                     F.col("n_events")).otherwise(F.lit(0))).alias("nf")).first()
-    n, n_failed = int(agg["n"] or 0), int(agg["nf"] or 0)
+    n, n_failed = pipeline.counts_scalars(counts)
     if table is not None:
         # n_rows=None -> commit counts the written snapshot itself (the
         # snapshot holds the counts relation, not the event rows)

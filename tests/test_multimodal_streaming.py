@@ -390,3 +390,44 @@ def test_gif_block_stats_match_closed_form():
     feats = multimodal._gif_features(blob)
     assert len(feats) == multimodal.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in feats)
+
+
+def test_wav_sample_decode_rejects_non_16_bit():
+    """Review r4: an 8-bit PCM WAV must raise a typed error from the sample
+    decoder, not silently halve into bogus int16 stats."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM
+        w.setframerate(8000)
+        w.writeframes(bytes(range(100)))
+    blob = buf.getvalue()
+    meta = multimodal.parse_wav(blob)  # metadata extraction still works
+    assert meta["bits_per_sample"] == 8 and meta["n_frames"] == 100
+    with pytest.raises(NotImplementedError):
+        multimodal._wav_block_stats(blob)
+
+
+def test_gif_features_bounded_with_local_palette():
+    """Review r4: features normalize by the largest ACTIVE palette (local
+    color tables override the global one)."""
+    import struct
+
+    # spec-valid GIF89a, NO global color table, one frame with a local
+    # 8-color table, 2x2 pixels of indices 0..3 (fixed-width LZW, mcs=3)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)  # no GCT
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x80 | 0x02)  # LCT, 8 colors
+    out += bytes(24)  # local color table
+    lzw = multimodal._gif_lzw_encode([0, 1, 2, 3], min_code_size=3)
+    out.append(3)
+    out.append(len(lzw)); out += lzw
+    out.append(0)
+    out.append(0x3B)
+    meta = multimodal.parse_gif(bytes(out))
+    assert meta["n_colors"] == 0 and meta["frames"][0]["n_local_colors"] == 8
+    feats = multimodal._gif_features(bytes(out))
+    assert all(0.0 <= v <= 1.0 for v in feats)

@@ -229,3 +229,44 @@ def test_run_pipeline_result_is_driver_bounded(spark, transcripts, tmp_path):
     sums = {r["sink_id"]: r["s"] for r in
             written.groupBy("sink_id").agg(F.sum("n_events").alias("s")).collect()}
     assert res.top_sinks[0][1] == max(sums.values())
+
+
+def test_sink_counts_keeps_null_ts_rows(spark):
+    """Review r4: window() silently drops null-ts rows; the floor-bucket
+    implementation must keep them as a NULL-window row so the counts
+    relation (system of record) reconciles with the routed rows."""
+    import datetime as dt
+
+    rows = [("a/low", dt.datetime(2020, 1, 1, 10, 30)),
+            ("a/low", dt.datetime(2020, 1, 1, 10, 45)),
+            ("a/low", None),
+            ("b/high", None)]
+    routed = spark.createDataFrame(rows, "sink_id string, ts timestamp")
+    got = {(r["sink_id"], r["window_start"]): r["n_events"]
+           for r in pipeline.sink_counts(routed).collect()}
+    assert got[("a/low", dt.datetime(2020, 1, 1, 10, 0))] == 2
+    assert got[("a/low", None)] == 1
+    assert got[("b/high", None)] == 1
+    assert sum(got.values()) == len(rows)  # exact reconciliation
+
+
+def test_run_pipeline_counts_include_null_ts(spark):
+    import datetime as dt
+
+    pdf = fixtures.transcripts_pdf(40)
+    src = spark.createDataFrame(pdf)
+    src = src.withColumn("ts", F.when(F.col("turn_idx") == 0,
+                                      F.lit(None).cast("timestamp"))
+                         .otherwise(F.col("ts")))
+    res = pipeline.run_pipeline(spark, src)
+    assert res.n_input == 40  # null-ts rows are not silently dropped
+
+
+def test_window_seconds_parsing():
+    assert pipeline._window_seconds("1 hour") == 3600
+    assert pipeline._window_seconds("30 minutes") == 1800
+    assert pipeline._window_seconds("2 days") == 172800
+    with pytest.raises(ValueError):
+        pipeline._window_seconds("fortnight")
+    with pytest.raises(ValueError):
+        pipeline._window_seconds("5 fortnights")

@@ -50,6 +50,10 @@ LOCALES = ["", "en", "de", "fr", "fi", "tr",
 VALID_MONTHS = MONTHS[:12]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _full_locale_pool() -> list[tuple[str, list[str]]]:
     """(tag, month table) for EVERY parseable locale the sandbox JDK exposes
     (the round-4 full dump — 978 tags, space-named locales pre-excluded)."""
