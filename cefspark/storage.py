@@ -151,6 +151,70 @@ class ManifestTable:
                 .select(F.explode("inputs").alias("_consumed_file"))
                 .distinct())
 
+    # -- maintenance --------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Expire history: keep the most recent ``keep_last`` snapshots of
+        the LATEST chain reachable from the pointer; older ancestors and any
+        orphaned snapshots (published manifest but lost the pointer race)
+        have their data dirs and manifests deleted. Returns expired ids.
+
+        Resume safety: the kept chain's manifests still record their own
+        ``inputs``, but consumed-input coverage from EXPIRED ancestors would
+        be lost — so before deleting, the expired ancestors' input lists are
+        FOLDED into the oldest kept manifest (union, driver-side bounded by
+        path count per expiry batch; run expiry regularly and the batch
+        stays small). The chain is re-rooted: the oldest kept snapshot's
+        parent becomes None.
+
+        At 100 TB this is the table-maintenance path that bounds manifest
+        count and storage growth — the moral equivalent of Iceberg's
+        expire_snapshots + orphan-file cleanup."""
+        import shutil
+
+        chain = []
+        sid = self.latest_snapshot_id()
+        while sid:
+            snap = self.snapshot(sid)
+            chain.append(snap)
+            sid = snap.parent_id
+        kept, expired = chain[:keep_last], chain[keep_last:]
+        all_ids = {os.path.splitext(f)[0] for f in os.listdir(self._manifests)
+                   if f.endswith(".json")}
+        orphans = all_ids - {s.snapshot_id for s in chain}
+        if not expired and not orphans:
+            return []
+        if kept and expired:
+            # fold expired ancestors' lineage into the oldest kept manifest
+            # and re-root it, so filter_new_inputs keeps full coverage
+            oldest = kept[-1]
+            folded = sorted(set(oldest.inputs).union(
+                *[s.inputs for s in expired]))
+            oldest.inputs = folded
+            oldest.parent_id = None
+            mpath = os.path.join(self._manifests, f"{oldest.snapshot_id}.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(oldest.__dict__, f, indent=1)
+            os.rename(tmp, mpath)
+        gone = []
+        for s in expired:
+            shutil.rmtree(s.data_dir, ignore_errors=True)
+            try:
+                os.remove(os.path.join(self._manifests, f"{s.snapshot_id}.json"))
+            except FileNotFoundError:
+                pass
+            gone.append(s.snapshot_id)
+        for sid in orphans:
+            shutil.rmtree(os.path.join(self.root, "data", sid),
+                          ignore_errors=True)
+            try:
+                os.remove(os.path.join(self._manifests, f"{sid}.json"))
+            except FileNotFoundError:
+                pass
+            gone.append(sid)
+        return gone
+
     def filter_new_inputs(self, df: DataFrame) -> DataFrame:
         """Drop rows from input files already consumed (checkpoint resume).
 

@@ -270,3 +270,48 @@ def test_window_seconds_parsing():
         pipeline._window_seconds("fortnight")
     with pytest.raises(ValueError):
         pipeline._window_seconds("5 fortnights")
+
+
+def test_expire_snapshots_keeps_resume_coverage(spark, tmp_path):
+    """Table maintenance: expiry deletes old snapshot data/manifests and
+    orphans, but FOLDS expired lineage into the oldest kept manifest so
+    checkpoint/resume still skips every consumed file."""
+    src_dir = str(tmp_path / "in")
+    pdf = fixtures.transcripts_pdf(60)
+    for i in range(3):
+        spark.createDataFrame(pdf[i * 20:(i + 1) * 20]).write.parquet(
+            f"{src_dir}/batch{i}")
+
+    table = ManifestTable(str(tmp_path / "out"))
+    scans = [spark.read.parquet(f"{src_dir}/batch{i}") for i in range(3)]
+    for s in scans:
+        table.commit(s, inputs=list_input_files(s))
+    # an orphaned snapshot: manifest written, pointer race lost
+    import json as _json
+    import os as _os
+    orphan_dir = str(tmp_path / "out" / "data" / "orphan-1")
+    _os.makedirs(orphan_dir)
+    with open(str(tmp_path / "out" / "manifests" / "orphan-1.json"), "w") as f:
+        _json.dump({"snapshot_id": "orphan-1", "parent_id": None,
+                    "committed_at": 0, "n_rows": 0, "inputs": [],
+                    "data_dir": orphan_dir}, f)
+
+    all_files = set()
+    for s in scans:
+        all_files.update(list_input_files(s))
+    assert table.consumed_inputs() == all_files
+
+    gone = table.expire_snapshots(keep_last=1)
+    assert len(gone) == 3  # two ancestors + the orphan
+    assert "orphan-1" in gone
+    assert not _os.path.exists(orphan_dir)
+    # single-snapshot chain, re-rooted, with FULL folded lineage
+    snap = table.snapshot()
+    assert snap.parent_id is None
+    assert table.consumed_inputs() == all_files
+    both = spark.read.parquet(*[f"{src_dir}/batch{i}" for i in range(3)])
+    assert table.filter_new_inputs(both).count() == 0
+    # latest snapshot's data is intact
+    assert table.read(spark).count() == 20
+    # idempotent: nothing left to expire
+    assert table.expire_snapshots(keep_last=1) == []
