@@ -215,6 +215,37 @@ class ManifestTable:
             gone.append(sid)
         return gone
 
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                partition_by: Optional[list[str]] = None) -> Optional[Snapshot]:
+        """Rewrite the latest snapshot's data as ~target-sized files (the
+        small-files problem: incremental commits leave file counts that grow
+        with commit frequency, and at scale the scan's task count — and the
+        namenode/manifest pressure — grows with them). The rewrite is a new
+        snapshot whose inputs carry the parent's lineage forward, so
+        checkpoint/resume is unaffected; pair with expire_snapshots to
+        reclaim the pre-compaction files. Returns None on an empty table.
+
+        Sizing uses the snapshot's actual on-disk bytes (driver-side listing
+        of ONE snapshot dir — bounded by its file count, which is exactly
+        what compaction is about to shrink)."""
+        snap = self.snapshot()
+        if snap is None:
+            return None
+        total = 0
+        for dirpath, _, files in os.walk(snap.data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+        df = spark.read.parquet(snap.data_dir)
+        if partition_by:
+            out = df.repartition(n_files, *partition_by)
+        else:
+            out = df.coalesce(n_files)
+        return self.commit(out, inputs=snap.inputs, partition_by=partition_by,
+                           n_rows=snap.n_rows)
+
     def filter_new_inputs(self, df: DataFrame) -> DataFrame:
         """Drop rows from input files already consumed (checkpoint resume).
 

@@ -315,3 +315,32 @@ def test_expire_snapshots_keeps_resume_coverage(spark, tmp_path):
     assert table.read(spark).count() == 20
     # idempotent: nothing left to expire
     assert table.expire_snapshots(keep_last=1) == []
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """Compaction: a fragmented snapshot rewrites to ~target-sized files in
+    a NEW snapshot carrying the parent's lineage; expiry then reclaims the
+    fragmented files and resume coverage is intact."""
+    import os as _os
+
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(fixtures.transcripts_pdf(400)).write.parquet(src_dir)
+    scan = spark.read.parquet(src_dir)
+    table = ManifestTable(str(tmp_path / "out"))
+    # fragment: 64 files for 400 rows
+    table.commit(scan.repartition(64), inputs=list_input_files(scan))
+    frag = table.snapshot()
+    n_frag = sum(1 for f in _os.listdir(frag.data_dir) if f.endswith(".parquet"))
+    assert n_frag >= 32
+
+    snap = table.compact(spark, target_file_bytes=64 * 1024 * 1024)
+    assert snap.parent_id == frag.snapshot_id
+    n_after = sum(1 for f in _os.listdir(snap.data_dir) if f.endswith(".parquet"))
+    assert n_after <= 2  # 400 tiny rows fit one target file
+    assert table.read(spark).count() == 400
+    assert snap.inputs == frag.inputs  # lineage carried forward
+
+    table.expire_snapshots(keep_last=1)
+    assert not _os.path.exists(frag.data_dir)
+    assert table.read(spark).count() == 400
+    assert table.filter_new_inputs(scan).count() == 0  # resume still covered
