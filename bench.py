@@ -111,8 +111,13 @@ def steady_only(cores: int) -> None:
     spark = get_spark(app_name=f"cefspark-bench-steady{cores}", cores=cores,
                       shuffle_partitions=cores)
     mn, med, rows, steal = measure_steady(spark, cores, reps=3)
+    # min/median spread far beyond run-to-run jitter means the window was
+    # disturbed in a way /proc/stat steal cannot see (IO, thermal, another
+    # guest without steal accounting) — flag it so efficiency consumers
+    # know to discard
     print(json.dumps({"min_sec": mn, "median_sec": med, "rows": rows,
-                      "steal": steal}))
+                      "steal": steal,
+                      "contaminated": bool(med > mn * 1.25 or steal > 0.05)}))
     spark.stop()
 
 
@@ -196,6 +201,8 @@ def main() -> None:
             thr8 = levels[8]["rows"] / levels[8]["min_sec"]
             thr2 = levels[2]["rows"] / levels[2]["min_sec"]
             eff = round((thr8 / 8) / (thr2 / 2), 3)
+            if any(l.get("contaminated") for l in levels.values()):
+                eff = None  # disturbed window: don't report a junk ratio
     except Exception:
         levels, eff = {}, None
 
@@ -217,9 +224,11 @@ def main() -> None:
         "steady_turns_per_sec_local8": thr(8, "min_sec"),
         "steady_turns_per_sec_local8_median": thr(8, "median_sec"),
         "steady_local8_steal": levels.get(8, {}).get("steal"),
+        "steady_local8_contaminated": levels.get(8, {}).get("contaminated"),
         "steady_turns_per_sec_local2": thr(2, "min_sec"),
         "steady_turns_per_sec_local2_median": thr(2, "median_sec"),
         "steady_local2_steal": levels.get(2, {}).get("steal"),
+        "steady_local2_contaminated": levels.get(2, {}).get("contaminated"),
         "steady_scaling_efficiency": eff,
         "steady_scaling_pair": "local[2] vs local[8] (physical-core envelope)",
         "steady_rows": steady_rows,
