@@ -106,10 +106,26 @@ class ManifestTable:
             return Snapshot(**json.load(f))
 
     def read(self, spark: SparkSession, snapshot_id: Optional[str] = None) -> Optional[DataFrame]:
+        """Data of ONE snapshot (the latest by default)."""
         snap = self.snapshot(snapshot_id)
         if snap is None:
             return None
         return spark.read.parquet(snap.data_dir)
+
+    def read_union(self, spark: SparkSession) -> Optional[DataFrame]:
+        """The DELTA view: union of every snapshot on the LATEST chain —
+        the full logical table when commits are incremental appends
+        (checkpoint/resume style). A post-``compact`` table has a
+        single-snapshot chain, where this equals ``read``."""
+        dirs = []
+        sid = self.latest_snapshot_id()
+        while sid:
+            snap = self.snapshot(sid)
+            dirs.append(snap.data_dir)
+            sid = snap.parent_id
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
 
     # -- resume -----------------------------------------------------------------
 
@@ -167,6 +183,14 @@ class ManifestTable:
         stays small). The chain is re-rooted: the oldest kept snapshot's
         parent becomes None.
 
+        DATA safety: expiry deletes expired snapshots' data files. For
+        delta-style chains (incremental appends read via ``read_union``)
+        ancestor data IS table data — run ``compact`` first, which rewrites
+        the full chain union into the latest snapshot, making
+        ``expire_snapshots(keep_last=1)`` lossless. For full-view tables
+        (every commit is the complete state, e.g. run_pipeline's counts
+        report) expiry is always lossless.
+
         At 100 TB this is the table-maintenance path that bounds manifest
         count and storage growth — the moral equivalent of Iceberg's
         expire_snapshots + orphan-file cleanup."""
@@ -218,33 +242,43 @@ class ManifestTable:
     def compact(self, spark: SparkSession,
                 target_file_bytes: int = 128 * 1024 * 1024,
                 partition_by: Optional[list[str]] = None) -> Optional[Snapshot]:
-        """Rewrite the latest snapshot's data as ~target-sized files (the
-        small-files problem: incremental commits leave file counts that grow
-        with commit frequency, and at scale the scan's task count — and the
-        namenode/manifest pressure — grows with them). The rewrite is a new
-        snapshot whose inputs carry the parent's lineage forward, so
-        checkpoint/resume is unaffected; pair with expire_snapshots to
-        reclaim the pre-compaction files. Returns None on an empty table.
+        """Rewrite the FULL chain union (``read_union``) as one snapshot of
+        ~target-sized files. This solves two problems at once: the
+        small-files problem (incremental commits leave file counts that grow
+        with commit frequency — and at scale the scan's task count and
+        manifest pressure grow with them), and chain length (the compacted
+        snapshot carries the ENTIRE logical table plus the union of the
+        chain's input lineage, so a follow-up ``expire_snapshots
+        (keep_last=1)`` is lossless for both data and resume coverage).
+        Returns None on an empty table.
 
-        Sizing uses the snapshot's actual on-disk bytes (driver-side listing
-        of ONE snapshot dir — bounded by its file count, which is exactly
-        what compaction is about to shrink)."""
-        snap = self.snapshot()
-        if snap is None:
+        Sizing uses the chain's actual on-disk bytes (driver-side listing of
+        the chain's data dirs — bounded by their file count, which is
+        exactly what compaction is about to shrink)."""
+        chain = []
+        sid = self.latest_snapshot_id()
+        while sid:
+            snap = self.snapshot(sid)
+            chain.append(snap)
+            sid = snap.parent_id
+        if not chain:
             return None
         total = 0
-        for dirpath, _, files in os.walk(snap.data_dir):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += os.path.getsize(os.path.join(dirpath, f))
+        for snap in chain:
+            for dirpath, _, files in os.walk(snap.data_dir):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(dirpath, f))
         n_files = max(1, -(-total // target_file_bytes))  # ceil
-        df = spark.read.parquet(snap.data_dir)
+        df = spark.read.parquet(*[s.data_dir for s in chain])
         if partition_by:
             out = df.repartition(n_files, *partition_by)
         else:
             out = df.coalesce(n_files)
-        return self.commit(out, inputs=snap.inputs, partition_by=partition_by,
-                           n_rows=snap.n_rows)
+        inputs = sorted(set().union(*[s.inputs for s in chain]))
+        n_rows = sum(s.n_rows for s in chain)
+        return self.commit(out, inputs=inputs, partition_by=partition_by,
+                           n_rows=n_rows)
 
     def filter_new_inputs(self, df: DataFrame) -> DataFrame:
         """Drop rows from input files already consumed (checkpoint resume).

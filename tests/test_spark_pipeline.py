@@ -300,19 +300,27 @@ def test_expire_snapshots_keeps_resume_coverage(spark, tmp_path):
     for s in scans:
         all_files.update(list_input_files(s))
     assert table.consumed_inputs() == all_files
+    # the delta view spans the chain; single-snapshot read is just the tip
+    assert table.read_union(spark).count() == 60
+    assert table.read(spark).count() == 20
+
+    # compact first: the chain union (data + lineage) lands in ONE snapshot,
+    # making keep_last=1 expiry lossless for delta-style tables
+    comp = table.compact(spark)
+    assert comp.n_rows == 60 and set(comp.inputs) == all_files
 
     gone = table.expire_snapshots(keep_last=1)
-    assert len(gone) == 3  # two ancestors + the orphan
+    assert len(gone) == 4  # three delta ancestors + the orphan
     assert "orphan-1" in gone
     assert not _os.path.exists(orphan_dir)
-    # single-snapshot chain, re-rooted, with FULL folded lineage
+    # single-snapshot chain, re-rooted, FULL data and lineage retained
     snap = table.snapshot()
     assert snap.parent_id is None
+    assert table.read(spark).count() == 60
+    assert table.read_union(spark).count() == 60
     assert table.consumed_inputs() == all_files
     both = spark.read.parquet(*[f"{src_dir}/batch{i}" for i in range(3)])
     assert table.filter_new_inputs(both).count() == 0
-    # latest snapshot's data is intact
-    assert table.read(spark).count() == 20
     # idempotent: nothing left to expire
     assert table.expire_snapshots(keep_last=1) == []
 
