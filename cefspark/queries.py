@@ -1530,23 +1530,43 @@ SELECT doc_id + 200000 AS doc_id, doc_id AS component FROM centers WHERE doc_id 
 
 
 def q_sample_split(spark, sf_dir):
-    """Deterministic train/val/test assignment (90/5/5): a pure integer-hash
-    function of the row key — reproducible across runs, engines, partitioning
-    and cluster sizes (Spark's randomSplit is not: its seed stability breaks
-    when AQE re-partitions). No UDF, no shuffle; the split predicate is
-    pushable. The oracle runs the IDENTICAL two-round multiply-mod bucket
-    arithmetic in SQL (every intermediate fits int64)."""
-    return sampling.assign_split(
+    """Deterministic sampling, two merged variants — both pure integer-hash
+    functions of the row key, reproducible across runs/engines/partitioning
+    and cluster sizes (Spark's randomSplit/sampleBy are not: their seed
+    stability breaks when AQE re-partitions). No UDF, no shuffle; the
+    predicates are pushable. The oracle runs the IDENTICAL two-round
+    multiply-mod bucket arithmetic in SQL (every intermediate fits int64):
+
+    - ``split``: 90/5/5 train/val/test assignment.
+    - ``stratified``: engine-exact sampleBy — per-language fractions over
+      the documents corpus (en downsampled to 30%, de/es kept at 80%, fr
+      dropped by omission, zh fully kept), label = the stratum."""
+    split_rows = sampling.assign_split(
         _documents(spark, sf_dir).select("doc_id"),
-        weights=(0.9, 0.05, 0.05), salt=7).select("doc_id", "split")
+        weights=(0.9, 0.05, 0.05), salt=7).select(
+        "doc_id", F.lit("split").alias("variant"), "split")
+    strat_rows = sampling.stratified_sample(
+        _documents(spark, sf_dir).select("doc_id", "lang"),
+        fractions={"en": 0.3, "de": 0.8, "es": 0.8, "zh": 1.0},
+        strata_col="lang", salt=11).select(
+        "doc_id", F.lit("stratified").alias("variant"),
+        F.col("lang").alias("split"))
+    return split_rows.unionByName(strat_rows)
 
 
 O_SAMPLE_SPLIT = f"""
-SELECT doc_id,
+SELECT doc_id, 'split' AS variant,
        CASE WHEN {sampling.split_bucket_sql('doc_id', 7)} < 900 THEN 'train'
             WHEN {sampling.split_bucket_sql('doc_id', 7)} < 950 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+UNION ALL
+SELECT doc_id, 'stratified' AS variant, lang AS split
+FROM documents
+WHERE (lang = 'en' AND {sampling.split_bucket_sql('doc_id', 11)} < 300)
+   OR (lang = 'de' AND {sampling.split_bucket_sql('doc_id', 11)} < 800)
+   OR (lang = 'es' AND {sampling.split_bucket_sql('doc_id', 11)} < 800)
+   OR (lang = 'zh' AND {sampling.split_bucket_sql('doc_id', 11)} < 1000)
 """
 
 

@@ -104,3 +104,26 @@ def sample_fraction(df: DataFrame, fraction: float,
     fraction cutoff. Same key -> same decision on every run/engine/cluster."""
     cutoff = round(fraction * _BUCKETS)
     return df.where(split_bucket(F.col(id_col), salt) < F.lit(cutoff))
+
+
+def stratified_sample(df: DataFrame, fractions: dict,
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      salt: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling (the engine-exact counterpart of
+    df.sampleBy): each stratum keeps its own fraction, decided by the same
+    integer bucket hash of the row key, so re-balancing a skewed corpus
+    (e.g. downsample the dominant language) is reproducible across
+    runs/engines/cluster sizes. Strata absent from ``fractions`` are
+    dropped, matching sampleBy's contract. Pure projection: the predicate
+    is a when-free boolean over (stratum, bucket) — pushable, no UDF, no
+    shuffle."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    b = split_bucket(F.col(id_col), salt)
+    expr = None
+    for key, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {key!r} must be in [0, 1]")
+        cond = (F.col(strata_col) == F.lit(key)) & (b < F.lit(round(frac * _BUCKETS)))
+        expr = cond if expr is None else expr | cond
+    return df.where(expr)

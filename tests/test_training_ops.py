@@ -281,3 +281,37 @@ def test_langid_profiles_are_deterministic_integers():
     for li, lang in enumerate(langid.LANGS):
         n = sum(1 for ws in p1.values() if ws[li] > 0)
         assert n == langid.PROFILE_SIZE, (lang, n)
+
+
+def test_stratified_sample_is_deterministic_and_pushable(spark):
+    from pyspark.sql import functions as F
+
+    from cefspark import sampling
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("lang"))
+    out = sampling.stratified_sample(
+        docs, {"en": 0.5, "de": 1.0}, strata_col="lang", id_col="doc_id")
+    rows = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    assert "fr" not in by_lang          # omitted stratum dropped
+    assert by_lang["de"] == 667          # fraction 1.0 keeps everything
+    assert 250 < by_lang["en"] < 420     # ~50% of 667
+    # deterministic under different partitioning
+    again = {r["lang"]: r["count"] for r in
+             sampling.stratified_sample(docs.repartition(13),
+                                        {"en": 0.5, "de": 1.0},
+                                        strata_col="lang").groupBy("lang")
+             .count().collect()}
+    assert again == by_lang
+    # narrow plan: no shuffle, no python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.stratified_sample(docs, {})
+    with _pytest.raises(ValueError):
+        sampling.stratified_sample(docs, {"en": 1.5})
