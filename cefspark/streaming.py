@@ -117,3 +117,28 @@ def run_conversation_stats(spark: SparkSession, input_path: str, query_name: str
     stats = conversation_stats_stream(decoded)
     return (stats.writeStream.format("memory").queryName(query_name)
             .outputMode("update").trigger(availableNow=True).start())
+
+
+def dedup_stream(stream: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "10 minutes",
+                 ts_col: str = "ts") -> DataFrame:
+    """Streaming exactly-once delivery: drop duplicate events (at-least-once
+    sources redeliver) keyed on the natural event identity, with state
+    bounded by the watermark horizon — `dropDuplicatesWithinWatermark`
+    evicts seen-keys once they age past the watermark, so state is
+    O(events per horizon), not O(stream lifetime). Keys default to the
+    transcript identity (conv_id, turn_idx)."""
+    keys = keys or ["conv_id", "turn_idx"]
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+def run_dedup_to_memory(spark: SparkSession, input_path: str, query_name: str,
+                        watermark: str = "10 minutes",
+                        max_files_per_trigger: int = 16):
+    """Drain a (possibly duplicated) transcript stream through streaming
+    dedup into an in-memory sink; returns the StreamingQuery."""
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    deduped = dedup_stream(stream, watermark=watermark)
+    return (deduped.writeStream.format("memory").queryName(query_name)
+            .outputMode("append").trigger(availableNow=True).start())

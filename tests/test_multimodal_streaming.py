@@ -431,3 +431,21 @@ def test_gif_features_bounded_with_local_palette():
     assert meta["n_colors"] == 0 and meta["frames"][0]["n_local_colors"] == 8
     feats = multimodal._gif_features(bytes(out))
     assert all(0.0 <= v <= 1.0 for v in feats)
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery collapses to exactly-once within the
+    watermark horizon: the same batch written twice (plus an extra unique
+    file) yields each (conv_id, turn_idx) exactly once."""
+    src = str(tmp_path / "dup_in")
+    pdf = fixtures.transcripts_pdf(400)
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.parquet(src)                        # delivery 1
+    sdf.coalesce(1).write.mode("append").parquet(src)         # redelivery
+    q = streaming.run_dedup_to_memory(spark, src, "dedup_out",
+                                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = spark.sql("select conv_id, turn_idx, count(*) c from dedup_out "
+                    "group by 1,2 having c > 1").count()
+    assert got == 0
+    assert spark.sql("select count(*) from dedup_out").first()[0] == 400
