@@ -936,14 +936,8 @@ def q_checkpoint_resume(spark, sf_dir):
     # idempotent for resume, the chain union still covers everything once
     t.commit(fresh.select("event_id"), inputs=storage.list_input_files(scan_all))
 
-    out = None
-    sid = t.latest_snapshot_id()
-    while sid:
-        snap = t.snapshot(sid)
-        part = spark.read.parquet(snap.data_dir)
-        out = part if out is None else out.unionByName(part)
-        sid = snap.parent_id
-    return out.select("event_id")
+    # the delta view: union of the snapshot chain (storage.read_union)
+    return t.read_union(spark).select("event_id")
 
 
 O_CHECKPOINT_RESUME = """
