@@ -209,12 +209,23 @@ def _gif_lzw_encode(pixels: list[int], min_code_size: int = 2) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """GIF 4-pass interlace row sequence: rows 0,8,16.. then 4,12.. then
+    2,6,10.. then 1,3,5.. (the order interlaced frames store rows in)."""
+    return ([y for y in range(0, height, 8)]
+            + [y for y in range(4, height, 8)]
+            + [y for y in range(2, height, 4)]
+            + [y for y in range(1, height, 2)])
+
+
 def build_gif(width: int, height: int, n_frames: int,
-              with_comment: bool = False) -> bytes:
+              with_comment: bool = False, interlace: bool = False) -> bytes:
     """Serialize a real animated GIF89a: 4-color global table, per-frame
     graphic-control extension + sub-rectangle image descriptor (left/top vary
     per frame — walkers must read each descriptor, not assume full-screen
-    frames), deterministic pixel pattern (x + y + f) % 4, real LZW data."""
+    frames), deterministic pixel pattern (x + y + f) % 4, real LZW data.
+    ``interlace=True`` stores rows in the spec's 4-pass order with the
+    descriptor flag set."""
     import struct
 
     out = bytearray(b"GIF89a")
@@ -230,8 +241,10 @@ def build_gif(width: int, height: int, n_frames: int,
         fw, fh = width - left, height - top
         # graphic control extension (8 bytes): delay varies per frame
         out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0x04, 3 + f, 0, 0)
-        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
-        lzw = _gif_lzw_encode([(x + y + f) % 4 for y in range(fh)
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh,
+                                     0x40 if interlace else 0)
+        rows = _gif_interlace_order(fh) if interlace else range(fh)
+        lzw = _gif_lzw_encode([(x + y + f) % 4 for y in rows
                                for x in range(fw)])
         out.append(2)  # LZW minimum code size
         for off in range(0, len(lzw), 255):  # length-prefixed sub-blocks
@@ -368,8 +381,6 @@ def decode_gif_pixels(payload: bytes) -> list[np.ndarray]:
     for fr in meta["frames"]:
         pos = fr["offset"] + 10  # image descriptor
         ipacked = payload[fr["offset"] + 9]
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF frames not supported")
         if ipacked & 0x80:
             pos += 3 * (2 << (ipacked & 0x07))
         min_code = payload[pos]
@@ -387,8 +398,14 @@ def decode_gif_pixels(payload: bytes) -> list[np.ndarray]:
         if len(px) < n_expect:
             raise ValueError(f"LZW stream decoded {len(px)} of "
                              f"{n_expect} pixels")
-        out.append(np.array(px[:n_expect], dtype=np.uint8)
-                   .reshape(fr["height"], fr["width"]))
+        img = (np.array(px[:n_expect], dtype=np.uint8)
+               .reshape(fr["height"], fr["width"]))
+        if ipacked & 0x40:  # interlaced: stored rows follow the 4-pass order
+            nat = np.empty_like(img)
+            for stored, y in enumerate(_gif_interlace_order(fr["height"])):
+                nat[y] = img[stored]
+            img = nat
+        out.append(img)
     return out
 
 
@@ -625,8 +642,8 @@ def _fake_features(payload: bytes) -> list[float]:
     return list(((arr / 2**32) * 2 - 1).astype(np.float32))
 
 
-def _wav_samples(payload: bytes) -> np.ndarray:
-    """Raw int16 samples from a PCM WAV blob (chunk walk, no libraries)."""
+def _wav_data_chunk(payload: bytes) -> bytes:
+    """The raw data-chunk bytes of a WAV blob (chunk walk, no libraries)."""
     import struct
 
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
@@ -636,34 +653,58 @@ def _wav_samples(payload: bytes) -> np.ndarray:
         if pos + 8 + size > len(payload):
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"data":
-            return np.frombuffer(payload[pos + 8:pos + 8 + size], dtype="<i2")
+            return payload[pos + 8:pos + 8 + size]
         pos += 8 + size + (size % 2)
     raise ValueError("missing data chunk")
 
 
+def _wav_samples(payload: bytes, bits: int = 16) -> np.ndarray:
+    """Zero-centered integer samples from a PCM WAV data chunk, for any
+    standard PCM width: 8-bit (unsigned, centered at 128), 16/32-bit
+    (signed LE), 24-bit (3-byte signed LE, assembled). Values are at the
+    native scale (half-range 2^(bits-1))."""
+    data = _wav_data_chunk(payload)
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    if bits == 16:
+        return np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if bits == 24:
+        b = np.frombuffer(data[:len(data) - len(data) % 3], dtype=np.uint8)
+        tri = b.reshape(-1, 3).astype(np.int64)
+        v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        return v - ((v >> 23) & 1) * (1 << 24)  # sign-extend
+    if bits == 32:
+        return np.frombuffer(data[:len(data) - len(data) % 4],
+                             dtype="<i4").astype(np.int64)
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
 def _wav_block_stats(payload: bytes) -> list[tuple[int, int]]:
-    """Exact integer per-block stats: (sum of squared int16 samples, n) for
-    each of FEATURE_DIM np.array_split blocks. Sums fit int64 (32768^2 * n);
-    integer-exact, so an SQL oracle reproduces them from the sawtooth's
+    """Exact integer per-block stats: (sum of squared centered samples, n)
+    for each of FEATURE_DIM np.array_split blocks, at the native PCM scale
+    (any standard width: 8/16/24/32-bit). 32-bit sums can exceed int64 for
+    huge blocks, so squares accumulate through Python ints (exact).
+    Integer-exact, so an SQL oracle reproduces them from the sawtooth's
     closed form."""
     meta = parse_wav(payload)  # container + PCM validation
-    if meta["bits_per_sample"] != 16:
-        # the sample reader is '<i2'; silently reinterpreting 8/24/32-bit
-        # data as int16 would emit confidently wrong stats
-        raise NotImplementedError(
-            f"{meta['bits_per_sample']}-bit PCM sample decode not "
-            "implemented (metadata extraction still works)")
-    v = _wav_samples(payload).astype(np.int64)
-    return [(int((b * b).sum()), len(b)) for b in np.array_split(v, FEATURE_DIM)]
+    v = _wav_samples(payload, meta["bits_per_sample"])
+    out = []
+    for b in np.array_split(v, FEATURE_DIM):
+        out.append((sum(int(x) * int(x) for x in b) if meta["bits_per_sample"] == 32
+                    else int((b * b).sum()), len(b)))
+    return out
 
 
 def _wav_features(payload: bytes) -> list[float]:
     """Real audio features: per-block RMS envelope (FEATURE_DIM blocks),
-    normalized to [0, 1] — sqrt(sum_sq/n)/32768, a scalar function of the
-    integer block stats, so the oracle-gated sums transitively cover these."""
+    normalized to [0, 1] — sqrt(sum_sq/n)/half_range, a scalar function of
+    the integer block stats, so the oracle-gated sums transitively cover
+    these. Works for any standard PCM width."""
     import math
 
-    return [math.sqrt(s / n) / 32768.0 if n else 0.0
+    meta = parse_wav(payload)
+    half = float(1 << (meta["bits_per_sample"] - 1))
+    return [math.sqrt(s / n) / half if n else 0.0
             for s, n in _wav_block_stats(payload)]
 
 

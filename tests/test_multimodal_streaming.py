@@ -392,9 +392,9 @@ def test_gif_block_stats_match_closed_form():
     assert all(0.0 <= v <= 1.0 for v in feats)
 
 
-def test_wav_sample_decode_rejects_non_16_bit():
-    """Review r4: an 8-bit PCM WAV must raise a typed error from the sample
-    decoder, not silently halve into bogus int16 stats."""
+def test_wav_8bit_decodes_at_native_width():
+    """Review r4 follow-up: 8-bit PCM decodes at its native width (unsigned,
+    centered at 128) — NEVER silently reinterpreted as int16."""
     import io
     import wave
 
@@ -405,10 +405,12 @@ def test_wav_sample_decode_rejects_non_16_bit():
         w.setframerate(8000)
         w.writeframes(bytes(range(100)))
     blob = buf.getvalue()
-    meta = multimodal.parse_wav(blob)  # metadata extraction still works
+    meta = multimodal.parse_wav(blob)
     assert meta["bits_per_sample"] == 8 and meta["n_frames"] == 100
-    with pytest.raises(NotImplementedError):
-        multimodal._wav_block_stats(blob)
+    stats = multimodal._wav_block_stats(blob)
+    assert sum(n for _, n in stats) == 100  # 100 samples, not 50 bogus int16
+    # exact: sum over blocks of (v-128)^2 equals the closed form
+    assert sum(s for s, _ in stats) == sum((v - 128) ** 2 for v in range(100))
 
 
 def test_gif_features_bounded_with_local_palette():
@@ -449,3 +451,54 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
                     "group by 1,2 having c > 1").count()
     assert got == 0
     assert spark.sql("select count(*) from dedup_out").first()[0] == 400
+
+
+def test_gif_interlaced_frames_decode_to_natural_order():
+    """Round 4: interlaced GIFs (4-pass row order) decode to the same
+    natural-order rasters as their progressive twins."""
+    import numpy as np
+
+    prog = multimodal.decode_gif_pixels(multimodal.build_gif(9, 11, 2))
+    inter = multimodal.decode_gif_pixels(
+        multimodal.build_gif(9, 11, 2, interlace=True))
+    assert all(np.array_equal(a, b) for a, b in zip(prog, inter))
+
+
+def test_wav_all_pcm_widths_decode(spark):
+    """Round 4: 8/16/24/32-bit PCM all decode to correctly-scaled RMS
+    features (8-bit cross-checked against stdlib wave output)."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    # 8-bit unsigned PCM via stdlib wave: full-swing square wave -> RMS ~1
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([0, 255] * 160))
+    f8 = multimodal._wav_features(buf.getvalue())
+    assert all(0.9 < v <= 1.01 for v in f8)
+
+    # 24-bit and 32-bit: hand-built containers, constant half-range samples
+    def pcm_wav(bits, frames):
+        bytes_per = bits // 8
+        if bits == 24:
+            data = b"".join(struct.pack("<i", 1 << 22)[:3] for _ in range(frames))
+        else:
+            data = b"".join(struct.pack("<i", 1 << 30) for _ in range(frames))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * bytes_per,
+                          bytes_per, bits)
+        body = (b"WAVEfmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for bits in (24, 32):
+        feats = multimodal._wav_features(pcm_wav(bits, 320))
+        assert all(np.isclose(v, 0.5, atol=0.01) for v in feats), (bits, feats)
+
+    # exotic widths stay typed rejections
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal._wav_samples(b"RIFF\x00\x00\x00\x00WAVE", bits=12)
