@@ -47,13 +47,29 @@ _NUMERIC = re.compile(r"\A[1-9][0-9]*(?:\.[0-9]+)?\Z")
 # MMM dd[ yyyy] HH:mm:ss[.SSS|.SSSSSS|.SSSSSSSSS][ zzz]
 # `dd` is strict two-digit, matching java.time's SMART resolution of the
 # reference pattern (timestamp_normalizer.rb:33) — 'Jun 7' is NOT valid CEF.
-_CEF_TS = re.compile(
-    r"\A(?P<mon>\S+)\s(?P<day>\d{2})"
+_CEF_TS_TEMPLATE = (
+    r"\A(?P<mon>%s)\s(?P<day>\d{2})"
     r"(?:\s(?P<year>\d{4}))?"
     r"\s(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})"
     r"(?:\.(?P<frac>\d{9}|\d{6}|\d{3}))?"
     r"(?:\s(?P<zone>\S+))?\Z"
 )
+
+_CEF_TS = re.compile(_CEF_TS_TEMPLATE % r"\S+")
+
+
+@lru_cache(maxsize=None)
+def _cef_ts_pattern(spaced_months: tuple) -> "re.Pattern":
+    """The CEF-format pattern for a locale. The default month token is a
+    single \\S+ word; locales whose CLDR month names EMBED SPACES (vi
+    'thg 1', ca 'de gen.' — java's positional parser handles them natively)
+    get those names as a longest-first case-insensitive alternation ahead
+    of the fallback, so the spaced form is captured as one month token."""
+    if not spaced_months:
+        return _CEF_TS
+    alts = sorted(spaced_months, key=len, reverse=True)
+    alt = "|".join(re.escape(m) for m in alts)
+    return re.compile(_CEF_TS_TEMPLATE % (f"(?i:{alt})|\\S+"))
 
 # java ZoneOffset.of accepts exactly: +h, +hh, +hh:mm, +hhmm, +hh:mm:ss,
 # +hhmmss — with |hours| <= 18 (and zero mins/secs at 18). Free-form digit
@@ -98,10 +114,10 @@ _MONTHS: dict[str, dict[str, int]] = {lang: {m: i + 1 for i, m in enumerate(tbl)
     "nb": ["jan.", "feb.", "mar.", "apr.", "mai", "jun.", "jul.", "aug.", "sep.", "okt.", "nov.", "des."],
     "fi": ["tammik.", "helmik.", "maalisk.", "huhtik.", "toukok.", "kesäk.", "heinäk.", "elok.", "syysk.",
            "lokak.", "marrask.", "jouluk."],
-    # round-3 JDK dump (same probe, /tmp MonthDump): 16 more locales. vi and
-    # ca are EXCLUDED — their CLDR short names contain spaces ("thg 1",
-    # "de gen.") which the single-token `MMM` grammar (\S+) cannot carry;
-    # java's positional parser does accept them, a documented gap.
+    # round-3 JDK dump (same probe, /tmp MonthDump): 16 more locales.
+    # (Space-named locales like vi "thg 1" / ca "de gen." resolve through
+    # the generated full-dump tables; the normalizer compiles a
+    # month-alternation pattern for them — see _cef_ts_pattern.)
     "ru": ["янв.", "февр.", "мар.", "апр.", "мая", "июн.", "июл.", "авг.", "сент.", "окт.", "нояб.", "дек."],
     "ja": ["1月", "2月", "3月", "4月", "5月", "6月", "7月", "8月", "9月", "10月", "11月", "12月"],
     "zh": ["1月", "2月", "3月", "4月", "5月", "6月", "7月", "8月", "9月", "10月", "11月", "12月"],
@@ -307,12 +323,11 @@ def _zone_abbrev_map(locale: Optional[str]) -> dict[str, Optional[str]]:
 
 @lru_cache(maxsize=None)
 def _known_locale_tags() -> frozenset:
-    """Every tag the JDK dumps cover (month tables + space-named exclusions),
-    lowercased — the set over which exact-tag resolution is authoritative."""
+    """Every tag the JDK dumps cover, lowercased — the set over which
+    exact-tag resolution is authoritative."""
     from . import locale_months as lm
 
-    return frozenset({t.lower() for t in lm.TAG_TO_TABLE}
-                     | {t.lower() for t in lm.EXCLUDED_TAGS})
+    return frozenset(t.lower() for t in lm.TAG_TO_TABLE)
 
 
 @lru_cache(maxsize=None)
@@ -485,6 +500,9 @@ class TimestampNormalizer:
                  now: Union[None, str, int, float, dt.datetime, pd.Timestamp] = None):
         self._months = _month_table(locale)
         self._locale = locale  # zzz short-name resolution is locale-sensitive
+        self._ts_re = _cef_ts_pattern(
+            tuple(sorted(m for m in self._months
+                         if any(ch.isspace() for ch in m))))
         self._default_zone: dt.tzinfo = _zone_of(timezone) if timezone else dt.timezone.utc
         if now is None:
             self._now = pd.Timestamp.now(tz="UTC")
@@ -529,7 +547,7 @@ class TimestampNormalizer:
             raise InvalidTimestamp(f"epoch-millis out of representable range: `{millis}`") from e
 
     def _parse_cef_format(self, value: str, device_timezone: Optional[str]) -> pd.Timestamp:
-        m = _CEF_TS.match(value)
+        m = self._ts_re.match(value)
         if m is None:
             raise InvalidTimestamp(f"Not a valid CEF timestamp: `{value}`")
         # exact form first, then the case-insensitive fallback (java.time

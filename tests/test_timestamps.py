@@ -425,9 +425,34 @@ def test_full_locale_month_tables_resolve():
     from cefspark import locale_months as lm
     from cefspark.timestamps import _month_table
 
-    assert len(lm.TAG_TO_TABLE) == 978 and len(lm.TABLES) == 209
+    assert len(lm.TAG_TO_TABLE) == 1015 and len(lm.TABLES) == 220
+    assert len(lm.SPACED_TAGS) == 37  # spaced-month locales now parse too
     for tag in list(lm.TAG_TO_TABLE)[::37]:  # sampled sweep
         t = _month_table(tag)
         assert sorted(set(t.values())) == list(range(1, 13)), tag
     assert "Jän." in _month_table("de-AT")
     assert "Jän." not in _month_table("de")
+
+
+def test_spaced_month_locales_parse():
+    """vi/ca-style locales whose CLDR month names embed spaces (previously a
+    documented gap): the normalizer compiles a longest-first alternation so
+    'thg 12' wins over 'thg 1' and case-insensitive forms resolve."""
+    from cefspark.timestamps import InvalidTimestamp, TimestampNormalizer
+
+    vi = TimestampNormalizer(locale="vi", now="2026-08-16T00:00:00Z")
+    assert str(vi.normalize("thg 12 05 2020 10:00:00 +07:00")) == \
+        "2020-12-05 03:00:00+00:00"
+    assert str(vi.normalize("thg 1 12 2020 10:00:00 Z")) == \
+        "2020-01-12 10:00:00+00:00"
+    ca = TimestampNormalizer(locale="ca", now="2026-08-16T00:00:00Z")
+    assert str(ca.normalize("de gen. 05 2020 10:00:00 +01:00")) == \
+        "2020-01-05 09:00:00+00:00"
+    # dotless leniency + case-insensitivity apply to spaced forms too
+    assert str(ca.normalize("DE MARÇ 15 2021 08:30:00")) == \
+        "2021-03-15 08:30:00+00:00"
+    # a spaced month under a NON-spaced locale still rejects
+    import pytest as _pytest
+    en = TimestampNormalizer(locale="en", now="2026-08-16T00:00:00Z")
+    with _pytest.raises(InvalidTimestamp):
+        en.normalize("thg 1 12 2020 10:00:00 Z")
