@@ -1,0 +1,61 @@
+"""Property-based round-trips for the pure-stdlib media codecs: any
+builder-parameter combination must survive build -> parse (and for GIF,
+full pixel decode) exactly. Complements the fixed-fixture gates with
+randomized structural coverage (chunk alignment, odd dimensions, frame
+sub-rectangles, interlacing)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cefspark import multimodal
+
+
+@settings(max_examples=60, deadline=None)
+@given(sample_rate=st.integers(8000, 48000),
+       n_frames=st.integers(1, 400),
+       channels=st.integers(1, 2),
+       with_list=st.booleans())
+def test_wav_build_parse_roundtrip(sample_rate, n_frames, channels, with_list):
+    blob = multimodal.build_wav(sample_rate, n_frames, channels=channels,
+                                with_list_chunk=with_list)
+    meta = multimodal.parse_wav(blob)
+    assert meta["sample_rate"] == sample_rate
+    assert meta["n_frames"] == n_frames
+    assert meta["channels"] == channels
+    assert meta["duration_ms"] == n_frames * 1000 // sample_rate
+    stats = multimodal._wav_block_stats(blob)
+    assert sum(n for _, n in stats) == n_frames * channels
+    # exact closed form of the sawtooth's sum of squares
+    want = sum(((i * 257) % 65536 - 32768) ** 2
+               for i in range(n_frames * channels))
+    assert sum(s for s, _ in stats) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(width=st.integers(1, 40), height=st.integers(1, 40),
+       with_gap=st.booleans())
+def test_bmp_build_parse_roundtrip(width, height, with_gap):
+    blob = multimodal.build_bmp(width, height, with_gap=with_gap)
+    meta = multimodal.parse_bmp(blob)
+    assert (meta["width"], meta["height"]) == (width, height)
+    row_bytes = ((width * 24 + 31) // 32) * 4
+    assert meta["n_pixel_bytes"] == row_bytes * height
+
+
+@settings(max_examples=40, deadline=None)
+@given(width=st.integers(3, 24), height=st.integers(2, 20),
+       n_frames=st.integers(1, 5), comment=st.booleans(),
+       interlace=st.booleans())
+def test_gif_build_decode_roundtrip(width, height, n_frames, comment,
+                                    interlace):
+    blob = multimodal.build_gif(width, height, n_frames,
+                                with_comment=comment, interlace=interlace)
+    meta = multimodal.parse_gif(blob)
+    assert meta["n_frames"] == n_frames
+    frames = multimodal.decode_gif_pixels(blob)
+    for f, px in enumerate(frames):
+        fw, fh = width - f % 3, height - f % 2
+        assert px.shape == (fh, fw)
+        want = np.fromfunction(lambda y, x: (x + y + f) % 4, (fh, fw))
+        assert np.array_equal(px, want)
