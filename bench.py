@@ -55,7 +55,7 @@ HEADLINE = [
     "multimodal_codec_meta", # real WAV + BMP codecs through mapInPandas
     "text_quality",
     "text_fingerprint",
-    "text_lang_id",          # round 4: trigram classifier, no-UDF literal-map scoring
+    "text_lang_id",          # round 4: trigram classifier, broadcast-join scoring
     "sample_split",          # round 4: deterministic split + stratified sampleBy
     "ann_cosine_topk",
     "turn_ordering",

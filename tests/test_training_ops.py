@@ -251,7 +251,10 @@ def test_assign_split_rejects_degenerate_weights(spark):
 
 def test_langid_trigram_classifier(spark):
     """Real trigram lang-id: 100% on the held-out fixture, 'unknown' for
-    profile-miss text, and a shuffle-free no-UDF plan."""
+    profile-miss text, and the scale plan — broadcast profile join plus
+    exactly ONE document-key shuffle, no Python eval anywhere."""
+    import re
+
     from pyspark.sql import functions as F
 
     from cefspark import langid
@@ -266,10 +269,17 @@ def test_langid_trigram_classifier(spark):
     assert all(r["lang_pred"] == "unknown"
                for r in langid.lang_id(nums).collect())
 
-    # the classifier itself is a narrow projection: no shuffle, no Python
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # the classifier's plan: the ~700-row profile table is broadcast (never
+    # shuffled), the exploded trigrams partial-aggregate map-side and shuffle
+    # once on doc_id, and nothing drops to Python. The single-partition test
+    # fixture would satisfy the agg's distribution for free, so force a
+    # multi-partition input to expose the one real shuffle.
+    wide = langid.lang_id(docs.repartition(4))
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_langid_profiles_are_deterministic_integers():
