@@ -1,0 +1,117 @@
+"""As-of (temporal) join: attach to each left row the most recent right row
+at or before its timestamp, per key.
+
+This is the canonical log-pipeline enrichment ("state at event time": config
+snapshots, session attributes, device inventory versions) that plain
+equi-joins cannot express and naive range joins explode on. The scalable
+formulation used here is union-then-window-fill:
+
+    tag left rows (event=1) and right rows (state=0)
+  → union on (key, ts)
+  → ONE window ``last(state_struct, ignoreNulls)`` ordered by
+    (ts, tag) per key
+  → keep the event rows.
+
+Cost at scale: a single hash shuffle + sort on the key over events+states —
+linear in input, no pair explosion, no per-row probe. The per-key sort is
+exactly the shuffle any sessionizer already pays, so an as-of enrich can
+share its exchange with downstream windowing on the same key. All state
+columns travel in ONE struct so every value is taken from the SAME state row
+(per-column fills could mix rows when a state column is null).
+
+Semantics (matching DuckDB's ``ASOF LEFT JOIN .. ON l.k = r.k AND
+l.ts >= r.ts`` and pandas ``merge_asof(direction="backward")``):
+
+- backward + inclusive: a state row with the event's exact timestamp
+  matches (the state tag sorts before the event tag at equal ts);
+- left rows with no prior state keep nulls in the state columns;
+- left rows with a NULL timestamp never match (NULL orders first, before
+  every state row);
+- right rows with a NULL timestamp are dropped — they cannot be positioned
+  on the timeline;
+- ``tolerance_ms`` optionally voids matches staler than the given bound
+  (``event_ts - state_ts > tolerance_ms`` → nulls), pandas-style.
+
+The right side MUST be unique per (key, ts): among duplicates the window
+fill would pick an arbitrary one. Aggregate first (as `q_event_sessions`
+does with a groupBy-max) — this function asserts nothing at runtime because
+the check would cost a full shuffle of its own.
+
+Known scale limitation, documented not hidden: a single key whose combined
+event+state row count exceeds one task's sort budget (billions of rows under
+ONE key) serializes in that task. The standard mitigation — time-chunk the
+partition key and carry each chunk's last state forward as a boundary row —
+is a planning-level change left to callers with that shape; TPC-H-like and
+log workloads key by user/device/tenant and stay far below it.
+
+No counterpart exists in the reference codec (logstash-codec-cef operates
+per line); this module belongs to the training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TAG = "__asof_is_left"
+_TS = "__asof_ts"
+_STATE = "__asof_state"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_ms: Optional[int] = None,
+    keep_state_ts: Optional[str] = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join; returns all of ``left``'s columns plus
+    ``value_cols`` from the latest ``right`` row with
+    ``right_ts <= left_ts`` per ``key`` (nulls when none, or when the match
+    is older than ``tolerance_ms``). ``keep_state_ts`` optionally names an
+    output column carrying the matched state row's timestamp."""
+    value_cols = list(value_cols)
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    if not value_cols:
+        raise ValueError("value_cols must name at least one right column")
+
+    ev = (left
+          .withColumn(_TS, F.col(left_ts))
+          .withColumn(_TAG, F.lit(1)))
+    st = (right
+          .where(F.col(right_ts).isNotNull())
+          .select(F.col(key),
+                  F.col(right_ts).alias(_TS),
+                  *[F.col(c) for c in value_cols])
+          .withColumn(_TAG, F.lit(0)))
+    u = ev.unionByName(st, allowMissingColumns=True)
+
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(_TS).asc_nulls_first(), F.col(_TAG))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    state_struct = F.when(
+        F.col(_TAG) == 0,
+        F.struct(F.col(_TS).alias("ts"), *[F.col(c) for c in value_cols]))
+    filled = (u
+              .withColumn(_STATE, F.last(state_struct, ignorenulls=True).over(w))
+              .where(F.col(_TAG) == 1))
+
+    state: Column = F.col(_STATE)
+    if tolerance_ms is not None:
+        fresh = (F.unix_millis(F.col(_TS).cast("timestamp"))
+                 - F.unix_millis(state["ts"].cast("timestamp"))) <= F.lit(int(tolerance_ms))
+        state = F.when(fresh, state)
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [state[c].alias(c) for c in value_cols]
+    if keep_state_ts:
+        out_cols.append(state["ts"].alias(keep_state_ts))
+    return filled.select(*out_cols)

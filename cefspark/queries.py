@@ -1335,29 +1335,60 @@ FROM events GROUP BY user_id
 
 
 def q_event_sessions(spark, sf_dir):
-    """Sessionization: a new session starts after a >30-minute gap per user —
-    lag + conditional running sum over an event-time window (the standard
-    log-pipeline sessionizer; exactly one shuffle, on user_id). Gaps compare
-    in integer milliseconds on both sides so the engines floor identically."""
+    """Per-user event-time operators, two merged variants:
+
+    - ``session``: a new session starts after a >30-minute gap per user —
+      lag + conditional running sum over an event-time window (the standard
+      log-pipeline sessionizer; exactly one shuffle, on user_id). Gaps
+      compare in integer milliseconds on both sides so the engines floor
+      identically.
+    - ``asof``: as-of (temporal) join — each event picks up the latest
+      'purchase' state event at or before its timestamp for the same user
+      (cefspark.asof.asof_join: union + single window fill, one shuffle on
+      the key, no pair explosion; backward + inclusive, matching DuckDB's
+      native ASOF LEFT JOIN which the oracle uses verbatim). Events with no
+      prior purchase report -1."""
     from pyspark.sql.window import Window
+
+    from .asof import asof_join
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     gap = ms - F.lag(ms).over(w)
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    return (_events(spark, sf_dir)
-            .select("event_id", F.sum(is_new).over(run).cast("long").alias("session_idx")))
+    ev = _events(spark, sf_dir)
+    sess = ev.select(
+        "event_id", F.lit("session").alias("variant"),
+        F.sum(is_new).over(run).cast("long").alias("val"))
+
+    states = (ev.where(F.col("event_type") == "purchase")
+              .groupBy("user_id", F.col("ts").alias("valid_from"))
+              .agg(F.max("event_id").alias("state_event_id")))
+    enriched = asof_join(ev.select("event_id", "user_id", "ts"), states,
+                         key="user_id", left_ts="ts", right_ts="valid_from",
+                         value_cols=["state_event_id"])
+    asof = enriched.select(
+        "event_id", F.lit("asof").alias("variant"),
+        F.coalesce(F.col("state_event_id"), F.lit(-1)).cast("long").alias("val"))
+    return sess.unionByName(asof)
 
 
 O_EVENT_SESSIONS = """
-SELECT event_id,
+SELECT event_id, 'session' AS variant,
        CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         AS session_idx
+         AS val
 FROM (SELECT event_id, user_id, ts, epoch_ms(ts) AS ms,
              LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
       FROM events) t
+UNION ALL
+SELECT e.event_id, 'asof' AS variant,
+       CAST(COALESCE(s.state_event_id, -1) AS BIGINT) AS val
+FROM events e ASOF LEFT JOIN (
+  SELECT user_id, ts AS valid_from, MAX(event_id) AS state_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+) s ON e.user_id = s.user_id AND e.ts >= s.valid_from
 """
 
 
@@ -1603,10 +1634,10 @@ def q_text_lang_id(spark, sf_dir):
       column is a label, not a signal).
     - ``trigram``: the REAL Cavnar-Trenkle char-trigram profile classifier
       (cefspark.langid — rank-weighted integer profiles over 10 languages,
-      scored entirely with built-in functions: literal map + aggregate +
-      zip_with, no UDF, no shuffle) over a held-out multilingual fixture
-      whose true labels the oracle states closed-form. A match means all
-      300 fixture docs classify correctly.
+      scored as explode → broadcast profile join → one map-side-combined
+      doc_id aggregation → argmax; no UDF, whole-stage codegen) over a
+      held-out multilingual fixture whose true labels the oracle states
+      closed-form. A match means all 300 fixture docs classify correctly.
     - ``trigram_unknown``: profile-miss text (digits) must fall below
       min_score and yield 'unknown'."""
     from . import langid

@@ -1,0 +1,115 @@
+"""asof_join: semantics vs pandas merge_asof, edge rows, and the one-shuffle
+plan contract."""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cefspark.asof import asof_join
+
+
+def _fixture_frames(spark, n_events=400, n_states=60, n_keys=7):
+    """Deterministic interleaved event/state timelines with exact-tie and
+    no-prior-state cases baked in."""
+    ev = [(i, i % n_keys, 1_700_000_000_000 + (i * 9973) % 86_400_000)
+          for i in range(n_events)]
+    st = [(j, j % n_keys, 1_700_000_000_000 + (j * 60_331) % 86_400_000,
+           f"cfg{j}")
+          for j in range(n_states)]
+    # exact tie: state 9000 and event 9001 share key 0 and a timestamp
+    ev.append((9001, 0, 1_700_000_050_000))
+    st.append((9000, 0, 1_700_000_050_000, "tie"))
+    # key 6 has events but every state for it removed -> no match at all
+    st = [s for s in st if s[1] != 6]
+    events = spark.createDataFrame(
+        ev, "event_id long, k long, ts_ms long").select(
+        "event_id", "k", F.timestamp_millis("ts_ms").alias("ts"))
+    states = spark.createDataFrame(
+        st, "state_id long, k long, ts_ms long, cfg string").select(
+        "state_id", "k", F.timestamp_millis("ts_ms").alias("valid_from"), "cfg")
+    return events, states
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    events, states = _fixture_frames(spark)
+    out = asof_join(events, states, key="k", left_ts="ts",
+                    right_ts="valid_from", value_cols=["state_id", "cfg"],
+                    keep_state_ts="state_ts").toPandas()
+
+    pev = events.toPandas().sort_values("ts").reset_index(drop=True)
+    pst = states.toPandas().sort_values("valid_from").reset_index(drop=True)
+    expect = pd.merge_asof(pev, pst, left_on="ts", right_on="valid_from",
+                           by="k", direction="backward")
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = expect.sort_values("event_id").reset_index(drop=True)
+    assert (got["state_id"].fillna(-1) == want["state_id"].fillna(-1)).all()
+    assert (got["cfg"].fillna("∅") == want["cfg"].fillna("∅")).all()
+    # the matched timestamp column is the matched row's, not the event's
+    m = got["state_ts"].notna()
+    assert (got.loc[m, "state_ts"] == want.loc[m, "valid_from"]).all()
+    # fixture really exercises all three shapes
+    assert got.loc[got["event_id"] == 9001, "cfg"].iloc[0] == "tie"  # inclusive
+    assert got.loc[got["k"] == 6, "state_id"].isna().all()           # no state
+    assert got["state_id"].notna().any()
+
+
+def test_asof_value_columns_come_from_one_row(spark):
+    """A state row with a null in one value column must not donate its other
+    column while an older row fills the null — values travel as one struct."""
+    events = spark.createDataFrame([(1, 0, 100)],
+                                   "event_id long, k long, t long")
+    states = spark.createDataFrame(
+        [(0, 10, "old_a", "old_b"), (0, 50, None, "new_b")],
+        "k long, t long, a string, b string")
+    row = asof_join(events, states, key="k", left_ts="t", right_ts="t",
+                    value_cols=["a", "b"]).collect()[0]
+    assert row["a"] is None and row["b"] == "new_b"
+
+
+def test_asof_null_and_tolerance_semantics(spark):
+    events = spark.createDataFrame(
+        [(1, 0, 1000), (2, 0, None), (3, 0, 5000)],
+        "event_id long, k long, t long")
+    states = spark.createDataFrame(
+        [(0, 900, "s1"), (0, None, "ghost")], "k long, t long, v string")
+    out = {r["event_id"]: r["v"]
+           for r in asof_join(events, states, key="k", left_ts="t",
+                              right_ts="t", value_cols=["v"]).collect()}
+    assert out == {1: "s1", 2: None, 3: "s1"}  # null ts never matches either way
+
+    # tolerance: event 3 is 4100 ms after s1 -> voided under a 2000 ms bound.
+    # Integer "timestamps" here are epoch-seconds once cast, so scale the
+    # bound accordingly (4100 s staleness vs 2 s allowed).
+    events_ts = events.where("t is not null").select(
+        "event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    states_ts = states.where("t is not null").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v")
+    out2 = {r["event_id"]: r["v"]
+            for r in asof_join(events_ts, states_ts, key="k", left_ts="ts",
+                               right_ts="ts", value_cols=["v"],
+                               tolerance_ms=200_000).collect()}
+    assert out2 == {1: "s1", 3: None}
+
+
+def test_asof_rejects_colliding_value_columns(spark):
+    events = spark.createDataFrame([(1, 0, 1)], "event_id long, k long, t long")
+    states = spark.createDataFrame([(0, 1, 2)], "k long, t long, event_id long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(events, states, key="k", left_ts="t", right_ts="t",
+                  value_cols=["event_id"])
+    with pytest.raises(ValueError, match="at least one"):
+        asof_join(events, states, key="k", left_ts="t", right_ts="t",
+                  value_cols=[])
+
+
+def test_asof_plan_is_one_shuffle_no_python(spark):
+    events, states = _fixture_frames(spark)
+    out = asof_join(events.repartition(4), states.repartition(4), key="k",
+                    left_ts="ts", right_ts="valid_from",
+                    value_cols=["state_id", "cfg"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "EvalPython" not in plan
+    assert "Join" not in plan  # the whole point: no join node, no explosion
