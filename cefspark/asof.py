@@ -115,3 +115,47 @@ def asof_join(
     if keep_state_ts:
         out_cols.append(state["ts"].alias(keep_state_ts))
     return filled.select(*out_cols)
+
+
+_TO = "__interval_valid_to"
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    valid_from: str,
+    valid_to: str,
+    value_cols: Sequence[str],
+    keep_state_ts: Optional[str] = None,
+) -> DataFrame:
+    """Point-in-interval lookup for per-key NON-OVERLAPPING validity
+    intervals (the SCD-2 / slowly-changing-dimension shape: config versions,
+    price lists, device firmware windows): each left row picks up the right
+    row whose ``[valid_from, valid_to)`` half-open interval contains its
+    timestamp; nulls when the timestamp falls in a gap or past an expiry.
+    A NULL ``valid_to`` means open-ended validity.
+
+    Because intervals don't overlap, the containing interval is exactly the
+    as-of match whose ``valid_to`` hasn't passed — so this runs as
+    :func:`asof_join` plus a row-local expiry check: the same ONE shuffle,
+    no inequality-join pair explosion (a naive ``l.ts >= r.from AND
+    l.ts < r.to`` join is quadratic per key for Spark's planner unless the
+    key alone is selective). For genuinely overlapping intervals (multiple
+    matches per row) use an equi-join on the key plus an interval filter —
+    different semantics, different output cardinality.
+    """
+    value_cols = list(value_cols)
+    if valid_to in (valid_from, key) or valid_to in value_cols:
+        raise ValueError("valid_to must be a distinct right-side column")
+    r = right.withColumnRenamed(valid_to, _TO)
+    enriched = asof_join(left, r, key, left_ts, valid_from,
+                         value_cols + [_TO],
+                         keep_state_ts=keep_state_ts or _TS)
+    alive = F.col(_TO).isNull() | (F.col(left_ts) < F.col(_TO))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.when(alive, F.col(c)).alias(c) for c in value_cols]
+    if keep_state_ts:
+        out_cols.append(F.when(alive, F.col(keep_state_ts)).alias(keep_state_ts))
+    return enriched.select(*out_cols)

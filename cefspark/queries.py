@@ -1347,10 +1347,16 @@ def q_event_sessions(spark, sf_dir):
       (cefspark.asof.asof_join: union + single window fill, one shuffle on
       the key, no pair explosion; backward + inclusive, matching DuckDB's
       native ASOF LEFT JOIN which the oracle uses verbatim). Events with no
-      prior purchase report -1."""
+      prior purchase report -1.
+    - ``range``: interval (SCD-2) join — same state stream, but each state
+      is only valid for [valid_from, min(next purchase, +48 h)); events in
+      a validity gap report -1 (cefspark.asof.interval_join: the as-of
+      shuffle plus a row-local expiry check — no inequality-join
+      explosion; the oracle is the literal inequality LEFT JOIN, safe at
+      oracle scale)."""
     from pyspark.sql.window import Window
 
-    from .asof import asof_join
+    from .asof import asof_join, interval_join
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
@@ -1371,7 +1377,21 @@ def q_event_sessions(spark, sf_dir):
     asof = enriched.select(
         "event_id", F.lit("asof").alias("variant"),
         F.coalesce(F.col("state_event_id"), F.lit(-1)).cast("long").alias("val"))
-    return sess.unionByName(asof)
+
+    wst = Window.partitionBy("user_id").orderBy("valid_from")
+    intervals = states.withColumn(
+        "valid_to",
+        F.least(F.coalesce(F.lead("valid_from").over(wst),
+                           F.lit("9999-12-31 00:00:00").cast("timestamp")),
+                F.col("valid_from") + F.expr("INTERVAL 48 HOURS")))
+    ranged = interval_join(ev.select("event_id", "user_id", "ts"), intervals,
+                           key="user_id", left_ts="ts",
+                           valid_from="valid_from", valid_to="valid_to",
+                           value_cols=["state_event_id"])
+    rng = ranged.select(
+        "event_id", F.lit("range").alias("variant"),
+        F.coalesce(F.col("state_event_id"), F.lit(-1)).cast("long").alias("val"))
+    return sess.unionByName(asof).unionByName(rng)
 
 
 O_EVENT_SESSIONS = """
@@ -1389,6 +1409,17 @@ FROM events e ASOF LEFT JOIN (
   SELECT user_id, ts AS valid_from, MAX(event_id) AS state_event_id
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 ) s ON e.user_id = s.user_id AND e.ts >= s.valid_from
+UNION ALL
+SELECT e.event_id, 'range' AS variant,
+       CAST(COALESCE(s.state_event_id, -1) AS BIGINT) AS val
+FROM events e LEFT JOIN (
+  SELECT user_id, valid_from, state_event_id,
+         LEAST(COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+                        TIMESTAMP '9999-12-31 00:00:00'),
+               valid_from + INTERVAL 48 HOUR) AS valid_to
+  FROM (SELECT user_id, ts AS valid_from, MAX(event_id) AS state_event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) st
+) s ON e.user_id = s.user_id AND e.ts >= s.valid_from AND e.ts < s.valid_to
 """
 
 

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from cefspark.asof import asof_join
+from cefspark.asof import asof_join, interval_join
 
 
 def _fixture_frames(spark, n_events=400, n_states=60, n_keys=7):
@@ -102,6 +102,37 @@ def test_asof_rejects_colliding_value_columns(spark):
     with pytest.raises(ValueError, match="at least one"):
         asof_join(events, states, key="k", left_ts="t", right_ts="t",
                   value_cols=[])
+
+
+def test_interval_join_expiry_gap_and_open_end(spark):
+    """SCD-2 point-in-interval: in-window match, gap -> null, NULL valid_to
+    is open-ended, and half-open bounds ([from, to))."""
+    events = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 199), (3, 0, 200), (4, 0, 250), (5, 0, 400),
+         (6, 1, 50)],
+        "event_id long, k long, t long")
+    states = spark.createDataFrame(
+        [(0, 100, 200, "v1"),     # [100, 200)
+         (0, 300, None, "v2"),    # [300, open)
+         (1, 60, 70, "w1")],      # starts after event 6
+        "k long, f long, to long, v string")
+    out = {r["event_id"]: r["v"]
+           for r in interval_join(events, states, key="k", left_ts="t",
+                                  valid_from="f", valid_to="to",
+                                  value_cols=["v"]).collect()}
+    assert out == {1: "v1",     # inclusive lower bound
+                   2: "v1",     # last tick inside
+                   3: None,     # exclusive upper bound
+                   4: None,     # gap between intervals
+                   5: "v2",     # open-ended interval
+                   6: None}     # before any state
+
+
+def test_interval_join_rejects_ambiguous_valid_to(spark):
+    df = spark.createDataFrame([(0, 1, 2)], "k long, f long, v long")
+    with pytest.raises(ValueError, match="distinct"):
+        interval_join(df, df, key="k", left_ts="f", valid_from="f",
+                      valid_to="f", value_cols=["v"])
 
 
 def test_asof_plan_is_one_shuffle_no_python(spark):
