@@ -1664,11 +1664,12 @@ def q_text_lang_id(spark, sf_dir):
       (that table's text is monolingual synthetic vocab, so its `lang`
       column is a label, not a signal).
     - ``trigram``: the REAL Cavnar-Trenkle char-trigram profile classifier
-      (cefspark.langid — rank-weighted integer profiles over 10 languages,
-      scored as explode → broadcast profile join → one map-side-combined
-      doc_id aggregation → argmax; no UDF, whole-stage codegen) over a
-      held-out multilingual fixture whose true labels the oracle states
-      closed-form. A match means all 300 fixture docs classify correctly.
+      (cefspark.langid — rank-weighted integer profiles over 10 languages;
+      the default Arrow-batched scorer runs here — a narrow no-shuffle
+      projection, differential-pinned in pytest against the pure-DataFrame
+      broadcast-join formulation) over a held-out multilingual fixture
+      whose true labels the oracle states closed-form. A match means all
+      300 fixture docs classify correctly.
     - ``trigram_unknown``: profile-miss text (digits) must fall below
       min_score and yield 'unknown'."""
     from . import langid

@@ -250,9 +250,9 @@ def test_assign_split_rejects_degenerate_weights(spark):
 
 
 def test_langid_trigram_classifier(spark):
-    """Real trigram lang-id: 100% on the held-out fixture, 'unknown' for
-    profile-miss text, and the scale plan — broadcast profile join plus
-    exactly ONE document-key shuffle, no Python eval anywhere."""
+    """Real trigram lang-id: 100% on the held-out fixture under BOTH
+    execution paths, bit-identical arrow-vs-join answers, 'unknown' for
+    profile-miss text, and each path's plan contract."""
     import re
 
     from pyspark.sql import functions as F
@@ -260,21 +260,47 @@ def test_langid_trigram_classifier(spark):
     from cefspark import langid
 
     docs = langid.multilingual_docs(spark, 300)
-    out = langid.lang_id(docs)
-    joined = out.join(docs.select("doc_id", "lang_true"), "doc_id")
-    assert joined.where(F.col("lang_pred") != F.col("lang_true")).count() == 0
+    for impl in ("arrow", "join"):
+        out = langid.lang_id(docs, impl=impl)
+        joined = out.join(docs.select("doc_id", "lang_true"), "doc_id")
+        assert joined.where(
+            F.col("lang_pred") != F.col("lang_true")).count() == 0, impl
 
     nums = spark.range(5).select(F.col("id").alias("doc_id"),
                                  F.lit("123 456 789").alias("text"))
-    assert all(r["lang_pred"] == "unknown"
-               for r in langid.lang_id(nums).collect())
+    for impl in ("arrow", "join"):
+        assert all(r["lang_pred"] == "unknown"
+                   for r in langid.lang_id(nums, impl=impl).collect()), impl
 
-    # the classifier's plan: the ~700-row profile table is broadcast (never
-    # shuffled), the exploded trigrams partial-aggregate map-side and shuffle
-    # once on doc_id, and nothing drops to Python. The single-partition test
-    # fixture would satisfy the agg's distribution for free, so force a
+    # differential: the two paths agree row-for-row on mixed text incl.
+    # null/empty edge rows
+    edges = spark.createDataFrame(
+        [(9000, None), (9001, ""), (9002, "   ")], "doc_id long, text string")
+    mixed = docs.select("doc_id", "text").unionByName(edges)
+    a = {r["doc_id"]: r["lang_pred"]
+         for r in langid.lang_id(mixed, impl="arrow").collect()}
+    b = {r["doc_id"]: r["lang_pred"]
+         for r in langid.lang_id(mixed, impl="join").collect()}
+    assert a == b
+    assert a[9000] == a[9001] == "unknown"
+
+    with pytest.raises(ValueError, match="impl"):
+        langid.lang_id(docs, impl="nope")
+
+    # arrow path (default): narrow projection — no shuffle, no join, one
+    # Arrow-batched eval
+    plan = langid.lang_id(docs.repartition(4))._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+    # join path: the ~700-row profile table is broadcast (never shuffled),
+    # the exploded trigrams partial-aggregate map-side and shuffle once on
+    # doc_id, and nothing drops to Python. The single-partition test fixture
+    # would satisfy the agg's distribution for free, so force a
     # multi-partition input to expose the one real shuffle.
-    wide = langid.lang_id(docs.repartition(4))
+    wide = langid.lang_id(docs.repartition(4), impl="join")
     plan = wide._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
