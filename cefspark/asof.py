@@ -59,6 +59,7 @@ from pyspark.sql.window import Window
 _TAG = "__asof_is_left"
 _TS = "__asof_ts"
 _STATE = "__asof_state"
+_STATE_TS = "__asof_state_ts"
 
 
 def asof_join(
@@ -75,19 +76,42 @@ def asof_join(
     ``value_cols`` from the latest ``right`` row with
     ``right_ts <= left_ts`` per ``key`` (nulls when none, or when the match
     is older than ``tolerance_ms``). ``keep_state_ts`` optionally names an
-    output column carrying the matched state row's timestamp."""
+    output column carrying the matched state row's timestamp.
+
+    NULL keys never match (SQL equality semantics, like the oracle's ASOF
+    JOIN): null-key state rows are dropped and null-key left rows keep null
+    state columns. ``tolerance_ms`` requires both timestamp columns to be
+    TimestampType — on a numeric epoch column the implied cast would
+    silently reinterpret millis as seconds, so that is rejected instead.
+    """
     value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must name at least one right column")
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
-    if not value_cols:
-        raise ValueError("value_cols must name at least one right column")
+    reserved = {_TAG, _TS, _STATE, _STATE_TS}
+    bad = (reserved & set(value_cols)) | (reserved & set(left.columns))
+    if bad:
+        raise ValueError(f"reserved internal column names in input: {sorted(bad)}")
+    if keep_state_ts and (keep_state_ts in left.columns
+                          or keep_state_ts in value_cols):
+        raise ValueError(
+            f"keep_state_ts {keep_state_ts!r} collides with an output column")
+    if tolerance_ms is not None:
+        for df_, c in ((left, left_ts), (right, right_ts)):
+            t = dict(df_.dtypes).get(c, "")
+            if not t.startswith("timestamp"):
+                raise ValueError(
+                    f"tolerance_ms requires timestamp columns; {c!r} is "
+                    f"{t!r} (a numeric epoch column would be reinterpreted "
+                    f"as seconds by a cast)")
 
     ev = (left
           .withColumn(_TS, F.col(left_ts))
           .withColumn(_TAG, F.lit(1)))
     st = (right
-          .where(F.col(right_ts).isNotNull())
+          .where(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
           .select(F.col(key),
                   F.col(right_ts).alias(_TS),
                   *[F.col(c) for c in value_cols])
@@ -99,21 +123,25 @@ def asof_join(
          .rowsBetween(Window.unboundedPreceding, 0))
     state_struct = F.when(
         F.col(_TAG) == 0,
-        F.struct(F.col(_TS).alias("ts"), *[F.col(c) for c in value_cols]))
+        F.struct(F.col(_TS).alias(_STATE_TS),
+                 *[F.col(c) for c in value_cols]))
     filled = (u
               .withColumn(_STATE, F.last(state_struct, ignorenulls=True).over(w))
               .where(F.col(_TAG) == 1))
 
     state: Column = F.col(_STATE)
     if tolerance_ms is not None:
-        fresh = (F.unix_millis(F.col(_TS).cast("timestamp"))
-                 - F.unix_millis(state["ts"].cast("timestamp"))) <= F.lit(int(tolerance_ms))
+        # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ alike
+        # (unix_millis rejects NTZ, and a cast would shift wall times
+        # through the session zone)
+        fresh = (F.timestamp_diff("MILLISECOND", state[_STATE_TS],
+                                  F.col(_TS)) <= F.lit(int(tolerance_ms)))
         state = F.when(fresh, state)
 
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [state[c].alias(c) for c in value_cols]
     if keep_state_ts:
-        out_cols.append(state["ts"].alias(keep_state_ts))
+        out_cols.append(state[_STATE_TS].alias(keep_state_ts))
     return filled.select(*out_cols)
 
 

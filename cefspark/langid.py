@@ -26,6 +26,7 @@ bit-identical (differential-pinned in pytest):
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 
 import numpy as np
@@ -97,11 +98,25 @@ _SEEDS = {
 PROFILE_SIZE = 80  # top-K trigrams per language (Cavnar-Trenkle style)
 
 
+#: Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()/\s
+#: also collapse Unicode whitespace (U+00A0, U+2028, ...). Both Python-side
+#: normalizers below pin the JAVA rule so every scoring path — arrow UDF,
+#: broadcast join (regexp_replace "\\s+"), and profile build — sees the
+#: same trigram stream for the same text.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _normalize(text: str) -> str:
+    """lower → collapse ASCII-whitespace runs → trim spaces → pad: the exact
+    Python mirror of the Spark expression in :func:`trigram_col`."""
+    return " " + _JAVA_WS.sub(" ", (text or "").lower()).strip(" ") + " "
+
+
 def _trigrams(text: str) -> list[str]:
-    """Lowercased, whitespace-normalized, space-padded char trigrams —
-    the same normalization the Spark expression applies."""
-    t = " " + " ".join(text.lower().split()) + " "
-    return [t[i:i + 3] for i in range(len(t) - 2)]
+    """Normalized, space-padded char trigrams (at least one, as in the
+    Spark expression's greatest(len-2, 1) guard)."""
+    t = _normalize(text)
+    return [t[i:i + 3] for i in range(max(len(t) - 2, 1))]
 
 
 @lru_cache(maxsize=None)
@@ -140,7 +155,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Ties resolve to the earlier LANGS entry. ``impl`` picks the execution
     path — ``"arrow"`` (default, narrow no-shuffle Arrow-batched scorer) or
     ``"join"`` (pure-DataFrame broadcast-join formulation); see the module
-    docstring. Both produce identical rows."""
+    docstring. Both produce identical rows PROVIDED ``id_col`` uniquely
+    identifies rows (the natural contract for a document id): on duplicate
+    ids the join path's groupBy collapses them into one merged-score row
+    while the arrow path classifies each row independently."""
     if impl == "arrow":
         return _lang_id_arrow(df, text_col, id_col, min_score, k)
     if impl == "join":
@@ -165,7 +183,7 @@ def _lang_id_arrow(df: DataFrame, text_col: str, id_col: str,
         get = profiles.get
         out = []
         for t in texts:
-            s = " " + " ".join((t or "").lower().split()) + " "
+            s = _normalize(t)
             acc = np.zeros(n_langs, dtype=np.int64)
             for i in range(max(len(s) - 2, 1)):
                 w = get(s[i:i + 3])

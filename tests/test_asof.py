@@ -79,9 +79,8 @@ def test_asof_null_and_tolerance_semantics(spark):
                               right_ts="t", value_cols=["v"]).collect()}
     assert out == {1: "s1", 2: None, 3: "s1"}  # null ts never matches either way
 
-    # tolerance: event 3 is 4100 ms after s1 -> voided under a 2000 ms bound.
-    # Integer "timestamps" here are epoch-seconds once cast, so scale the
-    # bound accordingly (4100 s staleness vs 2 s allowed).
+    # tolerance (timestamp columns required): event 3 is 4100 s after s1 ->
+    # voided under a 200 s bound; event 1 at 100 s staleness survives.
     events_ts = events.where("t is not null").select(
         "event_id", "k", F.timestamp_seconds("t").alias("ts"))
     states_ts = states.where("t is not null").select(
@@ -102,6 +101,45 @@ def test_asof_rejects_colliding_value_columns(spark):
     with pytest.raises(ValueError, match="at least one"):
         asof_join(events, states, key="k", left_ts="t", right_ts="t",
                   value_cols=[])
+    # keep_state_ts colliding with an output column: eager error, not a
+    # silent duplicate-name DataFrame
+    states2 = spark.createDataFrame([(0, 1, "x")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="keep_state_ts"):
+        asof_join(events, states2, key="k", left_ts="t", right_ts="t",
+                  value_cols=["v"], keep_state_ts="event_id")
+
+
+def test_asof_value_column_named_ts(spark):
+    """A right payload column literally named 'ts' (the most common
+    timestamp name) must not collide with the internal state-struct field."""
+    events = spark.createDataFrame([(1, 0, 100)], "event_id long, k long, t long")
+    states = spark.createDataFrame([(0, 50, 777)], "k long, f long, ts long")
+    row = asof_join(events, states, key="k", left_ts="t", right_ts="f",
+                    value_cols=["ts"], keep_state_ts="matched_at").collect()[0]
+    assert row["ts"] == 777 and row["matched_at"] == 50
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality semantics: a null-key event must NOT pick up a null-key
+    state (unlike a naive partitionBy, which groups nulls together)."""
+    events = spark.createDataFrame([(1, None, 100), (2, 0, 100)],
+                                   "event_id long, k long, t long")
+    states = spark.createDataFrame([(None, 50, "null_state"), (0, 50, "ok")],
+                                   "k long, t long, v string")
+    out = {r["event_id"]: r["v"]
+           for r in asof_join(events, states, key="k", left_ts="t",
+                              right_ts="t", value_cols=["v"]).collect()}
+    assert out == {1: None, 2: "ok"}
+
+
+def test_asof_tolerance_rejects_numeric_ts(spark):
+    """tolerance_ms on a numeric epoch column would silently reinterpret
+    millis as seconds through the cast — must be an eager error."""
+    events = spark.createDataFrame([(1, 0, 1000)], "event_id long, k long, t long")
+    states = spark.createDataFrame([(0, 900, "s")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="timestamp"):
+        asof_join(events, states, key="k", left_ts="t", right_ts="t",
+                  value_cols=["v"], tolerance_ms=500)
 
 
 def test_interval_join_expiry_gap_and_open_end(spark):

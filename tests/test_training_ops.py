@@ -273,9 +273,14 @@ def test_langid_trigram_classifier(spark):
                    for r in langid.lang_id(nums, impl=impl).collect()), impl
 
     # differential: the two paths agree row-for-row on mixed text incl.
-    # null/empty edge rows
+    # null/empty edge rows and UNICODE whitespace (U+00A0 NBSP, U+2028 —
+    # Java's \s is ASCII-only, and the arrow normalizer must pin that rule,
+    # not Python's Unicode-aware split())
     edges = spark.createDataFrame(
-        [(9000, None), (9001, ""), (9002, "   ")], "doc_id long, text string")
+        [(9000, None), (9001, ""), (9002, "   "),
+         (9003, "le chat est sur le tapis et ne veut pas partir"),
+         (9004, "the quick brown fox and the lazy dog are friends")],
+        "doc_id long, text string")
     mixed = docs.select("doc_id", "text").unionByName(edges)
     a = {r["doc_id"]: r["lang_pred"]
          for r in langid.lang_id(mixed, impl="arrow").collect()}
