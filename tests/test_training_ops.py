@@ -356,3 +356,35 @@ def test_stratified_sample_is_deterministic_and_pushable(spark):
         sampling.stratified_sample(docs, {})
     with _pytest.raises(ValueError):
         sampling.stratified_sample(docs, {"en": 1.5})
+
+
+def test_tfidf_topk_values_and_selection(spark):
+    """Hand-computed TF-IDF on a 3-doc corpus, incl. the integer tie-break
+    (tf DESC, df ASC, term ASC) and k-truncation."""
+    import math
+
+    from cefspark import textops
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana cherry"),
+         (2, "banana cherry cherry date!"),
+         (3, "apple date date date")],
+        "doc_id long, text string")
+    rows = textops.tfidf_topk(docs, k=2).collect()
+    got = {(r["doc_id"], r["term"]): r["tfidf"] for r in rows}
+
+    def idf(df_t):
+        return math.log(4.0 / (df_t + 1.0)) + 1.0  # N=3 -> (N+1)=4
+
+    # doc 1: apple tf=2 (df=2) ranks first; banana/cherry tie at tf=1 with
+    #   df=2 each -> term ASC picks banana
+    # doc 2: cherry tf=2 first; banana (df=2) vs date (df=2) -> banana
+    # doc 3: date tf=3 first; apple tf=1 df=2
+    assert set(got) == {(1, "apple"), (1, "banana"),
+                        (2, "cherry"), (2, "banana"),
+                        (3, "date"), (3, "apple")}
+    assert abs(got[(1, "apple")] - 2 * idf(2)) < 1e-9
+    assert abs(got[(3, "date")] - 3 * idf(2)) < 1e-9
+    assert abs(got[(2, "banana")] - 1 * idf(2)) < 1e-9
+    # punctuation is not a term ('date!' tokenizes to 'date')
+    assert all(t.isalnum() for _, t in got)
