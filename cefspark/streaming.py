@@ -142,3 +142,38 @@ def run_dedup_to_memory(spark: SparkSession, input_path: str, query_name: str,
     deduped = dedup_stream(stream, watermark=watermark)
     return (deduped.writeStream.format("memory").queryName(query_name)
             .outputMode("append").trigger(availableNow=True).start())
+
+
+def interval_enrich(stream: DataFrame, intervals: DataFrame, key: str,
+                    event_ts: str, valid_from: str, valid_to: str,
+                    value_cols: list[str]) -> DataFrame:
+    """Stream-static SCD-2 enrichment: each streaming event picks up the
+    static interval row whose ``[valid_from, valid_to)`` window contains its
+    event time (NULL ``valid_to`` = open-ended); no-match events keep nulls.
+
+    The streaming counterpart of :func:`cefspark.asof.interval_join` for a
+    STATIC (batch) interval table — config versions, price lists, device
+    registrations. Because the intervals are non-overlapping per key, each
+    event matches at most one row, so this is a STATELESS stream-static
+    left join (no watermark, no state store, append-safe); Spark broadcasts
+    the static side per micro-batch while it fits. The batch operator's
+    window-fill trick is unavailable in streaming (no unbounded event-time
+    window over a stream) and unnecessary here.
+
+    Parity with the batch operator is pinned in pytest: running the same
+    events through ``interval_join`` and through this enrich (availableNow
+    drain) must produce identical rows.
+    """
+    clash = set(value_cols) & set(stream.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with stream columns: {sorted(clash)}")
+    iv = intervals.select(
+        F.col(key).alias("__iv_key"),
+        F.col(valid_from).alias("__iv_from"),
+        F.col(valid_to).alias("__iv_to"),
+        *[F.col(c) for c in value_cols])
+    cond = ((stream[key] == iv["__iv_key"])
+            & (stream[event_ts] >= iv["__iv_from"])
+            & (iv["__iv_to"].isNull() | (stream[event_ts] < iv["__iv_to"])))
+    return (stream.join(iv, cond, "left")
+            .drop("__iv_key", "__iv_from", "__iv_to"))

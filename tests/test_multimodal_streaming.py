@@ -542,3 +542,46 @@ def test_wav_24bit_block_sums_do_not_overflow():
     v = (1 << 23) - 1
     assert sum(s for s, _ in stats) == n * v * v  # exact, positive
     assert all(s >= 0 for s, _ in stats)
+
+
+def test_streaming_interval_enrich_matches_batch_interval_join(spark, tmp_path):
+    """Stream-static SCD-2 enrich == batch interval_join on the same input
+    (in-window match, gap, open-ended interval, pre-state event)."""
+    from pyspark.sql import functions as F
+
+    from cefspark.asof import interval_join
+
+    events = spark.createDataFrame(
+        [(1, 0, 150), (2, 0, 250), (3, 0, 999), (4, 1, 10)],
+        "event_id long, k long, sec long").select(
+        "event_id", "k", F.timestamp_seconds("sec").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(0, 100, 200, "v1"), (0, 300, None, "v2"), (1, 50, 60, "w1")],
+        "k long, f long, t long, cfg string").select(
+        "k", F.timestamp_seconds("f").alias("valid_from"),
+        F.timestamp_seconds("t").alias("valid_to"), "cfg")
+
+    src = str(tmp_path / "iv_in")
+    events.write.parquet(src)
+    stream = (spark.readStream.schema("event_id long, k long, ts timestamp")
+              .parquet(src))
+    enriched = streaming.interval_enrich(
+        stream, intervals, key="k", event_ts="ts",
+        valid_from="valid_from", valid_to="valid_to", value_cols=["cfg"])
+    q = (enriched.writeStream.format("memory").queryName("iv_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["cfg"]
+           for r in spark.sql("select * from iv_out").collect()}
+
+    batch = {r["event_id"]: r["cfg"]
+             for r in interval_join(events, intervals, key="k", left_ts="ts",
+                                    valid_from="valid_from",
+                                    valid_to="valid_to",
+                                    value_cols=["cfg"]).collect()}
+    assert got == batch == {1: "v1", 2: None, 3: "v2", 4: None}
+
+    with pytest.raises(ValueError, match="collide"):
+        streaming.interval_enrich(stream, intervals, key="k", event_ts="ts",
+                                  valid_from="valid_from",
+                                  valid_to="valid_to", value_cols=["event_id"])
