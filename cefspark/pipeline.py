@@ -234,3 +234,31 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         top_sinks=[(r["sink_id"], r["n_events"]) for r in top],
         wall_seconds=time.time() - t0, lineage_rows=lin,
         counts_path=counts_path)
+
+
+def value_percentiles(df: DataFrame, group_col: str, value_col: str,
+                      percentiles: tuple[float, ...] = (0.5, 0.95)) -> DataFrame:
+    """Exact linear-interpolation percentiles of ``value_col`` per
+    ``group_col`` — one row per (group, percentile), columns
+    ``(group_col, pct, val)``.
+
+    Uses Spark's exact ``percentile`` aggregate, which matches ANSI/DuckDB
+    ``quantile_cont`` bit-for-bit (verified on the events table — identical
+    doubles including summation artifacts), so the operator is
+    oracle-checkable with no float tolerance.
+
+    Scale note: the EXACT aggregate buffers each group's values (memory
+    O(rows per group) on the merging task) — right for bounded-cardinality
+    telemetry groups (event types, sinks, severity bands). For
+    unbounded/huge groups switch the call site to
+    ``percentile_approx(value_col, p, accuracy)``: same shape, mergeable
+    sketch state, no exact-oracle gate (compare with epsilon instead)."""
+    aggs = [F.percentile(value_col, p).alias(f"_p{i}")
+            for i, p in enumerate(percentiles)]
+    wide = df.groupBy(group_col).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(p).alias("pct"), F.col(f"_p{i}").alias("val"))
+        for i, p in enumerate(percentiles)])
+    return (wide.select(group_col, F.explode(pairs).alias("pv"))
+            .select(group_col, F.col("pv.pct").alias("pct"),
+                    F.col("pv.val").alias("val")))

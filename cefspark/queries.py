@@ -1424,16 +1424,40 @@ FROM events e LEFT JOIN (
 
 
 def q_events_json_props(spark, sf_dir):
-    """Semi-structured extraction: the JSON props column parsed JVM-side
-    (get_json_object) — the decode-side companion to E9's JSON encode, and a
-    narrow whole-stage-codegen projection at scale."""
-    return _events(spark, sf_dir).select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+    """Semi-structured extraction + distribution stats, two merged variants:
+
+    - ``json``: the JSON props column parsed JVM-side (get_json_object) —
+      the decode-side companion to E9's JSON encode, a narrow
+      whole-stage-codegen projection at scale.
+    - ``pctl``: exact per-event-type value percentiles
+      (cefspark.pipeline.value_percentiles) — Spark's exact ``percentile``
+      aggregate matches DuckDB's ``quantile_cont`` bit-for-bit, so the
+      gate needs no float tolerance."""
+    ev = _events(spark, sf_dir)
+    js = ev.select(
+        F.lit("json").alias("variant"), "event_id", F.lit("").alias("grp"),
+        F.lit(-1.0).alias("pct"),
+        F.get_json_object("props", "$.k").cast("double").alias("val"))
+    pct = pipeline.value_percentiles(ev, "event_type", "value").select(
+        F.lit("pctl").alias("variant"), F.lit(-1).cast("long").alias("event_id"),
+        F.col("event_type").alias("grp"), "pct", "val")
+    return js.unionByName(pct)
 
 
 O_EVENTS_JSON_PROPS = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events
+SELECT 'json' AS variant, event_id, '' AS grp, -1.0 AS pct,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS val
+FROM events
+UNION ALL
+SELECT 'pctl' AS variant, CAST(-1 AS BIGINT) AS event_id, event_type AS grp,
+       pct, val
+FROM (
+  SELECT event_type, 0.5 AS pct, quantile_cont(value, 0.5) AS val
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.95 AS pct, quantile_cont(value, 0.95) AS val
+  FROM events GROUP BY event_type
+) p
 """
 
 

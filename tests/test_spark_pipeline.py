@@ -365,3 +365,20 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert not _os.path.exists(frag.data_dir)
     assert table.read(spark).count() == 400
     assert table.filter_new_inputs(scan).count() == 0  # resume still covered
+
+
+def test_value_percentiles_exact_interpolation(spark):
+    """Hand-computed linear interpolation, multiple groups, the long-row
+    output shape, and the pct labels."""
+    from cefspark.pipeline import value_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 10.0), ("b", 20.0)],
+        "grp string, v double")
+    got = {(r["grp"], r["pct"]): r["val"]
+           for r in value_percentiles(df, "grp", "v", (0.5, 0.25)).collect()}
+    # a: sorted [1,2,3,4] -> p50 = 2.5 (midpoint), p25 = 1.75
+    # b: [10,20] -> p50 = 15, p25 = 12.5
+    assert got == {("a", 0.5): 2.5, ("a", 0.25): 1.75,
+                   ("b", 0.5): 15.0, ("b", 0.25): 12.5}
