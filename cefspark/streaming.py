@@ -177,3 +177,30 @@ def interval_enrich(stream: DataFrame, intervals: DataFrame, key: str,
             & (iv["__iv_to"].isNull() | (stream[event_ts] < iv["__iv_to"])))
     return (stream.join(iv, cond, "left")
             .drop("__iv_key", "__iv_from", "__iv_to"))
+
+
+def session_window_counts(events: DataFrame, key_col: str = "user_id",
+                          ts_col: str = "ts", gap: str = "30 minutes",
+                          watermark: Optional[str] = "1 hour") -> DataFrame:
+    """Per-key event-time SESSION windows (Spark-native ``session_window``):
+    one row per (key, session) with the session's start/end and event count.
+    A session extends ``gap`` past each event; an event arriving at or after
+    the extended end starts a new session — the same boundary rule as the
+    batch lag/running-sum sessionizer in ``queries.q_event_sessions``
+    (break on gap > 30 min) for sub-gap-precision timestamps, and pinned
+    equal to it in pytest.
+
+    Works on a streaming OR batch DataFrame. Streaming: pass a watermark so
+    closed sessions emit in append mode with state bounded by open sessions
+    per key; ``watermark=None`` skips the watermark for batch use.
+
+    Scale: sessionization shuffles once on the key — the same exchange the
+    batch sessionizer pays — and the session-merge happens inside the
+    state store (streaming) or the sort-based session aggregation (batch);
+    no per-session Python, no unbounded state under a watermark."""
+    df = events if watermark is None else events.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.col(key_col),
+                       F.session_window(F.col(ts_col), gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key_col), F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))

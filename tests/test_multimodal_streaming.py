@@ -585,3 +585,47 @@ def test_streaming_interval_enrich_matches_batch_interval_join(spark, tmp_path):
         streaming.interval_enrich(stream, intervals, key="k", event_ts="ts",
                                   valid_from="valid_from",
                                   valid_to="valid_to", value_cols=["event_id"])
+
+
+def test_session_window_counts_matches_batch_sessionizer(spark, tmp_path):
+    """Native session_window == the lag/running-sum sessionizer on the real
+    events table (per-user session count, sizes, and start times), and the
+    streaming drain == the batch session_window result."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    # batch sessionizer (the q_event_sessions 'session' variant, aggregated)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (ev.withColumn("sidx", F.sum(is_new).over(run))
+            .groupBy("user_id", "sidx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start")))
+    exp = {(r["user_id"], r["session_start"]): r["n_events"]
+           for r in sess.collect()}
+
+    got_batch = {(r["user_id"], r["session_start"]): r["n_events"]
+                 for r in streaming.session_window_counts(
+                     ev, watermark=None).collect()}
+    assert got_batch == exp
+    assert len(exp) > ev.select("user_id").distinct().count()  # real splits
+
+    # streaming drain (complete mode: emit all sessions at availableNow end)
+    src = str(tmp_path / "sw_in")
+    ev.write.parquet(src)
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(src))
+    q = (streaming.session_window_counts(stream)
+         .writeStream.format("memory").queryName("sw_out")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_stream = {(r["user_id"], r["session_start"]): r["n_events"]
+                  for r in spark.sql("select * from sw_out").collect()}
+    assert got_stream == exp
