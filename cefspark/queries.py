@@ -1246,16 +1246,48 @@ def _routed(spark, sf_dir):
 
 
 def q_cef_route_counts(spark, sf_dir):
-    """Routing fan-out: per-sink event counts incl. the failure sink."""
-    return (_routed(spark, sf_dir).groupBy("sink_id")
-            .agg(F.count(F.lit(1)).alias("n_events")))
+    """Routing fan-out aggregates, two merged variants:
+
+    - ``sink``: per-sink event counts incl. the failure sink.
+    - ``rollup``: OLAP rollup over (vendor, severity_band) on the
+      successfully-decoded rows — per-(vendor, band) counts, per-vendor
+      subtotals, and the grand total in one pass (Spark ``rollup`` ==
+      DuckDB ``GROUP BY ROLLUP``; rollup-generated NULLs are labeled
+      '(all)', and vendor is pre-coalesced to '_' so a '(all)' label can
+      only mean a subtotal row). One shuffle computes every level —
+      partials for all grouping sets combine map-side."""
+    routed = _routed(spark, sf_dir)
+    sink = (routed.groupBy("sink_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.lit("sink").alias("variant"),
+                    F.col("sink_id").alias("k1"), F.lit("").alias("k2"),
+                    "n_events"))
+    ok = routed.where(F.col("error").isNull()).select(
+        F.coalesce(F.col("deviceVendor"), F.lit("_")).alias("vendor"),
+        "severity_band")
+    roll = (ok.rollup("vendor", "severity_band")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.lit("rollup").alias("variant"),
+                    F.coalesce(F.col("vendor"), F.lit("(all)")).alias("k1"),
+                    F.coalesce(F.col("severity_band"), F.lit("(all)")).alias("k2"),
+                    "n_events"))
+    return sink.unionByName(roll)
 
 
 O_CEF_ROUTE_COUNTS = f"""
-SELECT CASE WHEN event_id % 13 = 0 THEN '_cefparsefailure'
-            ELSE {_VENDOR_SQL} || '/' || {_BAND_SQL} END AS sink_id,
+SELECT 'sink' AS variant,
+       CASE WHEN event_id % 13 = 0 THEN '_cefparsefailure'
+            ELSE {_VENDOR_SQL} || '/' || {_BAND_SQL} END AS k1,
+       '' AS k2,
        COUNT(*) AS n_events
-FROM events GROUP BY 1
+FROM events GROUP BY 1, 2
+UNION ALL
+SELECT 'rollup' AS variant,
+       COALESCE(v, '(all)') AS k1, COALESCE(b, '(all)') AS k2,
+       COUNT(*) AS n_events
+FROM (SELECT COALESCE({_VENDOR_SQL}, '_') AS v, {_BAND_SQL} AS b
+      FROM events WHERE event_id % 13 <> 0) t
+GROUP BY ROLLUP (v, b)
 """
 
 
