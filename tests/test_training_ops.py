@@ -388,3 +388,45 @@ def test_tfidf_topk_values_and_selection(spark):
     assert abs(got[(2, "banana")] - 1 * idf(2)) < 1e-9
     # punctuation is not a term ('date!' tokenizes to 'date')
     assert all(t.isalnum() for _, t in got)
+
+
+def test_hll_sketch_accuracy_and_mergeability(spark):
+    """HLL cube pattern: per-group estimates within HLL error of exact,
+    and the cross-group rollup (sketch union) exactly equals the global
+    sketch over the same rows — the answer-from-sketches contract."""
+    from pyspark.sql import functions as F
+
+    from cefspark import sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    # widen the value domain so estimates are non-trivial
+    keyed = ev.select("event_type",
+                      (F.col("event_id") * 7 + F.col("user_id")).alias("v"))
+    sk = sketches.hll_sketch_by(keyed, "event_type", "v").cache()
+
+    exact = {r["event_type"]: r["n"]
+             for r in keyed.groupBy("event_type")
+             .agg(F.count_distinct("v").alias("n")).collect()}
+    est = {r["event_type"]: r["n_distinct_est"]
+           for r in sketches.hll_estimate(sk).collect()}
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.05, (g, est[g], n)  # ~3 RSE at lg_k=12
+
+    # rollup-from-sketches ~= global sketch over raw rows (same lg_k):
+    # register merge is lossless, but the union drops the single-stream HIP
+    # estimator, so allow a small gap — and both must be within HLL error
+    # of the exact count
+    merged = sketches.hll_rollup(sk)
+    global_direct = (keyed.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("v", F.lit(12))).cast("long").alias("n"))
+        .collect()[0]["n"])
+    assert abs(merged - global_direct) / global_direct < 0.01
+    n_global = keyed.select("v").distinct().count()
+    assert abs(merged - n_global) / n_global < 0.05
+    assert abs(global_direct - n_global) / n_global < 0.05
+    sk.unpersist()
+
+    # native HLL++ scalar helper agrees with exact within rsd ballpark
+    approx = sketches.approx_distinct(keyed, "v", rsd=0.02)
+    assert abs(approx - n_global) / n_global < 0.06
