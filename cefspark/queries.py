@@ -1793,10 +1793,9 @@ def q_text_vocab(spark, sf_dir):
       (map-side partial distinct; shuffle volume O(unique tokens), not
       O(tokens)).
     - ``tfidf``: per-document top-3 TF-IDF terms
-      (cefspark.textops.tfidf_topk — smoothed ln idf; integer-deterministic
-      (tf DESC, df ASC, term ASC) selection so a 1-ulp cross-engine ln
-      difference cannot flip the top-k membership, while the float score
-      itself is value-compared)."""
+      (cefspark.textops.tfidf_topk — smoothed ln idf; ranked by the score
+      with the integer (tf DESC, df ASC, term ASC) triple breaking exact
+      ties deterministically on both engines)."""
     docs = _documents(spark, sf_dir)
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
@@ -1819,7 +1818,8 @@ SELECT 'tfidf' AS variant, doc_id, term,
 FROM (
   SELECT tf.doc_id, tf.term, tf.tf, d.dfreq, n.n_docs,
          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                            ORDER BY tf.tf DESC, d.dfreq ASC, tf.term ASC) AS rn
+                            ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (d.dfreq + 1.0)) + 1.0) DESC,
+                                     tf.tf DESC, d.dfreq ASC, tf.term ASC) AS rn
   FROM (SELECT doc_id, term, COUNT(*) AS tf
         FROM (SELECT doc_id,
                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -49,11 +49,15 @@ def hll_sketch_by(df: DataFrame, group_col: str, value_col: str,
 
 
 def hll_estimate(sketches: DataFrame) -> DataFrame:
-    """Per-group distinct estimates from a sketch relation:
-    ``(group_col, n_distinct_est)``. Narrow projection — no data rescan."""
-    (group_col, _) = sketches.columns
+    """Per-group distinct estimates from a sketch relation: every
+    non-``sketch`` column is kept as a group key (so multi-dimension cubes
+    like ``(event_type, day, sketch)`` work), plus ``n_distinct_est``.
+    Narrow projection — no data rescan."""
+    if "sketch" not in sketches.columns:
+        raise ValueError("expected a 'sketch' column (from hll_sketch_by)")
+    keys = [c for c in sketches.columns if c != "sketch"]
     return sketches.select(
-        F.col(group_col),
+        *keys,
         F.hll_sketch_estimate("sketch").cast("long").alias("n_distinct_est"))
 
 
@@ -66,4 +70,6 @@ def hll_rollup(sketches: DataFrame) -> int:
         F.hll_sketch_estimate(
             F.hll_union_agg(F.col("sketch"), F.lit(True))).cast("long")
         .alias("n")).collect()[0]
-    return row["n"]
+    # an empty sketch relation unions to NULL; 0 distinct is the honest
+    # answer (and matches approx_distinct on an empty frame)
+    return row["n"] if row["n"] is not None else 0

@@ -184,11 +184,13 @@ def session_window_counts(events: DataFrame, key_col: str = "user_id",
                           watermark: Optional[str] = "1 hour") -> DataFrame:
     """Per-key event-time SESSION windows (Spark-native ``session_window``):
     one row per (key, session) with the session's start/end and event count.
-    A session extends ``gap`` past each event; an event arriving at or after
-    the extended end starts a new session — the same boundary rule as the
-    batch lag/running-sum sessionizer in ``queries.q_event_sessions``
-    (break on gap > 30 min) for sub-gap-precision timestamps, and pinned
-    equal to it in pytest.
+    A session extends ``gap`` past each event; an event arriving within the
+    extended window — INCLUSIVE of the exact boundary (two events exactly
+    ``gap`` apart share a session; verified empirically) — continues it,
+    i.e. a new session starts only when the gap EXCEEDS ``gap``. That is
+    precisely the batch lag/running-sum sessionizer's rule in
+    ``queries.q_event_sessions`` (break on gap > 30 min), and the two are
+    pinned equal in pytest.
 
     Works on a streaming OR batch DataFrame. Streaming: pass a watermark so
     closed sessions emit in append mode with state bounded by open sessions

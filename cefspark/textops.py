@@ -121,13 +121,13 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``idf = ln((N+1)/(df+1)) + 1`` (smoothed; N = corpus size, df = number
     of documents containing the term), ``tfidf = tf * idf``.
 
-    Selection contract: the top-k window ranks by ``(tf DESC, df ASC,
-    term ASC)`` — an integer-deterministic proxy for score order.
-    Ranking by the float score itself could flip on a 1-ulp ``ln``
-    difference between engines; the integers cannot. The float score is
-    still EMITTED (and value-compared under the harness's 6-dp
-    normalization), so the TF-IDF arithmetic is fully gated — only the
-    tie-break is integer.
+    Selection contract: the top-k window ranks by the SCORE itself
+    (``tfidf DESC``), tie-broken by the integer triple ``(tf DESC, df ASC,
+    term ASC)``. Exact score ties (same tf and df) produce the identical
+    double on both engines, so the integer tie-break resolves them
+    deterministically; a cross-engine flip would need two DISTINCT
+    real-valued scores within one ulp of each other (~2e-16 relative) —
+    vanishingly unlikely and bounded by the tie-break for exact equality.
 
     Scale shape: tokenize+explode is map-side; ONE shuffle for the
     (doc, term) counts; the document-frequency relation aggregates off
@@ -148,10 +148,11 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n = df.select(F.count("*").alias("n_docs"))
     scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))) + F.lit(1.0)
+    scored = scored.withColumn("tfidf", F.col("tf") * idf)
     w = Window.partitionBy(id_col).orderBy(
-        F.col("tf").desc(), F.col("dfreq").asc(), F.col("term").asc())
+        F.col("tfidf").desc(), F.col("tf").desc(),
+        F.col("dfreq").asc(), F.col("term").asc())
     return (scored
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
-            .select(F.col(id_col), F.col("term"),
-                    (F.col("tf") * idf).alias("tfidf")))
+            .select(F.col(id_col), F.col("term"), F.col("tfidf")))

@@ -389,6 +389,16 @@ def test_tfidf_topk_values_and_selection(spark):
     # punctuation is not a term ('date!' tokenizes to 'date')
     assert all(t.isalnum() for _, t in got)
 
+    # score order is the real contract: a rare term (low tf, high idf) must
+    # beat a corpus-wide common term with higher tf
+    corpus = spark.createDataFrame(
+        [(0, "common common rare")] + [(i, "common") for i in range(1, 10)],
+        "doc_id long, text string")
+    top1 = {r["doc_id"]: r["term"]
+            for r in textops.tfidf_topk(corpus, k=1).collect()}
+    # doc 0: rare = 1*(ln(11/2)+1) = 2.70 > common = 2*(ln(11/11)+1) = 2.0
+    assert top1[0] == "rare"
+
 
 def test_hll_sketch_accuracy_and_mergeability(spark):
     """HLL cube pattern: per-group estimates within HLL error of exact,
