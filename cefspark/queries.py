@@ -378,18 +378,58 @@ FROM events
 
 
 def q_top_vendors(spark, sf_dir):
-    """Sort/limit/top-k over the routed output."""
-    return (_routed(spark, sf_dir)
+    """Top-k aggregates, two merged variants:
+
+    - ``global``: sort/limit/top-k over the routed output
+      (TakeOrderedAndProject — no global sort materialization).
+    - ``per_band``: GROUPWISE top-2 vendors per severity band — the
+      pattern a global limit cannot express: rank within each group via
+      row_number over the counts and filter. Two shuffles total (count
+      agg, then rank window on the group); at scale the window reuses the
+      aggregation's reduced cardinality (bands x vendors), never the raw
+      rows. Deterministic tiebreak (count DESC, vendor ASC)."""
+    routed = _routed(spark, sf_dir)
+    glob = (routed
             .groupBy("deviceVendor").agg(F.count(F.lit(1)).alias("n_events"))
             .orderBy(F.desc("n_events"), F.asc_nulls_first("deviceVendor"))
-            .limit(3))
+            .limit(3)
+            .select(F.lit("global").alias("variant"), F.lit("").alias("band"),
+                    "deviceVendor", "n_events"))
+    from pyspark.sql.window import Window
+
+    counts = (routed.where(F.col("error").isNull())
+              .groupBy("severity_band", "deviceVendor")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("severity_band").orderBy(
+        F.desc("n_events"), F.asc("deviceVendor"))
+    per_band = (counts.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= 2)
+                .select(F.lit("per_band").alias("variant"),
+                        F.col("severity_band").alias("band"),
+                        "deviceVendor", "n_events"))
+    return glob.unionByName(per_band)
 
 
 O_TOP_VENDORS = f"""
-WITH v AS (SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE {_VENDOR_SQL} END AS deviceVendor
-           FROM events)
-SELECT deviceVendor, COUNT(*) AS n_events FROM v GROUP BY 1
-ORDER BY n_events DESC, deviceVendor ASC NULLS FIRST LIMIT 3
+SELECT * FROM (
+  SELECT 'global' AS variant, '' AS band, deviceVendor, n_events
+  FROM (SELECT deviceVendor, COUNT(*) AS n_events
+        FROM (SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                          ELSE {_VENDOR_SQL} END AS deviceVendor
+              FROM events) v
+        GROUP BY 1
+        ORDER BY n_events DESC, deviceVendor ASC NULLS FIRST LIMIT 3) g
+)
+UNION ALL
+SELECT 'per_band' AS variant, band, deviceVendor, n_events
+FROM (
+  SELECT band, deviceVendor, n_events,
+         ROW_NUMBER() OVER (PARTITION BY band
+                            ORDER BY n_events DESC, deviceVendor ASC) AS rn
+  FROM (SELECT {_BAND_SQL} AS band, {_VENDOR_SQL} AS deviceVendor,
+               COUNT(*) AS n_events
+        FROM events WHERE event_id % 13 <> 0 GROUP BY 1, 2) c
+) r WHERE rn <= 2
 """
 
 
