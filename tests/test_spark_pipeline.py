@@ -382,3 +382,28 @@ def test_value_percentiles_exact_interpolation(spark):
     # b: [10,20] -> p50 = 15, p25 = 12.5
     assert got == {("a", 0.5): 2.5, ("a", 0.25): 1.75,
                    ("b", 0.5): 15.0, ("b", 0.25): 12.5}
+
+
+def test_corpus_stats_job_smoke(tmp_path):
+    """jobs/corpus_stats.py end-to-end in a subprocess: writes the four
+    relations and prints coherent top-line metrics JSON."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "stats")
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "jobs/corpus_stats.py", "--cpus", "4",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["n_docs"] > 0
+    assert metrics["vocab_exact"] > 0
+    assert abs(metrics["vocab_hll"] - metrics["vocab_exact"]) <= \
+        max(2, 0.05 * metrics["vocab_exact"])
+    assert sum(metrics["langs"].values()) == metrics["n_docs"]
+    for rel in ("per_doc", "tfidf_topk", "exact_dups", "lang_counts"):
+        assert os.path.isdir(os.path.join(out, rel)), rel
