@@ -166,10 +166,18 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     raise ValueError(f"impl must be 'arrow' or 'join', got {impl!r}")
 
 
-def _lang_id_arrow(df: DataFrame, text_col: str, id_col: str,
-                   min_score: int, k: int) -> DataFrame:
-    """Arrow-batched scorer: per-trigram dict probe + numpy accumulator
-    inside each batch. The profile (~10 KB) ships in the task closure."""
+def lang_pred_column(text_col: Column, min_score: int = 50,
+                     k: int = PROFILE_SIZE) -> Column:
+    """The Arrow-batched classifier as a composable Column, so callers can
+    fold language ID into an existing one-pass select instead of paying a
+    join (used by jobs/corpus_stats.py's per-document sweep)."""
+    return _lang_pred_udf(min_score, k)(text_col)
+
+
+def _lang_pred_udf(min_score: int, k: int):
+    """Build the Arrow-batched scorer UDF: per-trigram dict probe + numpy
+    accumulator inside each batch. The profile (~10 KB) ships in the task
+    closure."""
     from pyspark.sql.functions import pandas_udf
 
     profiles = {g: np.asarray(ws, dtype=np.int64)
@@ -195,7 +203,14 @@ def _lang_id_arrow(df: DataFrame, text_col: str, id_col: str,
                        if int(acc.max()) >= threshold else "unknown")
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _pred(F.col(text_col)).alias("lang_pred"))
+    return _pred
+
+
+def _lang_id_arrow(df: DataFrame, text_col: str, id_col: str,
+                   min_score: int, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        lang_pred_column(F.col(text_col), min_score, k).alias("lang_pred"))
 
 
 def _lang_id_join(df: DataFrame, text_col: str, id_col: str,

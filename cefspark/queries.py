@@ -387,16 +387,22 @@ def q_top_vendors(spark, sf_dir):
       row_number over the counts and filter. Two shuffles total (count
       agg, then rank window on the group); at scale the window reuses the
       aggregation's reduced cardinality (bands x vendors), never the raw
-      rows. Deterministic tiebreak (count DESC, vendor ASC)."""
-    routed = _routed(spark, sf_dir)
+      rows. Deterministic tiebreak (count DESC, vendor ASC).
+
+    Both variants read the routed relation, so it is persisted (slimmed to
+    the three columns both branches need) and released once the tiny union
+    result is materialized — same single-decode discipline as q_set_ops
+    (Catalyst does not share common subplans across union branches)."""
+    from pyspark.sql.window import Window
+
+    routed = (_routed(spark, sf_dir)
+              .select("deviceVendor", "severity_band", "error").persist())
     glob = (routed
             .groupBy("deviceVendor").agg(F.count(F.lit(1)).alias("n_events"))
             .orderBy(F.desc("n_events"), F.asc_nulls_first("deviceVendor"))
             .limit(3)
             .select(F.lit("global").alias("variant"), F.lit("").alias("band"),
                     "deviceVendor", "n_events"))
-    from pyspark.sql.window import Window
-
     counts = (routed.where(F.col("error").isNull())
               .groupBy("severity_band", "deviceVendor")
               .agg(F.count(F.lit(1)).alias("n_events")))
@@ -407,7 +413,11 @@ def q_top_vendors(spark, sf_dir):
                 .select(F.lit("per_band").alias("variant"),
                         F.col("severity_band").alias("band"),
                         "deviceVendor", "n_events"))
-    return glob.unionByName(per_band)
+    try:
+        out = glob.unionByName(per_band).localCheckpoint(eager=True)
+    finally:
+        routed.unpersist(blocking=True)
+    return out
 
 
 O_TOP_VENDORS = f"""

@@ -59,12 +59,18 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         punct_count(t),
         stopword_hits(t),
     )
-    score = F.round(
+    return out.withColumn("quality_score", composite_quality_score())
+
+
+def composite_quality_score() -> Column:
+    """The composite quality score as a Column over the named metric
+    columns (n_chars/n_tokens/n_punct/n_stopwords) — exposed so one-pass
+    sweeps (jobs/corpus_stats.py) can fold it into their own select."""
+    return F.round(
         F.least(F.lit(1.0), F.col("n_stopwords") / F.greatest(F.col("n_tokens"), F.lit(1)) * 4.0)
         * (F.lit(1.0) - F.least(F.lit(0.5), F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)))),
         6,
     )
-    return out.withColumn("quality_score", score)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -47,7 +47,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from cefspark import dedup, langid, sketches, textops
+    from cefspark import dedup, langid, textops
     from cefspark.session import get_spark
 
     cores = args.cpus or (os.cpu_count() or 8)
@@ -58,10 +58,22 @@ def main() -> None:
     docs = spark.read.parquet(src)
     t0 = time.time()
 
-    # per-document columns (each a narrow projection over the same scan)
-    per_doc = (textops.quality_metrics(docs)
-               .join(textops.fingerprint(docs), "doc_id")
-               .join(langid.lang_id(docs), "doc_id"))
+    # per-document columns: ONE narrow select over one scan — quality
+    # metrics, both fingerprints, and the Arrow lang-id column composed
+    # together (no joins, no shuffle; a 3-way self-join here would scan the
+    # table three times and pay two doc_id exchanges for row-wise columns)
+    t = F.col("text")
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    per_doc = docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        textops.token_count(t),
+        textops.punct_count(t),
+        textops.stopword_hits(t),
+        F.md5(t).alias("fp_md5"),
+        F.md5(norm).alias("fp_norm_md5"),
+        langid.lang_pred_column(t).alias("lang_pred"),
+    ).withColumn("quality_score", textops.composite_quality_score())
     per_doc.write.mode("overwrite").parquet(os.path.join(out, "per_doc"))
 
     tfidf = textops.tfidf_topk(docs, k=args.topk)
@@ -77,11 +89,18 @@ def main() -> None:
     lang_counts.write.mode("overwrite").parquet(os.path.join(out, "lang_counts"))
 
     n_docs = docs.count()
-    n_dup_groups = dups.count()
+    # count the just-written relation instead of re-running the groupBy
+    # shuffle over the raw table (same read-back pattern as lang_counts)
+    n_dup_groups = spark.read.parquet(os.path.join(out, "exact_dups")).count()
+    # blank documents tokenize to [''] under a bare split — drop the phantom
+    # empty token (token_count guards this case the same way); both vocab
+    # numbers come from ONE tokenize+aggregate pass
     toks = docs.select(F.explode(
-        F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
-    vocab_exact = toks.agg(F.count_distinct("tok").alias("n")).collect()[0]["n"]
-    vocab_hll = sketches.approx_distinct(toks, "tok")
+        F.split(F.trim(t), r"\s+")).alias("tok")).where(F.col("tok") != "")
+    vrow = toks.agg(
+        F.count_distinct("tok").alias("exact"),
+        F.approx_count_distinct("tok", 0.02).alias("hll")).collect()[0]
+    vocab_exact, vocab_hll = vrow["exact"], vrow["hll"]
 
     print(json.dumps({
         "n_docs": n_docs,

@@ -12,7 +12,7 @@ _key = st.one_of(st.none(), st.integers(0, 3))
 _ts = st.one_of(st.none(), st.integers(0, 60))
 
 _events = st.lists(
-    st.tuples(st.integers(0, 3), _ts), min_size=1, max_size=12).map(
+    st.tuples(_key, _ts), min_size=1, max_size=12).map(
     lambda rows: [(i, k, t) for i, (k, t) in enumerate(rows)])
 
 _states = st.lists(
