@@ -259,7 +259,8 @@ class ManifestTable:
 
     def compact(self, spark: SparkSession,
                 target_file_bytes: int = 128 * 1024 * 1024,
-                partition_by: Optional[list[str]] = None) -> Optional[Snapshot]:
+                partition_by: Optional[list[str]] = None,
+                cluster_by: Optional[list[str]] = None) -> Optional[Snapshot]:
         """Rewrite the FULL chain union (``read_union``) as one snapshot of
         ~target-sized files. This solves two problems at once: the
         small-files problem (incremental commits leave file counts that grow
@@ -272,7 +273,18 @@ class ManifestTable:
 
         Sizing uses the chain's actual on-disk bytes (driver-side listing of
         the chain's data dirs — bounded by their file count, which is
-        exactly what compaction is about to shrink)."""
+        exactly what compaction is about to shrink).
+
+        ``cluster_by`` additionally range-partitions AND sorts the rewrite
+        on the given columns (``repartitionByRange`` + ``sortWithin
+        Partitions``), so each output file covers a narrow, largely
+        disjoint value range. Parquet footers then carry tight min/max
+        column statistics, and later scans filtering on those columns skip
+        whole files/row-groups — the data-layout half of pruning that
+        partition directories can't give a high-cardinality column.
+        Mutually exclusive with ``partition_by`` (directory partitioning);
+        pick directories for low-cardinality routing keys, clustering for
+        high-cardinality range/filter keys (timestamps, user ids)."""
         chain = []
         sid = self.latest_snapshot_id()
         while sid:
@@ -287,9 +299,15 @@ class ManifestTable:
                 for f in files:
                     if f.endswith(".parquet"):
                         total += os.path.getsize(os.path.join(dirpath, f))
+        if partition_by and cluster_by:
+            raise ValueError("partition_by and cluster_by are mutually exclusive")
         n_files = max(1, -(-total // target_file_bytes))  # ceil
         df = spark.read.parquet(*[s.data_dir for s in chain])
-        if partition_by:
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            out = (df.repartitionByRange(n_files, *cols)
+                   .sortWithinPartitions(*cols))
+        elif partition_by:
             out = df.repartition(n_files, *partition_by)
         else:
             out = df.coalesce(n_files)

@@ -30,6 +30,10 @@ def main() -> None:
     p.add_argument("--keep", type=int, default=1,
                    help="snapshots to keep on expiry")
     p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument("--cluster-by", default=None,
+                   help="comma-separated columns: range-partition + sort the "
+                        "rewrite so files carry tight min/max stats "
+                        "(file-skipping on range filters)")
     p.add_argument("--orphan-grace-s", type=float, default=600.0)
     p.add_argument("--cpus", type=int, default=0)
     args = p.parse_args()
@@ -45,7 +49,9 @@ def main() -> None:
         spark = get_spark(app_name="cefspark-maintenance",
                           cores=args.cpus or None)
         snap = table.compact(spark,
-                             target_file_bytes=args.target_file_mb << 20)
+                             target_file_bytes=args.target_file_mb << 20,
+                             cluster_by=(args.cluster_by.split(",")
+                                         if args.cluster_by else None))
         report["compacted_snapshot"] = snap.snapshot_id if snap else None
         report["compacted_rows"] = snap.n_rows if snap else 0
     if args.expire:

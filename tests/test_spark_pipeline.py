@@ -407,3 +407,53 @@ def test_corpus_stats_job_smoke(tmp_path):
     assert sum(metrics["langs"].values()) == metrics["n_docs"]
     for rel in ("per_doc", "tfidf_topk", "exact_dups", "lang_counts"):
         assert os.path.isdir(os.path.join(out, rel)), rel
+
+
+def test_compact_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by compaction: data survives exactly, and each rewritten
+    parquet file covers a narrow value range (footer min/max stats nearly
+    disjoint across files) so range filters can skip whole files."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    src_dir = str(tmp_path / "in")
+    # write SHUFFLED so pre-compact files have overlapping full-width ranges
+    spark.range(4000).select(
+        F.xxhash64("id").alias("shuffle_key"), F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("v")
+    ).orderBy("shuffle_key").drop("shuffle_key") \
+        .repartition(16).write.parquet(src_dir)
+    scan = spark.read.parquet(src_dir)
+    table = ManifestTable(str(tmp_path / "tbl"))
+    table.commit(scan, inputs=list_input_files(scan))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        table.compact(spark, partition_by=["v"], cluster_by=["event_id"])
+
+    snap = table.compact(spark, target_file_bytes=8_000,
+                         cluster_by=["event_id"])
+    assert table.read(spark).count() == 4000
+    assert set(r["event_id"] for r in table.read(spark).collect()) == set(range(4000))
+
+    files = sorted(_os.path.join(snap.data_dir, f)
+                   for f in _os.listdir(snap.data_dir) if f.endswith(".parquet"))
+    assert len(files) >= 2, "fixture must produce multiple files"
+    ranges = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        col = md.schema.to_arrow_schema().get_field_index("event_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # ranges must be pairwise non-overlapping (repartitionByRange gives
+    # disjoint ranges up to sampling boundary duplicates of a single value)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+    # and each file must cover far less than the full domain
+    widths = [hi - lo for lo, hi in ranges]
+    assert max(widths) < 4000 / 2
