@@ -57,6 +57,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_lang_id",          # round 4: trigram classifier, broadcast-join scoring
     "sample_split",          # round 4: deterministic split + stratified sampleBy
+    "event_sessions",        # round 4: sessionizer + as-of + interval joins
     "ann_cosine_topk",
     "turn_ordering",
 ]
