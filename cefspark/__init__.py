@@ -15,6 +15,7 @@ Spark-first parse -> enrich -> route -> aggregate pipeline:
 * ``cefspark.textops``    — training-data text analysis (lang-id, quality, tokens, fingerprints)
 * ``cefspark.dedup``      — exact / MinHash-LSH / SimHash / n-gram-Jaccard deduplication
 * ``cefspark.asof``       — as-of (temporal) join: state-at-event-time enrichment
+* ``cefspark.sketches``   — mergeable HLL distinct-count cubes (rollups without rescan)
 * ``cefspark.similarity`` — embedding cosine top-k + LSH-bucketed ANN
 * ``cefspark.multimodal`` — opaque-binary multimodal column plumbing (decode stubs)
 
