@@ -206,3 +206,32 @@ def session_window_counts(events: DataFrame, key_col: str = "user_id",
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(F.col(key_col), F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events"))
+
+
+def asof_enrich(stream: DataFrame, states: DataFrame, key: str,
+                event_ts: str, state_ts: str,
+                value_cols: list[str]) -> DataFrame:
+    """Stream-static AS-OF enrichment: each streaming event picks up the
+    latest static state row at or before its event time, per key — the
+    streaming counterpart of :func:`cefspark.asof.asof_join` for a STATIC
+    state table.
+
+    Streaming cannot run the batch operator's unbounded window fill, but a
+    static state table can be turned into equivalent non-overlapping
+    validity intervals up front (each state valid from its timestamp until
+    the key's next state; the latest state is open-ended — exactly
+    backward-inclusive as-of semantics), after which this is the stateless
+    :func:`interval_enrich` join: no watermark, no state store,
+    append-safe. The interval derivation is one window pass over the
+    (small, static) state side only; the stream is untouched. Duplicate
+    (key, state_ts) rows must be pre-aggregated, as for the batch operator.
+    Pinned equal to batch ``asof_join`` on the same input in pytest."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(state_ts)
+    intervals = (states
+                 .where(F.col(state_ts).isNotNull() & F.col(key).isNotNull())
+                 .withColumn("__asof_valid_to", F.lead(state_ts).over(w)))
+    return interval_enrich(stream, intervals, key=key, event_ts=event_ts,
+                           valid_from=state_ts, valid_to="__asof_valid_to",
+                           value_cols=value_cols)

@@ -629,3 +629,40 @@ def test_session_window_counts_matches_batch_sessionizer(spark, tmp_path):
     got_stream = {(r["user_id"], r["session_start"]): r["n_events"]
                   for r in spark.sql("select * from sw_out").collect()}
     assert got_stream == exp
+
+
+def test_streaming_asof_enrich_matches_batch_asof_join(spark, tmp_path):
+    """Stream-static as-of == batch asof_join on the real events table
+    (latest purchase at or before each event, inclusive ties)."""
+    from pyspark.sql import functions as F
+
+    from cefspark.asof import asof_join
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "user_id", "ts"))
+    states = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .where("event_type = 'purchase'")
+              .groupBy("user_id", F.col("ts").alias("state_ts"))
+              .agg(F.max("event_id").alias("state_event_id")))
+
+    batch = {r["event_id"]: r["state_event_id"]
+             for r in asof_join(ev, states, key="user_id", left_ts="ts",
+                                right_ts="state_ts",
+                                value_cols=["state_event_id"]).collect()}
+
+    src = str(tmp_path / "asof_in")
+    ev.write.parquet(src)
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp")
+              .parquet(src))
+    enr = streaming.asof_enrich(stream, states, key="user_id",
+                                event_ts="ts", state_ts="state_ts",
+                                value_cols=["state_event_id"])
+    q = (enr.writeStream.format("memory").queryName("asof_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["state_event_id"]
+           for r in spark.sql("select * from asof_out").collect()}
+    assert got == batch
+    assert any(v is not None for v in got.values())
+    assert any(v is None for v in got.values())  # pre-first-purchase events
