@@ -133,7 +133,13 @@ def _window_seconds(window: str) -> int:
     parts = window.strip().split()
     if len(parts) != 2 or not parts[0].isdigit():
         raise ValueError(f"unsupported window spec {window!r}")
-    unit = _WINDOW_UNITS.get(parts[1].rstrip("s"))
+    # strip at most ONE trailing 's' (exact singular/plural only): rstrip
+    # would accept 'hourss'/'minutess', which F.window — whose semantics
+    # this replaces — rejects
+    u = parts[1]
+    if u not in _WINDOW_UNITS and u.endswith("s"):
+        u = u[:-1]
+    unit = _WINDOW_UNITS.get(u)
     if unit is None:
         raise ValueError(f"unsupported window unit {window!r}")
     return int(parts[0]) * unit

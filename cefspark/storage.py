@@ -23,11 +23,16 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another committer held the table's commit lock past the timeout."""
 
 
 @dataclass
@@ -59,8 +64,19 @@ class ManifestTable:
     # -- write path -------------------------------------------------------------
 
     def commit(self, df: DataFrame, inputs: Optional[list[str]] = None,
-               partition_by: Optional[list[str]] = None, n_rows: Optional[int] = None) -> Snapshot:
-        """Write df as a new snapshot; publish its manifest atomically."""
+               partition_by: Optional[list[str]] = None, n_rows: Optional[int] = None,
+               lock_timeout: float = 120.0) -> Snapshot:
+        """Write df as a new snapshot; publish its manifest atomically.
+
+        Concurrency: the expensive data write runs unlocked (each snapshot has
+        its own immutable dir), but the parent-read → manifest-publish →
+        pointer-flip section holds an ``O_CREAT|O_EXCL`` lockfile so two
+        concurrent committers serialize instead of both parenting on the same
+        snapshot — the loser of that race would silently orphan and later be
+        *deleted* by ``expire_snapshots`` (a lost append). Raises
+        ``ConcurrentCommitError`` if the lock can't be won in ``lock_timeout``
+        seconds; a lockfile older than ``_STALE_LOCK_SECONDS`` (crashed
+        committer — the locked section is milliseconds) is broken."""
         snap_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, "data", snap_id)
         writer = df.write.mode("overwrite")
@@ -69,25 +85,62 @@ class ManifestTable:
         writer.parquet(data_dir)
         if n_rows is None:
             n_rows = (SparkSession.getActiveSession().read.parquet(data_dir).count())
-        snap = Snapshot(
-            snapshot_id=snap_id,
-            parent_id=self.latest_snapshot_id(),
-            committed_at=time.time(),
-            n_rows=n_rows,
-            inputs=sorted(set(inputs or [])),
-            data_dir=data_dir,
-        )
-        # manifest file first, then atomic pointer flip
-        mpath = os.path.join(self._manifests, f"{snap_id}.json")
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(snap.__dict__, f, indent=1)
-        os.rename(tmp, mpath)
-        ptmp = self._latest + ".tmp"
-        with open(ptmp, "w") as f:
-            f.write(snap_id)
-        os.rename(ptmp, self._latest)
+        with self._commit_lock(lock_timeout):
+            snap = Snapshot(
+                snapshot_id=snap_id,
+                parent_id=self.latest_snapshot_id(),
+                committed_at=time.time(),
+                n_rows=n_rows,
+                inputs=sorted(set(inputs or [])),
+                data_dir=data_dir,
+            )
+            # manifest file first, then atomic pointer flip
+            mpath = os.path.join(self._manifests, f"{snap_id}.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap.__dict__, f, indent=1)
+            os.rename(tmp, mpath)
+            ptmp = self._latest + ".tmp"
+            with open(ptmp, "w") as f:
+                f.write(snap_id)
+            os.rename(ptmp, self._latest)
         return snap
+
+    _STALE_LOCK_SECONDS = 60.0
+
+    @contextmanager
+    def _commit_lock(self, timeout: float):
+        """Exclusive advisory lock on the table root. ``O_CREAT|O_EXCL`` is
+        atomic on POSIX local and NFS filesystems; on object stores a real
+        catalog (the ManifestTable seam) provides the compare-and-swap
+        instead."""
+        lock = os.path.join(self.root, "COMMIT.lock")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self._STALE_LOCK_SECONDS:
+                        os.unlink(lock)  # crashed holder; next loop re-races
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
+                if time.monotonic() >= deadline:
+                    raise ConcurrentCommitError(
+                        f"could not acquire {lock} within {timeout}s; "
+                        "another committer holds it") from None
+                time.sleep(0.01)
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # -- read path ----------------------------------------------------------------
 
@@ -341,11 +394,24 @@ class ManifestTable:
         seen = self.consumed_inputs_df(spark)
         if seen is None:
             return df
-        return (df.withColumn("_f", F.input_file_name())
-                .join(F.broadcast(seen),
+        return (df.withColumn("_f", _norm_file_uri(F.input_file_name()))
+                .join(F.broadcast(seen.select(
+                          _norm_file_uri(F.col("_consumed_file")).alias("_consumed_file"))),
                       on=F.col("_f") == F.col("_consumed_file"),
                       how="left_anti")
                 .drop("_f"))
+
+
+def _norm_file_uri(col):
+    """Canonicalize a file-URI column before resume comparison: manifests
+    record `df.inputFiles()` (FileIndex `Path.toUri` rendering) while the
+    probe side uses `input_file_name()`, and the two percent-encode special
+    characters differently in some Spark versions — a divergent rendering
+    would silently re-match consumed files as 'new' and duplicate rows on
+    resume. Percent-decoding BOTH sides makes any encoding difference
+    converge. `+` is pre-escaped because java's URLDecoder (behind
+    `url_decode`) would turn a literal `+` into a space."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
 
 
 def list_input_files(df: DataFrame) -> list[str]:

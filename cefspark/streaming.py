@@ -167,6 +167,15 @@ def interval_enrich(stream: DataFrame, intervals: DataFrame, key: str,
     clash = set(value_cols) & set(stream.columns)
     if clash:
         raise ValueError(f"value_cols collide with stream columns: {sorted(clash)}")
+    # mirror asof_join's reserved-name rejection: a user column named like a
+    # sentinel would be silently dropped by the trailing .drop() or make the
+    # join condition ambiguous
+    reserved = {"__iv_key", "__iv_from", "__iv_to"}
+    for side, cols in (("stream", stream.columns), ("intervals", intervals.columns)):
+        hit = reserved & set(cols)
+        if hit:
+            raise ValueError(f"{side} columns collide with reserved interval_enrich "
+                             f"sentinels: {sorted(hit)}")
     iv = intervals.select(
         F.col(key).alias("__iv_key"),
         F.col(valid_from).alias("__iv_from"),
@@ -228,6 +237,10 @@ def asof_enrich(stream: DataFrame, states: DataFrame, key: str,
     Pinned equal to batch ``asof_join`` on the same input in pytest."""
     from pyspark.sql.window import Window
 
+    for side, cols in (("stream", stream.columns), ("states", states.columns)):
+        if "__asof_valid_to" in cols:
+            raise ValueError(f"{side} columns collide with the reserved "
+                             "asof_enrich sentinel: __asof_valid_to")
     w = Window.partitionBy(key).orderBy(state_ts)
     intervals = (states
                  .where(F.col(state_ts).isNotNull() & F.col(key).isNotNull())

@@ -585,6 +585,23 @@ def test_streaming_interval_enrich_matches_batch_interval_join(spark, tmp_path):
         streaming.interval_enrich(stream, intervals, key="k", event_ts="ts",
                                   valid_from="valid_from",
                                   valid_to="valid_to", value_cols=["event_id"])
+    # reserved sentinel names reject loudly instead of silently dropping
+    # (ADVICE r4): a user column named __iv_from would vanish in the .drop()
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError, match="reserved"):
+        streaming.interval_enrich(
+            stream.withColumn("__iv_from", F.lit(1)), intervals, key="k",
+            event_ts="ts", valid_from="valid_from", valid_to="valid_to",
+            value_cols=["cfg"])
+    with pytest.raises(ValueError, match="reserved"):
+        streaming.interval_enrich(
+            stream, intervals.withColumn("__iv_key", F.lit(1)), key="k",
+            event_ts="ts", valid_from="valid_from", valid_to="valid_to",
+            value_cols=["cfg"])
+    with pytest.raises(ValueError, match="reserved"):
+        streaming.asof_enrich(
+            stream.withColumn("__asof_valid_to", F.lit(1)), intervals,
+            key="k", event_ts="ts", state_ts="valid_from", value_cols=["cfg"])
 
 
 def test_session_window_counts_matches_batch_sessionizer(spark, tmp_path):

@@ -4,6 +4,7 @@ and snapshot/resume. (North-rule gates: per-turn decoded-text equality under
 stable (conv_id, turn_idx) ordering; routed-row equality; per-sink counts.)"""
 
 import os
+import time
 
 import pandas as pd
 import pytest
@@ -270,6 +271,10 @@ def test_window_seconds_parsing():
         pipeline._window_seconds("fortnight")
     with pytest.raises(ValueError):
         pipeline._window_seconds("5 fortnights")
+    # at most one trailing 's' strips: F.window-parity rejection (ADVICE r4)
+    for bad in ("1 hourss", "5 minutess", "1 s", "1 ss"):
+        with pytest.raises(ValueError):
+            pipeline._window_seconds(bad)
 
 
 def test_expire_snapshots_keeps_resume_coverage(spark, tmp_path):
@@ -457,3 +462,83 @@ def test_compact_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
     # and each file must cover far less than the full domain
     widths = [hi - lo for lo, hi in ranges]
     assert max(widths) < 4000 / 2
+
+
+def test_concurrent_commits_serialize_no_lost_append(spark, tmp_path):
+    """VERDICT r4 'what's wrong' #2: two committers racing the parent-read →
+    pointer-flip section must serialize on the commit lock — the chain must
+    contain BOTH snapshots (one parented on the other), never two siblings
+    parented on the same snapshot (the loser would orphan and later be
+    deleted by expire_snapshots: a lost append)."""
+    import threading
+
+    table = ManifestTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(fixtures.transcripts_pdf(10))
+    root = table.commit(base, inputs=[])
+
+    snaps, errs = [], []
+
+    def committer(tag):
+        try:
+            df = spark.createDataFrame(fixtures.transcripts_pdf(5))
+            snaps.append(table.commit(df, inputs=[f"mem://{tag}"]))
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    ts = [threading.Thread(target=committer, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    parents = sorted(s.parent_id for s in snaps)
+    ids = sorted(s.snapshot_id for s in snaps)
+    # linear chain: one child of root, the other a child of that child
+    assert root.snapshot_id in parents
+    assert parents != [root.snapshot_id, root.snapshot_id], "lost append!"
+    assert set(parents) - {root.snapshot_id} <= set(ids)
+    # LATEST points at the chain head and the union view sees every commit
+    chain = table._chain_manifest_paths()
+    assert len(chain) == 3
+    assert table.read_union(spark).count() == 20
+    # lockfile released
+    assert not (tmp_path / "t" / "COMMIT.lock").exists()
+
+
+def test_stale_commit_lock_is_broken(tmp_path, spark):
+    """A crashed committer's lockfile (older than the stale threshold) must
+    not brick the table."""
+    import os as _os
+
+    table = ManifestTable(str(tmp_path / "t"))
+    lock = tmp_path / "t" / "COMMIT.lock"
+    lock.write_text("dead 0")
+    old = time.time() - 3600
+    _os.utime(lock, (old, old))
+    df = spark.createDataFrame(fixtures.transcripts_pdf(5))
+    snap = table.commit(df, inputs=[])
+    assert table.latest_snapshot_id() == snap.snapshot_id
+    assert not lock.exists()
+
+
+def test_resume_with_hostile_paths(spark, tmp_path):
+    """ADVICE r4: resume correctness must hold when input paths contain
+    spaces / '+' / non-ASCII — the manifest records `df.inputFiles()` while
+    the probe uses `input_file_name()`, and both sides are canonicalized
+    before the anti-join so no consumed file ever re-matches as new."""
+    src_dir = tmp_path / "in dir+ü"
+    pdf = fixtures.transcripts_pdf(40)
+    b1 = str(src_dir / "batch 1+a")
+    b2 = str(src_dir / "batch 2+b")
+    spark.createDataFrame(pdf[:20]).write.parquet(b1)
+    spark.createDataFrame(pdf[20:]).write.parquet(b2)
+
+    table = ManifestTable(str(tmp_path / "out"))
+    first = spark.read.parquet(b1)
+    table.commit(first, inputs=list_input_files(first))
+
+    both = spark.read.parquet(b1, b2)
+    fresh = table.filter_new_inputs(both)
+    assert fresh.count() == 20  # batch1 filtered, batch2 fresh
+    table.commit(fresh, inputs=list_input_files(both))
+    assert table.filter_new_inputs(both).count() == 0

@@ -456,3 +456,42 @@ def test_spaced_month_locales_parse():
     en = TimestampNormalizer(locale="en", now="2026-08-16T00:00:00Z")
     with _pytest.raises(InvalidTimestamp):
         en.normalize("thg 1 12 2020 10:00:00 Z")
+
+
+def test_epoch_iso_fast_path_differential():
+    """The integer-epoch ISO fast path (divmod rendering, no Decimal/pandas)
+    must be bit-identical to the general normalize() rendering, including the
+    out-of-range error text at the int64-ns boundary."""
+    import random
+
+    from cefspark.timestamps import InvalidTimestamp, TimestampNormalizer
+
+    n = TimestampNormalizer(now="2026-08-15T00:00:00Z")
+    rng = random.Random(0xCEF)
+    cases = [str(rng.randint(1, 9_223_372_036_854)) for _ in range(2000)]
+    cases += ["1", "999", "9223372036854", "86400000", "31535999999"]
+    for c in cases:
+        t = n.normalize(c)
+        ns = t.microsecond * 1000 + t.nanosecond
+        ref = f"{t.strftime('%Y-%m-%dT%H:%M:%S')}.{ns:09d}Z"
+        assert n.normalize_iso(c) == ref, c
+    # one past the largest representable epoch-millis: the fast path must
+    # defer to the general path's canonical error, not silently wrap
+    with pytest.raises(InvalidTimestamp, match="out of representable range"):
+        n.normalize_iso("9223372036855")
+    # fractional values bypass the fast path but stay exact
+    assert n.normalize_iso("1700000000000.123456") == \
+        "2023-11-14T22:13:20.000123456Z"
+
+
+def test_zzz_gmt_utc_resolve_to_utc_directly():
+    """ADVICE r4: when the locale table maps an abbreviation to GMT/UTC the
+    resolver must return UTC from the TARGET, not re-parse the original
+    abbreviation (which only worked while GMT->GMT mapped onto itself)."""
+    import datetime as dt
+
+    from cefspark.timestamps import _zone_of
+
+    for abbrev in ("GMT", "UTC"):
+        z = _zone_of(abbrev, allow_names=True, locale="en")
+        assert z.utcoffset(None) == dt.timedelta(0)
