@@ -1119,7 +1119,17 @@ def q_multimodal_features(spark, sf_dir):
         "asset_id", "kind", F.lit("gif_px").alias("variant"),
         F.col("block_idx").cast("long").alias("block_idx"),
         F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
-    return fake_rows.unionByName(wav).unionByName(bmp).unionByName(gif)
+    # png_px: REAL PNG decode (zlib inflate + all-5-filter reversal + Adam7
+    # deinterlace) — the oracle restates the PRE-ENCODE gradient, so a match
+    # proves the decoder exactly inverted deflate, the scanline predictors
+    # (incl. Paeth), and the interlace scatter.
+    png = multimodal.extract_block_stats(
+        multimodal.synthesize_png_assets(spark, n=160)).select(
+        "asset_id", "kind", F.lit("png_px").alias("variant"),
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
+    return (fake_rows.unionByName(wav).unionByName(bmp).unionByName(gif)
+            .unionByName(png))
 
 
 # np.array_split block index for position j of L items in 16 blocks:
@@ -1180,6 +1190,24 @@ FROM (
          {_BLOCK_IDX_SQL.format(j='(off + p)', L='L')} AS b
   FROM fr2 CROSS JOIN generate_series(0, 69) s(p) WHERE p < sz
 ) v GROUP BY asset_id, b
+UNION ALL
+SELECT asset_id, 'image' AS kind, 'png_px' AS variant,
+       CAST(b AS BIGINT) AS block_idx,
+       CAST(SUM(val) AS BIGINT) AS m1, CAST(COUNT(*) AS BIGINT) AS m2
+FROM (
+  SELECT printf('png-%06d', i) AS asset_id,
+         ((p % (w * ch)) // ch * 7 + (p // (w * ch)) * 13 + (p % ch) * 5) % 256 AS val,
+         {_BLOCK_IDX_SQL.format(j='p', L='L')} AS b
+  FROM (SELECT i, 5 + i % 11 AS w,
+               CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+                    WHEN 2 THEN 2 ELSE 4 END AS ch,
+               (5 + i % 11) * (4 + i % 7)
+                 * CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+                        WHEN 2 THEN 2 ELSE 4 END AS L
+        FROM generate_series(0, 159) t(i)) a
+  CROSS JOIN generate_series(0, 599) s(p)
+  WHERE p < L
+) q GROUP BY asset_id, b
 """
 
 
@@ -1264,7 +1292,15 @@ def q_multimodal_codec_meta(spark, sf_dir):
         F.col("height").cast("long").alias("m2"),
         F.col("bits_per_pixel").cast("long").alias("m3"),
         F.col("n_pixel_bytes").cast("long").alias("m4"))
-    return wav.unionByName(bmp)
+    # png: chunk walk + CRC verification recover IHDR geometry/color/interlace
+    png = multimodal.extract_png_meta(
+        multimodal.synthesize_png_assets(spark, n=160)).select(
+        "asset_id", F.lit("png").alias("codec"),
+        F.col("width").cast("long").alias("m1"),
+        F.col("height").cast("long").alias("m2"),
+        F.col("channels").cast("long").alias("m3"),
+        F.col("interlace").cast("long").alias("m4"))
+    return wav.unionByName(bmp).unionByName(png)
 
 
 O_MULTIMODAL_CODEC_META = """
@@ -1281,6 +1317,14 @@ SELECT printf('img-%06d', i) AS asset_id, 'bmp' AS codec,
        CAST(24 AS BIGINT) AS m3,
        CAST((((4 + i % 9) * 3 + 3) // 4 * 4) * (3 + i % 5) AS BIGINT) AS m4
 FROM generate_series(0, 199) t(i)
+UNION ALL
+SELECT printf('png-%06d', i) AS asset_id, 'png' AS codec,
+       CAST(5 + i % 11 AS BIGINT) AS m1,
+       CAST(4 + i % 7 AS BIGINT) AS m2,
+       CAST(CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+                 WHEN 2 THEN 2 ELSE 4 END AS BIGINT) AS m3,
+       CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS m4
+FROM generate_series(0, 159) t(i)
 """
 
 
