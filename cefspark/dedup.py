@@ -317,3 +317,34 @@ def hamming_pairs(sim: DataFrame, id_col: str = "doc_id", max_dist: int = 6) -> 
     dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cands.withColumn("hamming", dist)
             .where(F.col("hamming") <= max_dist).select("a", "b", "hamming"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8, hashed: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    n-token word shingle with an evaluation/benchmark corpus — the standard
+    guard against eval leakage before a corpus becomes training data
+    (n=8..13 in published pipelines; the gate exercises n=3 where the
+    synthetic corpus actually overlaps). Returns (id, n_hits): one row per
+    contaminated doc with its count of distinct leaked shingles.
+
+    Scale: the benchmark side is an eval suite — small by construction — so
+    its distinct shingles BROADCAST and the training side never shuffles its
+    shingle volume: explode -> broadcast hash join -> per-doc count, where
+    the count aggregation only carries the (rare) matching rows.
+    ``hashed=True`` joins on xxhash64(shingle) instead of the string —
+    8-byte keys instead of ~50-byte strings in the broadcast and the probe
+    (a false positive needs a 64-bit collision AND would only add one
+    flagged doc; pass hashed=False for exact-string auditing)."""
+    d = word_shingles(docs, text_col, id_col, n)
+    b = word_shingles(benchmark, text_col, id_col, n).select("shingle")
+    if hashed:
+        d = d.select(id_col, F.xxhash64("shingle").alias("_k"))
+        b = b.select(F.xxhash64("shingle").alias("_k"))
+    else:
+        d = d.select(id_col, F.col("shingle").alias("_k"))
+        b = b.select(F.col("shingle").alias("_k"))
+    return (d.join(F.broadcast(b.distinct()), "_k")
+            .groupBy(id_col)
+            .agg(F.count_distinct("_k").alias("n_hits")))

@@ -1887,7 +1887,7 @@ FROM documents
 
 
 def q_text_vocab(spark, sf_dir):
-    """Corpus-level term statistics, two merged variants:
+    """Corpus-level term statistics, three merged variants:
 
     - ``vocab``: corpus vocabulary size — explode tokens -> distinct count
       (map-side partial distinct; shuffle volume O(unique tokens), not
@@ -1895,7 +1895,13 @@ def q_text_vocab(spark, sf_dir):
     - ``tfidf``: per-document top-3 TF-IDF terms
       (cefspark.textops.tfidf_topk — smoothed ln idf; ranked by the score
       with the integer (tf DESC, df ASC, term ASC) triple breaking exact
-      ties deterministically on both engines)."""
+      ties deterministically on both engines).
+    - ``contam``: benchmark decontamination (cefspark.dedup.decontaminate)
+      — training docs (doc_id % 97 != 0) sharing any 3-token shingle with
+      the benchmark slice (doc_id % 97 == 0), with distinct-leaked-shingle
+      counts; exercised on the hashed (xxhash64-key) scale path while the
+      oracle computes exact string-shingle intersection, so a match also
+      differentially validates the hashed join against the exact one."""
     docs = _documents(spark, sf_dir)
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
@@ -1905,7 +1911,12 @@ def q_text_vocab(spark, sf_dir):
     tfidf = textops.tfidf_topk(docs, k=3).select(
         F.lit("tfidf").alias("variant"), F.col("doc_id"),
         F.col("term"), F.col("tfidf").alias("val"))
-    return vocab.unionByName(tfidf)
+    contam = dedup.decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0), n=3).select(
+        F.lit("contam").alias("variant"), F.col("doc_id"),
+        F.lit("").alias("term"), F.col("n_hits").cast("double").alias("val"))
+    return vocab.unionByName(tfidf).unionByName(contam)
 
 
 O_TEXT_VOCAB = r"""
@@ -1932,17 +1943,59 @@ FROM (
   CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) n
 ) ranked
 WHERE rn <= 3
+UNION ALL
+SELECT 'contam' AS variant, sh.doc_id, '' AS term,
+       CAST(COUNT(DISTINCT sh.s) AS DOUBLE) AS val
+FROM (SELECT DISTINCT doc_id, array_to_string(t[j:j+2], ' ') AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents) toks,
+           LATERAL unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(j)) sh
+JOIN (SELECT DISTINCT array_to_string(t[j:j+2], ' ') AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE doc_id % 97 = 0) toks,
+           LATERAL unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(j)) bench
+  USING (s)
+WHERE sh.doc_id % 97 <> 0
+GROUP BY sh.doc_id
 """
 
 
 def q_text_fingerprint(spark, sf_dir):
-    return textops.fingerprint(_documents(spark, sf_dir))
+    """Document fingerprints + PII redaction, two merged variants:
+
+    - ``fp``: exact and whitespace-normalized md5 fingerprints of the
+      documents table (as before).
+    - ``pii``: cefspark.redact — emails/cards/IPv4/phones masked by a
+      JVM-side regexp_replace chain over the closed-form PII fixture.
+      h1 = md5(redacted text), h2 = the per-class match counts. The oracle
+      does NOT re-run the regexes: it constructs the EXPECTED redacted
+      string from the fixture's closed form, so a hash match proves the
+      patterns found exactly the planted PII (and none of the planted
+      near-miss distractors) in the pinned class order."""
+    from . import redact
+
+    fp = textops.fingerprint(_documents(spark, sf_dir)).select(
+        "doc_id", F.lit("fp").alias("variant"),
+        F.col("fp_md5").alias("h1"), F.col("fp_norm_md5").alias("h2"))
+    red = redact.pii_redact(redact.pii_docs(spark, 400))
+    pii = red.select(
+        "doc_id", F.lit("pii").alias("variant"),
+        F.md5(F.col("text_redacted")).alias("h1"),
+        F.concat_ws("/", F.col("n_email"), F.col("n_card"),
+                    F.col("n_ipv4"), F.col("n_phone")).alias("h2"))
+    return fp.unionByName(pii)
 
 
 O_TEXT_FINGERPRINT = """
-SELECT doc_id, md5(text) AS fp_md5,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_norm_md5
+SELECT doc_id, 'fp' AS variant, md5(text) AS h1,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h2
 FROM documents
+UNION ALL
+SELECT i AS doc_id, 'pii' AS variant,
+       md5('contact <EMAIL> or v1.2.3 build card <CARD> host <IP>'
+           || ' call <PHONE> not-pii: a@b 123456789012345 ver 10.20') AS h1,
+       '1/1/1/1' AS h2
+FROM generate_series(0, 399) t(i)
 """
 
 

@@ -1,0 +1,100 @@
+"""PII redaction for log/transcript text: detect + mask emails, IPv4
+addresses, credit-card numbers, and E.164-ish phone numbers.
+
+A log pipeline that fans transcripts out to per-sink tables (the north-star
+shape) routinely has to scrub PII before the sinks become training data —
+this is the redaction stage, expressed entirely as JVM-side
+``regexp_replace`` / ``regexp_count`` column chains (whole-stage codegen, no
+Python in the hot path, no shuffle: a narrow projection that composes with
+any downstream write).
+
+Pattern-ordering contract: classes apply in PII_CLASSES order (email before
+card before IPv4 before phone) and each replacement token contains no
+character that a later pattern could re-match (tokens are ``<UPPER>`` with
+no digits/dots/@), so the chain is confluent — rewriting is
+order-insensitive for disjoint matches and deterministic for overlaps.
+
+Scale: O(bytes) per row, trivially partition-parallel; the regexes are
+backtracking-safe (character classes + bounded quantifiers only — no nested
+unbounded groups), so a hostile 10 MB line costs linear time, the same
+property the CEF tokenizer's possessive grammar guarantees (parser.py).
+
+Reference scope note: the reference codec (cef.rb) has no redaction stage —
+this operator belongs to the training-data-pipeline family the engine adds
+on top (SURVEY.md §2 extras), like dedup/langid/quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ordered (class_name, pattern, replacement). Patterns are deliberately in
+#: the regex subset with identical semantics in java.util.regex (Spark) and
+#: RE2 (DuckDB/Go) — character classes, bounded repetition, \b anchors —
+#: so oracles can restate them verbatim if they choose to.
+PII_CLASSES: list[tuple[str, str, str]] = [
+    ("email",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    # 16-digit cards in 4-4-4-4 groups (uniform separator) or unbroken;
+    # must run before IPv4 so dotted-quad fragments inside a card never
+    # match first (cards don't contain dots, but ordering is pinned anyway)
+    ("card",
+     r"\b\d{4}([- ])\d{4}\1\d{4}\1\d{4}\b|\b\d{16}\b",
+     "<CARD>"),
+    ("ipv4",
+     r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+     "<IP>"),
+    # +country-code phones: +1-555-0100 style with -, space or . separators
+    ("phone",
+     r"\+\d{1,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{1,4})?\b",
+     "<PHONE>"),
+]
+
+
+def redact_text(col: Column) -> Column:
+    """The redacted text: every PII class replaced by its token, applied in
+    PII_CLASSES order in one JVM expression chain."""
+    out = col
+    for _, pattern, token in PII_CLASSES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count(col: Column, class_name: str) -> Column:
+    """Match count for one PII class (pre-redaction text)."""
+    for name, pattern, _ in PII_CLASSES:
+        if name == class_name:
+            return F.regexp_count(col, F.lit(pattern))
+    raise ValueError(f"unknown PII class {class_name!r}")
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               keep_counts: bool = True) -> DataFrame:
+    """Add ``<text_col>_redacted`` plus per-class ``n_<class>`` match counts
+    (``keep_counts=False`` skips the counting passes when only the scrubbed
+    text is needed — one regex pass per class instead of two)."""
+    out = df.withColumn(f"{text_col}_redacted", redact_text(F.col(text_col)))
+    if keep_counts:
+        for name, _, _ in PII_CLASSES:
+            out = out.withColumn(f"n_{name}",
+                                 pii_count(F.col(text_col), name).cast("int"))
+    return out
+
+
+def pii_docs(spark, n: int) -> DataFrame:
+    """Deterministic PII fixture: doc i's text plants one email, one spaced
+    card, one IPv4, and one phone derived from i, interleaved with near-miss
+    distractors no class may match (version strings that look like dotted
+    numbers, an @ with no TLD, a 15-digit run). Built as pure column
+    expressions — the closed form is restatable in SQL for the oracle."""
+    i = F.col("id")
+    text = F.concat(
+        F.lit("contact user"), i, F.lit("@example.com or v1.2.3 build "),
+        F.lit("card 4111 1111 1111 "), F.lpad((1000 + i % 9000).cast("string"), 4, "0"),
+        F.lit(" host 10."), (i % 200).cast("string"), F.lit(".0."),
+        (i % 250).cast("string"),
+        F.lit(" call +1-555-01"), F.lpad((i % 100).cast("string"), 2, "0"),
+        F.lit(" not-pii: a@b 123456789012345 ver 10.20"))
+    return spark.range(n).select(i.alias("doc_id"), text.alias("text"))

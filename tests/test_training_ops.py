@@ -440,3 +440,60 @@ def test_hll_sketch_accuracy_and_mergeability(spark):
     # native HLL++ scalar helper agrees with exact within rsd ballpark
     approx = sketches.approx_distinct(keyed, "v", rsd=0.02)
     assert abs(approx - n_global) / n_global < 0.06
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    """Every PII class masks to its token, near-miss distractors pass
+    through, and per-class counts match; a clean text is untouched."""
+    from cefspark import redact
+
+    df = redact.pii_redact(redact.pii_docs(spark, 5))
+    for r in df.collect():
+        t = r["text_redacted"]
+        assert "<EMAIL>" in t and "<CARD>" in t and "<IP>" in t and "<PHONE>" in t
+        assert "@example.com" not in t and "4111" not in t
+        # distractors survive: version string, TLD-less @, 15-digit run
+        assert "v1.2.3" in t and "a@b" in t and "123456789012345" in t
+        assert "ver 10.20" in t
+        assert (r["n_email"], r["n_card"], r["n_ipv4"], r["n_phone"]) == (1, 1, 1, 1)
+
+    clean = spark.createDataFrame([(1, "no pii here at all 1.2 x")],
+                                  "doc_id long, text string")
+    row = redact.pii_redact(clean).first()
+    assert row["text_redacted"] == row["text"]
+    assert row["n_email"] == row["n_card"] == row["n_ipv4"] == row["n_phone"] == 0
+    # dashed card + unbroken 16-digit form both mask; mixed separators don't
+    forms = spark.createDataFrame(
+        [(1, "4111-1111-1111-1234"), (2, "4111111111111234"),
+         (3, "4111-1111 1111-1234")], "doc_id long, text string")
+    got = {r["doc_id"]: r["text_redacted"]
+           for r in redact.pii_redact(forms).collect()}
+    assert got[1] == "<CARD>" and got[2] == "<CARD>"
+    assert "<CARD>" not in got[3]
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    """Docs sharing an n-token shingle with the benchmark are flagged with
+    the distinct-leak count; clean docs are absent; hashed and exact-string
+    paths agree."""
+    from cefspark import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different sentence with no overlap at all"),
+         (3, "quick brown fox appears here and lazy dog sleeps too")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox ran"), (101, "very lazy dog sleeps")],
+        "doc_id long, text string")
+    for hashed in (True, False):
+        got = {r["doc_id"]: r["n_hits"]
+               for r in dedup.decontaminate(docs, bench, n=3,
+                                            hashed=hashed).collect()}
+        # doc1: 'the quick brown'+'quick brown fox'; doc3: 'quick brown fox'
+        # +'lazy dog sleeps'; doc2 clean
+        assert got == {1: 2, 3: 2}, (hashed, got)
+    # a doc shorter than n tokens shares only its full text
+    short = spark.createDataFrame([(7, "tiny doc")], "doc_id long, text string")
+    bshort = spark.createDataFrame([(8, "tiny doc")], "doc_id long, text string")
+    assert dedup.decontaminate(short, bshort, n=5).collect()[0]["n_hits"] == 1
