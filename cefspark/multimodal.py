@@ -738,6 +738,8 @@ def parse_png(payload: bytes) -> dict:
         if n_chunks == 1 and ctype != b"IHDR":
             raise ValueError("first chunk is not IHDR")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"IHDR length {length} != 13")
             w, h, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data)
             if comp != 0 or filt != 0:

@@ -14,6 +14,7 @@ both sides to avoid tz-representation drift.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,12 +40,28 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     The check is LISTING-based (`df.inputFiles()` reads the scan's file
     index — plan metadata, no job): the old `df.rdd.getNumPartitions()`
     forced a driver-side plan-to-RDD conversion on every registry call
-    (VERDICT r4 nit #3). A table with >= parallelism files never needs the
-    fan-out; the fixture tables are 1 file each, so the branch fires there.
+    (VERDICT r4 nit #3). Guards against misfiring outside the fixture
+    shape: a few LARGE parquet files are splittable (Spark already fans
+    them out by byte range), so the fan-out only triggers when the listed
+    files are few AND small (< ~32 MB total — the one-row-group fixture
+    profile); non-file-backed frames (empty listing) are left alone.
     """
     par = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < par:
-        df = df.repartition(par)
+    files = df.inputFiles()
+    if 0 < len(files) < par:
+        total = 0
+        for f in files:
+            if f.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                try:
+                    total += os.path.getsize(unquote(urlparse(f).path))
+                except OSError:
+                    return df  # listing went stale; don't guess
+            else:
+                return df  # remote FS: assume production-sized, splittable
+        if total < 32 * 1024 * 1024:
+            df = df.repartition(par)
     return df
 
 

@@ -37,11 +37,12 @@ PII_CLASSES: list[tuple[str, str, str]] = [
     ("email",
      r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
-    # 16-digit cards in 4-4-4-4 groups (uniform separator) or unbroken;
+    # 16-digit cards in 4-4-4-4 groups (uniform separator, expanded per
+    # separator so no backreference is needed — RE2 has none) or unbroken;
     # must run before IPv4 so dotted-quad fragments inside a card never
     # match first (cards don't contain dots, but ordering is pinned anyway)
     ("card",
-     r"\b\d{4}([- ])\d{4}\1\d{4}\1\d{4}\b|\b\d{16}\b",
+     r"\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{4} \d{4} \d{4} \d{4}\b|\b\d{16}\b",
      "<CARD>"),
     ("ipv4",
      r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",

@@ -126,11 +126,13 @@ class ManifestTable:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > self._STALE_LOCK_SECONDS:
-                        os.unlink(lock)  # crashed holder; next loop re-races
-                        continue
+                    stale = (time.time() - os.path.getmtime(lock)
+                             > self._STALE_LOCK_SECONDS)
                 except FileNotFoundError:
                     continue  # holder released between open and stat
+                if stale:
+                    self._break_stale_lock(lock)
+                    continue
                 if time.monotonic() >= deadline:
                     raise ConcurrentCommitError(
                         f"could not acquire {lock} within {timeout}s; "
@@ -143,6 +145,40 @@ class ManifestTable:
         finally:
             try:
                 os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _break_stale_lock(self, lock: str) -> None:
+        """Remove a crashed committer's lockfile without the unlink-by-path
+        TOCTOU (a racer that statted the old lock must never delete a FRESH
+        lock another committer just created). Breaking is serialized through
+        an exclusive BREAKER lock, and the staleness check is REDONE while
+        holding it: a fresh commit lock can only come into existence after
+        the stale one is removed (O_EXCL on the same path), so under the
+        breaker a re-stat that still reads stale is decisive — nobody else
+        can remove-and-replace the path while this breaker holds exclusivity.
+        A breaker abandoned by a crash (held for microseconds normally) is
+        itself age-broken."""
+        breaker = lock + ".breaker"
+        try:
+            bfd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(breaker) > 5.0:
+                    os.unlink(breaker)  # abandoned breaker (microsecond hold)
+            except FileNotFoundError:
+                pass
+            return  # someone else is breaking; go back to the acquire loop
+        try:
+            os.close(bfd)
+            try:
+                if time.time() - os.path.getmtime(lock) > self._STALE_LOCK_SECONDS:
+                    os.unlink(lock)
+            except FileNotFoundError:
+                pass  # released naturally in the meantime
+        finally:
+            try:
+                os.unlink(breaker)
             except FileNotFoundError:
                 pass
 
@@ -414,8 +450,12 @@ def _norm_file_uri(col):
     would silently re-match consumed files as 'new' and duplicate rows on
     resume. Percent-decoding BOTH sides makes any encoding difference
     converge. `+` is pre-escaped because java's URLDecoder (behind
-    `url_decode`) would turn a literal `+` into a space."""
-    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+    `url_decode`) would turn a literal `+` into a space, and the decode is
+    TRY-form with a raw fallback so a path containing a literal `%` (an
+    invalid escape when rendered unencoded) degrades to byte comparison
+    instead of failing the whole resume query."""
+    esc = F.regexp_replace(col, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(esc), col)
 
 
 def list_input_files(df: DataFrame) -> list[str]:
@@ -448,15 +488,11 @@ TABLE_CONTRACT = {
 
 def detect_table_format(spark: Optional[SparkSession] = None) -> str:
     """Probe which table-format runtime this Spark deployment actually
-    carries: 'delta' (delta-spark package + jar), 'iceberg'
+    carries: 'delta' (Delta jar/extension on the session), 'iceberg'
     (iceberg-spark-runtime jar on the session), else 'manifest' — the
     plain-parquet ManifestTable this module ships. In this sandbox no
     catalog jar is installed, so the probe returns 'manifest'; on a
     production cluster the same call routes to the real format."""
-    import importlib.util
-
-    if importlib.util.find_spec("delta") is not None:
-        return "delta"
     if spark is not None:
         try:
             jars = spark.sparkContext._jsc.sc().listJars().mkString(",")
@@ -465,6 +501,9 @@ def detect_table_format(spark: Optional[SparkSession] = None) -> str:
         conf = spark.conf.get("spark.sql.extensions", "") or ""
         if "iceberg" in jars.lower() or "IcebergSparkSessionExtensions" in conf:
             return "iceberg"
+        # a delta PYTHON package alone is not evidence (pip-installed
+        # delta-spark with a plain session would wrongly shadow the working
+        # ManifestTable) — require the session to actually carry the runtime
         if "io.delta" in jars.lower() or "DeltaSparkSessionExtension" in conf:
             return "delta"
     return "manifest"
