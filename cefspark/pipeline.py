@@ -145,6 +145,29 @@ def _window_seconds(window: str) -> int:
     return int(parts[0]) * unit
 
 
+def detect_rate_spikes(counts: DataFrame, factor: int = 2) -> DataFrame:
+    """Per-sink rate-anomaly detection over the windowed counts relation:
+    flag windows whose event count exceeds ``factor`` × the sink's own
+    median window count — the standard volume-spike alert a log pipeline
+    hangs off its aggregate stream (a hot vendor, a log loop, an attack).
+
+    The baseline is ``percentile_disc(0.5)`` — an actually-observed integer
+    count, so the spike predicate is pure integer arithmetic (exact on any
+    engine, no float tolerance) and robust to the spikes it is hunting
+    (median, not mean). NULL-timestamp windows participate like any other
+    (sink_counts deliberately preserves them).
+
+    Scale: runs on the COUNTS relation, never the raw events — per-sink
+    medians aggregate O(sinks × windows) rows and broadcast back; the only
+    shuffle is over that already-aggregated relation."""
+    med = counts.groupBy("sink_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .alias("median_n"))
+    return (counts.join(F.broadcast(med), "sink_id")
+            .where(F.col("n_events") > F.lit(factor) * F.col("median_n"))
+            .select("sink_id", "window_start", "n_events", "median_n"))
+
+
 def sink_counts(routed: DataFrame, ts_col: str = "ts",
                 window: str = "1 hour") -> DataFrame:
     """Per-sink event counts in epoch-aligned tumbling windows (partial+final

@@ -1409,20 +1409,45 @@ GROUP BY ROLLUP (v, b)
 
 
 def q_cef_window_counts(spark, sf_dir):
-    """Per-sink counts windowed by ts (1 hour) — the north-rule aggregate."""
+    """The north-rule aggregate + its alerting consumer, two merged variants:
+
+    - ``counts``: per-sink counts windowed by ts (1 hour), as before.
+    - ``spike``: pipeline.detect_rate_spikes over those counts — windows
+      exceeding 2× the sink's own median window count (percentile_disc:
+      an observed integer, so the predicate is exact integer arithmetic;
+      the flagged-window set transitively pins the median computation).
+
+    Both variants hang off the same counts subtree WITHOUT checkpointing:
+    the counts aggregate ends in an Exchange, and AQE's runtime stage reuse
+    deduplicates the identical shuffle across the union branches, so the
+    decode runs once (measured: union == counts-only wall time; a
+    localCheckpoint here cost +0.4 s of materialization for nothing)."""
     routed = _routed(spark, sf_dir)
-    return (pipeline.sink_counts(routed, ts_col="ts", window="1 hour")
-            .select("sink_id",
-                    F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
-                    "n_events"))
+    counts = pipeline.sink_counts(routed, ts_col="ts", window="1 hour")
+    base = counts.select(
+        F.lit("counts").alias("variant"), "sink_id",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "n_events")
+    spike = pipeline.detect_rate_spikes(counts, factor=2).select(
+        F.lit("spike").alias("variant"), "sink_id",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "n_events")
+    return base.unionByName(spike)
 
 
 O_CEF_WINDOW_COUNTS = f"""
-SELECT CASE WHEN event_id % 13 = 0 THEN '_cefparsefailure'
-            ELSE {_VENDOR_SQL} || '/' || {_BAND_SQL} END AS sink_id,
-       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
-       COUNT(*) AS n_events
-FROM events GROUP BY 1, 2
+WITH c AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN '_cefparsefailure'
+              ELSE {_VENDOR_SQL} || '/' || {_BAND_SQL} END AS sink_id,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT 'counts' AS variant, sink_id, window_start_s, n_events FROM c
+UNION ALL
+SELECT 'spike' AS variant, sink_id, window_start_s, n_events
+FROM c JOIN (SELECT sink_id, quantile_disc(n_events, 0.5) AS med
+             FROM c GROUP BY 1) m USING (sink_id)
+WHERE n_events > 2 * med
 """
 
 

@@ -562,3 +562,29 @@ def test_table_format_probe_and_factory(spark, tmp_path):
     for seam in storage.TABLE_CONTRACT:
         for meth in seam.split("/"):
             assert hasattr(t, meth), seam
+
+
+def test_detect_rate_spikes_integer_median_predicate(spark):
+    """Spike windows are exactly those exceeding factor x the sink's median
+    count (percentile_disc: an observed integer); sinks whose counts are
+    flat never alert."""
+    rows = []
+    for w in range(10):
+        rows.append(("steady", w, 5))          # flat sink: never alerts
+    for w in range(9):
+        rows.append(("bursty", w, 2))
+    rows.append(("bursty", 9, 7))              # 7 > 2*2 -> alert
+    df = spark.createDataFrame(
+        [(s, f"2026-01-01 {w:02d}:00:00", n) for s, w, n in rows],
+        "sink_id string, window_start string, n_events long")
+    df = df.withColumn("window_start", F.col("window_start").cast("timestamp"))
+    got = pipeline.detect_rate_spikes(df, factor=2).collect()
+    assert [(r["sink_id"], r["n_events"], r["median_n"]) for r in got] == \
+        [("bursty", 7, 2)]
+    # boundary: exactly factor x median does NOT alert
+    edge = spark.createDataFrame(
+        [("s", "2026-01-01 00:00:00", 2), ("s", "2026-01-01 01:00:00", 4)],
+        "sink_id string, window_start string, n_events long")
+    edge = edge.withColumn("window_start", F.col("window_start").cast("timestamp"))
+    # median of {2,4} by percentile_disc(0.5) is 2; 4 == 2*2 -> no alert
+    assert pipeline.detect_rate_spikes(edge, factor=2).count() == 0
