@@ -663,19 +663,26 @@ def _png_gradient(width: int, height: int, channels: int) -> np.ndarray:
 
 
 def build_png(width: int, height: int, color_type: int = 2,
-              interlace: int = 0, filter_mode: str = "cycle") -> bytes:
+              interlace: int = 0, filter_mode: str = "cycle",
+              pixels: "np.ndarray | None" = None) -> bytes:
     """Serialize a real PNG (8-bit; grayscale/RGB/gray+alpha/RGBA) of the
-    deterministic gradient. ``filter_mode='cycle'`` rotates through all five
-    scanline filters (row y uses filter y % 5) so decoders must implement
-    every predictor; ``interlace=1`` writes a genuine Adam7 stream (each pass
-    filtered independently). Readable by any PNG reader."""
+    deterministic gradient, or of ``pixels`` (a (height, width, channels)
+    uint8 array) when given. ``filter_mode='cycle'`` rotates through all
+    five scanline filters (row y uses filter y % 5) so decoders must
+    implement every predictor; ``interlace=1`` writes a genuine Adam7
+    stream (each pass filtered independently). Readable by any PNG reader."""
     import struct
     import zlib
 
     if color_type not in (0, 2, 4, 6):
         raise ValueError(f"builder does not emit color type {color_type}")
     ch = _PNG_CHANNELS[color_type]
-    px = _png_gradient(width, height, ch)
+    if pixels is None:
+        px = _png_gradient(width, height, ch)
+    else:
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.shape != (height, width, ch):
+            raise ValueError(f"pixels shape {px.shape} != {(height, width, ch)}")
 
     def scanlines(img: np.ndarray) -> bytes:
         h, w = img.shape[0], img.shape[1]

@@ -59,3 +59,30 @@ def test_gif_build_decode_roundtrip(width, height, n_frames, comment,
         assert px.shape == (fh, fw)
         want = np.fromfunction(lambda y, x: (x + y + f) % 4, (fh, fw))
         assert np.array_equal(px, want)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    ct=st.sampled_from([0, 2, 4, 6]),
+    il=st.sampled_from([0, 1]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_roundtrip_random_pixels(w, h, ct, il, seed):
+    """PNG encode->decode is the identity for ARBITRARY pixel content (not
+    just the gradient fixture) across every color type, interlace mode, and
+    all five cycled scanline filters — random bytes are the worst case for
+    the predictors (no spatial correlation to hide an off-by-one)."""
+    import numpy as np
+
+    from cefspark import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    ch = mm._PNG_CHANNELS[ct]
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    blob = mm.build_png(w, h, color_type=ct, interlace=il, pixels=px)
+    meta = mm.parse_png(blob)
+    assert (meta["width"], meta["height"], meta["interlace"]) == (w, h, il)
+    out = mm.decode_png_pixels(blob)
+    assert out.shape == px.shape and (out == px).all()
