@@ -162,7 +162,7 @@ def detect_rate_spikes(counts: DataFrame, factor: int = 2) -> DataFrame:
     shuffle is over that already-aggregated relation."""
     med = counts.groupBy("sink_id").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
-        .alias("median_n"))
+        .cast("long").alias("median_n"))  # disc of longs IS a long; Spark types it double
     return (counts.join(F.broadcast(med), "sink_id")
             .where(F.col("n_events") > F.lit(factor) * F.col("median_n"))
             .select("sink_id", "window_start", "n_events", "median_n"))

@@ -217,6 +217,38 @@ def session_window_counts(events: DataFrame, key_col: str = "user_id",
                     F.col("w.end").alias("session_end"), "n_events"))
 
 
+def spike_alerts(counts_stream: DataFrame, baseline: DataFrame,
+                 factor: int = 2) -> DataFrame:
+    """Streaming rate-anomaly alerts: the streaming counterpart of
+    :func:`cefspark.pipeline.detect_rate_spikes`. ``counts_stream`` is the
+    windowed per-sink counts stream (windowed_sink_counts); ``baseline`` is
+    a STATIC relation of per-sink median window counts computed from
+    history (e.g. ``detect_rate_spikes``'s median aggregate over yesterday's
+    counts table) — the production alerting shape, where the baseline is a
+    slowly-refreshed table rather than stream state.
+
+    Stateless stream-static inner join (baseline broadcasts per
+    micro-batch; one row per sink, so each count row matches at most once)
+    + an exact integer predicate — no watermark, no state store,
+    append-safe. Batch parity is pinned in pytest: draining the counts
+    through this alert == detect_rate_spikes on the same batch counts when
+    the baseline is that batch's own medians."""
+    reserved = {"__bl_sink", "__bl_median"}
+    for side, cols in (("stream", counts_stream.columns),
+                       ("baseline", baseline.columns)):
+        hit = reserved & set(cols)
+        if hit:
+            raise ValueError(f"{side} columns collide with reserved "
+                             f"spike_alerts sentinels: {sorted(hit)}")
+    bl = baseline.select(F.col("sink_id").alias("__bl_sink"),
+                         F.col("median_n").alias("__bl_median"))
+    return (counts_stream
+            .join(bl, counts_stream["sink_id"] == bl["__bl_sink"], "inner")
+            .where(F.col("n_events") > F.lit(factor) * F.col("__bl_median"))
+            .select("sink_id", "window_start", "n_events",
+                    F.col("__bl_median").alias("median_n")))
+
+
 def asof_enrich(stream: DataFrame, states: DataFrame, key: str,
                 event_ts: str, state_ts: str,
                 value_cols: list[str]) -> DataFrame:

@@ -845,3 +845,60 @@ def test_png_assets_flow_through_feature_and_stats_stages(spark):
         got = feats[f"png-{i:06d}"]
         want = [s / n / 255.0 if n else 0.0 for s, n in exp]
         assert np.allclose(got, want, atol=1e-6)
+
+
+def test_streaming_spike_alerts_match_batch_detector(spark, tmp_path):
+    """Streaming spike alerts (stream-static baseline join) == batch
+    detect_rate_spikes on the same counts when the baseline is that batch's
+    own per-sink medians; sentinel collisions reject loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cefspark import fixtures, pipeline, streaming
+
+    src = str(tmp_path / "spike_in")
+    import pandas as pd
+
+    pdf = fixtures.transcripts_pdf(2000)
+    # the raw fixture packs all turns into one hour (one window per sink ->
+    # median == count, no spike can exist): spread turns across 48 hourly
+    # windows, then replay the first 300 inside one hour as a volume burst
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"] + pd.to_timedelta(pdf.index % 48, unit="h")
+    burst = pdf.iloc[:300].copy()
+    burst["conv_id"] = burst["conv_id"] + "-replay"
+    burst["ts"] = pdf["ts"].iloc[0].floor("h")
+    sdf = spark.createDataFrame(pd.concat([pdf, burst], ignore_index=True))
+    sdf.repartition(4).write.parquet(src)
+
+    batch_counts = pipeline.sink_counts(
+        pipeline.route(pipeline.enrich(pipeline.decode(sdf), spark)))
+    baseline = batch_counts.groupBy("sink_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .alias("median_n"))
+    # append-mode contract: a window only EMITS once the watermark passes
+    # its end, so the final open windows (and null-ts buckets, which
+    # F.window drops) are not expected from the availableNow drain
+    max_ts = sdf.agg(F.max("ts")).first()[0]
+    horizon = max_ts - __import__("datetime").timedelta(minutes=10)
+    exp = {(r["sink_id"], r["window_start"]): (r["n_events"], r["median_n"])
+           for r in pipeline.detect_rate_spikes(batch_counts, factor=2).collect()
+           if r["window_start"] is not None
+           and r["window_start"] + __import__("datetime").timedelta(hours=1) <= horizon}
+    assert exp  # fixture must actually contain spikes
+
+    stream = streaming.read_transcript_stream(spark, src)
+    counts = streaming.windowed_sink_counts(
+        streaming.routed_stream(stream, spark))
+    # windowed_sink_counts names the window column window_start already
+    alerts = streaming.spike_alerts(counts, baseline, factor=2)
+    q = (alerts.writeStream.format("memory").queryName("spikes")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["sink_id"], r["window_start"]): (r["n_events"], r["median_n"])
+           for r in spark.sql("select * from spikes").collect()}
+    assert got == exp
+
+    with _pytest.raises(ValueError, match="reserved"):
+        streaming.spike_alerts(
+            counts.withColumn("__bl_median", F.lit(1)), baseline)

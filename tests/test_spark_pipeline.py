@@ -588,3 +588,23 @@ def test_detect_rate_spikes_integer_median_predicate(spark):
     edge = edge.withColumn("window_start", F.col("window_start").cast("timestamp"))
     # median of {2,4} by percentile_disc(0.5) is 2; 4 == 2*2 -> no alert
     assert pipeline.detect_rate_spikes(edge, factor=2).count() == 0
+
+
+def test_abandoned_breaker_lock_recovers(tmp_path, spark):
+    """A crashed lock-breaker (stale COMMIT.lock AND stale .breaker left
+    behind) must not deadlock the table: the breaker is age-broken, then the
+    stale commit lock, then the commit proceeds."""
+    import os as _os
+
+    table = ManifestTable(str(tmp_path / "t"))
+    old = time.time() - 3600
+    lock = tmp_path / "t" / "COMMIT.lock"
+    lock.write_text("dead 0")
+    _os.utime(lock, (old, old))
+    breaker = tmp_path / "t" / "COMMIT.lock.breaker"
+    breaker.write_text("")
+    _os.utime(breaker, (old, old))
+    df = spark.createDataFrame(fixtures.transcripts_pdf(5))
+    snap = table.commit(df, inputs=[], lock_timeout=30)
+    assert table.latest_snapshot_id() == snap.snapshot_id
+    assert not lock.exists() and not breaker.exists()
