@@ -497,3 +497,30 @@ def test_decontaminate_flags_shared_shingles(spark):
     short = spark.createDataFrame([(7, "tiny doc")], "doc_id long, text string")
     bshort = spark.createDataFrame([(8, "tiny doc")], "doc_id long, text string")
     assert dedup.decontaminate(short, bshort, n=5).collect()[0]["n_hits"] == 1
+
+
+def test_pii_redaction_idempotent_on_hostile_text(spark):
+    """Redaction is idempotent (tokens contain nothing a later pattern can
+    re-match) and total (never crashes) over adversarial text mixing every
+    class, separators, and boundary digits — checked via the same Spark
+    expressions the production path uses."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cefspark import redact
+
+    rng = random.Random(51966)
+    frags = ["a@b.co", "x@y", "1.2.3.4", "10.0.0.255.7", "+44 20 7946 0958",
+             "4111 1111 1111 1111", "41111111111111112", "v2.10.3", "...",
+             "@@", "+-", "user.name+tag@sub.domain.org", "999.999.999.999",
+             " ", "-", "4111-1111 1111-1234", "0" * 20, "+1-555-0100"]
+    rows = [(i, " ".join(rng.choice(frags)
+                         for _ in range(rng.randint(1, 12))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = redact.pii_redact(df, keep_counts=False).select(
+        "doc_id", F.col("text_redacted").alias("text"))
+    twice = redact.pii_redact(once, keep_counts=False)
+    diff = twice.where(F.col("text") != F.col("text_redacted")).count()
+    assert diff == 0
