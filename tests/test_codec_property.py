@@ -86,3 +86,29 @@ def test_png_roundtrip_random_pixels(w, h, ct, il, seed):
     assert (meta["width"], meta["height"], meta["interlace"]) == (w, h, il)
     out = mm.decode_png_pixels(blob)
     assert out.shape == px.shape and (out == px).all()
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_flips=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_corruption_never_escapes_typed_errors(seed, n_flips):
+    """Random byte corruption of a valid PNG must either still decode (the
+    flip landed in a slack byte) or raise ONLY the documented typed errors
+    (ValueError / NotImplementedError) — never struct.error, zlib.error,
+    IndexError, or a numpy crash escaping through the mapInPandas stages."""
+    import numpy as np
+
+    from cefspark import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    blob = bytearray(mm.build_png(6 + seed % 5, 4 + seed % 3,
+                                  color_type=(0, 2, 4, 6)[seed % 4],
+                                  interlace=seed % 2))
+    for _ in range(n_flips):
+        blob[rng.integers(0, len(blob))] ^= int(rng.integers(1, 256))
+    try:
+        mm.decode_png_pixels(bytes(blob))
+    except (ValueError, NotImplementedError):
+        pass  # typed rejection: the contract

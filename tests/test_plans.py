@@ -151,3 +151,43 @@ def test_emb_neardup_registry_plan_is_bucketed(spark):
     plan = plan_of(q_emb_neardup_cosine(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_redaction_stays_whole_stage_codegen(spark):
+    # PII redaction must be pure JVM expression work: no Python eval node,
+    # no shuffle — a narrow projection that composes with any write
+    from cefspark import redact
+
+    df = redact.pii_redact(redact.pii_docs(spark, 50))
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # single whole-stage-codegen span
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the eval-suite shingle side must BROADCAST; the training side's
+    # shingle volume must never sort-merge
+    from cefspark import dedup
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id")).alias("text"))
+    bench = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id")).alias("text"))
+    plan = plan_of(dedup.decontaminate(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rate_spikes_broadcast_median_join(spark):
+    # per-sink medians join back by BROADCAST over the aggregated counts
+    counts = spark.createDataFrame(
+        [("s", "2026-01-01 00:00:00", 5)] * 3,
+        "sink_id string, window_start string, n_events long")
+    counts = counts.withColumn("window_start",
+                               F.col("window_start").cast("timestamp"))
+    plan = plan_of(pipeline.detect_rate_spikes(counts))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
