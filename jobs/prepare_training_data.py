@@ -1,0 +1,138 @@
+"""spark-submit entry point: logs/documents -> clean training corpus.
+
+The engine's product story as ONE batch job — every stage is a gated library
+operator; this file is the composition surface, not new logic:
+
+    1. REDACT    PII masking (email/card/IPv4/phone; JVM regexp chain)
+    2. FILTER    quality floor (composite score + token-count band)
+    3. DEDUP     exact duplicate collapse (min-id representative)
+    4. DECONTAM  drop docs sharing n-gram shingles with a benchmark corpus
+    5. SPLIT     deterministic train/val/test (engine-exact integer hash)
+    6. WRITE     per-split parquet + a JSON line of per-stage survivor counts
+
+Usage (local example):
+
+    python jobs/package.py                           # builds dist/cefspark.zip
+    spark-submit --master local[32] \
+        --py-files dist/cefspark.zip \
+        jobs/prepare_training_data.py \
+        --input /data/documents --benchmark /data/eval_suite \
+        --out /data/training_corpus --ngram 8
+
+Scale notes (100-TB shape): stages 1-2 are narrow projections fused into one
+scan; stage 3 is the one doc-level shuffle (hash-agg on text, map-side
+partial); stage 4 broadcasts the benchmark shingles (an eval suite is small
+by construction) so the corpus never shuffles its shingle volume; stage 5 is
+a pushable integer-hash predicate (no shuffle, AQE-stable, reproducible
+across engines); the split writes partition by split so a trainer's scan
+prunes to its split. Per-stage counts ride one .count() per materialized
+relation — no collect of data rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="documents parquet path (doc_id, text)")
+    p.add_argument("--benchmark",
+                   help="benchmark/eval parquet path (doc_id, text); default: "
+                        "a held-out slice of the input (doc_id %% 97 == 0)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="fallback: read <sf-dir>/documents.parquet")
+    p.add_argument("--out", help="output base path (default: temp dir)")
+    p.add_argument("--ngram", type=int, default=8,
+                   help="decontamination shingle width (tokens)")
+    p.add_argument("--min-quality", type=float, default=0.05)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--splits", default="train:0.98,val:0.01,test:0.01")
+    p.add_argument("--cpus", type=int, default=0)
+    args = p.parse_args()
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cefspark import dedup, redact, sampling, textops
+    from cefspark.session import get_spark
+
+    cores = args.cpus or (os.cpu_count() or 8)
+    spark = get_spark(app_name="cefspark-prepare-training-data", cores=cores,
+                      shuffle_partitions=cores)
+    src = args.input or os.path.join(args.sf_dir, "documents.parquet")
+    out = args.out or tempfile.mkdtemp(prefix="cefspark_training_")
+    docs = spark.read.parquet(src)
+    t0 = time.time()
+    n_input = docs.count()
+
+    # 1+2. redact then quality-filter in ONE fused narrow pass (the quality
+    # metrics are computed over the REDACTED text — the text that ships)
+    red = redact.pii_redact(docs, keep_counts=False).select(
+        "doc_id", F.col("text_redacted").alias("text"))
+    t = F.col("text")
+    scored = red.select(
+        "doc_id", "text",
+        F.length(t).cast("long").alias("n_chars"),
+        textops.token_count(t),
+        textops.punct_count(t),
+        textops.stopword_hits(t),
+    ).withColumn("quality_score", textops.composite_quality_score())
+    kept = scored.where(
+        (F.col("quality_score") >= args.min_quality)
+        & F.col("n_tokens").between(args.min_tokens, args.max_tokens))
+
+    # 3. exact dedup: min-id representative per distinct text
+    reps = dedup.exact_dedup(kept, ["text"]).select("doc_id")
+    deduped = kept.join(reps, "doc_id")  # doc_id unique both sides
+    dedup_path = os.path.join(out, "_deduped")
+    deduped.write.mode("overwrite").parquet(dedup_path)
+    deduped = spark.read.parquet(dedup_path)  # cut lineage; stages 4-6 rescan
+    n_deduped = deduped.count()
+
+    # 4. decontaminate against the benchmark corpus
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+    else:
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+    contaminated = dedup.decontaminate(deduped, bench, n=args.ngram)
+    clean = deduped.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+
+    # 5. deterministic split + 6. partitioned write
+    names, weights = [], []
+    for part in args.splits.split(","):
+        name, frac = part.split(":")
+        names.append(name.strip())
+        weights.append(float(frac))
+    split = sampling.assign_split(clean, weights, names, id_col="doc_id")
+    split.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(out, "corpus"))
+
+    final = spark.read.parquet(os.path.join(out, "corpus"))
+    split_counts = {r["split"]: r["n"] for r in
+                    final.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                    .collect()}
+    n_contaminated = contaminated.count()
+    print(json.dumps({
+        "n_input": n_input,
+        "n_after_quality": kept.count(),
+        "n_after_dedup": n_deduped,
+        "n_contaminated_dropped": n_contaminated,
+        "n_final": sum(split_counts.values()),
+        "splits": split_counts,
+        "out": os.path.join(out, "corpus"),
+        "wall_sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
