@@ -84,12 +84,12 @@ def signatures_from_sets(sets_df: DataFrame, id_col: str = "doc_id",
     """MinHash signatures computed over the per-doc shingle array with
     higher-order functions (no extra shuffle): h_i = min over shingles of
     xxhash64(i, shingle)."""
-    def perm(i: int):
-        # single-arg lambda is required: a two-arg lambda would be interpreted
-        # by F.transform as (element, array_index) and clobber the perm number
-        return lambda x: F.xxhash64(F.lit(i), x)
-
-    cols = [F.array_min(F.transform(F.col("sh"), perm(i))).alias(f"h{i}")
+    # one parsed SQL string per perm (a py4j lambda-Column per perm cost
+    # ~1 s of driver time per query construction at num_perm=64 — see the
+    # same rationale in simhash()). The SQL literal `i` is INT, matching
+    # the old F.lit(i) IntegerType, so xxhash64 output is bit-identical
+    # (differential-pinned in pytest).
+    cols = [F.expr(f"array_min(transform(sh, x -> xxhash64({i}, x))) AS h{i}")
             for i in range(num_perm)]
     return sets_df.select(F.col(id_col), *cols)
 
@@ -114,13 +114,14 @@ def lsh_bucket_stats(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def _lsh_bucketed(signatures: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
-    band_cols = [
-        F.struct(F.lit(bi).alias("band"),
-                 F.xxhash64(*[F.col(f"h{bi * rows + r}") for r in range(rows)]).alias("bh"))
-        for bi in range(bands)
-    ]
+    # single parsed array-of-structs expression (construction-cost rationale
+    # in simhash()); semantics identical to the per-band Column build
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({hs}) AS bh)".format(
+            b=bi, hs=", ".join(f"h{bi * rows + r}" for r in range(rows)))
+        for bi in range(bands))
     return (signatures
-            .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+            .select(F.col(id_col), F.explode(F.expr(f"array({structs})")).alias("bb"))
             .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")))
 
 
@@ -255,16 +256,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # per-bit ONES count (branch-free shift/mask sum, ~10% faster than the
     # CASE-WHEN +/-1 form) + total token count; majority vote bit i is then
     # 2*ones_i > n — identical to sign(sum of +/-1) including the tie -> 0.
+    # The 64-term expressions are built as SQL STRINGS parsed in ONE py4j
+    # call each: composing them as Column objects cost ~1.7 s of driver-side
+    # py4j round-trips PER QUERY CONSTRUCTION (measured — more than the
+    # cluster spends executing the whole query at sf0.1).
     sums = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"o{i}")
-          for i in range(64)])
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"o{i}") * 2 > F.col("_n"),
-                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+        *[F.expr(f"sum(shiftright(h, {i}) & 1L) AS o{i}") for i in range(64)])
+    sig = F.expr(" + ".join(  # disjoint bit positions: + == OR
+        f"shiftleft(cast(o{i} * 2 > _n AS BIGINT), {i})" for i in range(64)))
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -291,24 +291,20 @@ def hamming_pairs(sim: DataFrame, id_col: str = "doc_id", max_dist: int = 6) -> 
     if not 0 <= max_dist <= 6:
         raise ValueError("hamming_pairs supports max_dist in [0, 6]; wider radii "
                          "need a lower-cardinality blocking that does not scale")
+    # one parsed SQL string instead of dozens of py4j Column compositions
+    # (same driver-side construction-cost rationale as in simhash())
     if max_dist <= 3:
-        key_structs = [
-            F.struct(F.lit(i).alias("c"),
-                     (F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                      .bitwiseAND(F.lit(0xFFFF))).alias("k1"),
-                     F.lit(0).alias("k2"))
-            for i in range(4)
-        ]
+        structs = ", ".join(
+            f"struct({i} AS c, shiftrightunsigned(simhash, {16 * i}) & 65535 "
+            f"AS k1, 0 AS k2)" for i in range(4))
     else:
-        blk = [F.shiftrightunsigned(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF))
-               for i in range(8)]
         combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
-        key_structs = [
-            F.struct(F.lit(c).alias("c"), blk[i].alias("k1"), blk[j].alias("k2"))
-            for c, (i, j) in enumerate(combos)
-        ]
+        structs = ", ".join(
+            f"struct({c} AS c, shiftrightunsigned(simhash, {8 * i}) & 255 "
+            f"AS k1, shiftrightunsigned(simhash, {8 * j}) & 255 AS k2)"
+            for c, (i, j) in enumerate(combos))
     keyed = (sim.select(F.col(id_col).alias("id"), "simhash",
-                        F.explode(F.array(*key_structs)).alias("kk"))
+                        F.explode(F.expr(f"array({structs})")).alias("kk"))
              .select("id", "simhash", "kk.c", "kk.k1", "kk.k2"))
     a = keyed.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), "c", "k1", "k2")
     b = keyed.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), "c", "k1", "k2")

@@ -135,18 +135,28 @@ def _int_vec(vec: Column) -> Column:
     return F.transform(vec, _int_elem)
 
 
-def int_bucket_id(vec: Column, planes: list[list[int]]) -> Column:
+def int_bucket_id(vec_col_name: str, planes: list[list[int]]) -> Column:
     """Hyperplane bucket from integer projections — bit j set iff the exact
-    integer dot of the quantized vector with plane j is > 0."""
-    iv = _int_vec(vec)
-    out = None
+    integer dot of the quantized vector with plane j is > 0.
+
+    Built as ONE parsed SQL expression (takes the vector COLUMN NAME):
+    composing dim × n_planes literal Columns through py4j cost ~1 s of
+    driver time per query construction (same rationale as dedup.simhash).
+    The quantized vector binds ONCE under the lambda variable `iv` of a
+    single-element transform scope; plane weights inline as SQL long
+    literals. Bit-identical to the old Column composition
+    (differential-pinned in pytest)."""
+    terms = []
     for j, w in enumerate(planes):
-        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-        proj = F.aggregate(F.zip_with(iv, warr, lambda x, y: x * y),
-                           F.lit(0).cast("long"), lambda acc, x: acc + x)
-        bit = F.shiftleft(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
-        out = bit if out is None else out.bitwiseXOR(bit)
-    return out
+        warr = ", ".join(f"{int(x)}L" for x in w)
+        proj = (f"aggregate(zip_with(iv, array({warr}), (x, y) -> x * y), "
+                f"0L, (acc, x) -> acc + x)")
+        terms.append(f"shiftleft(CAST({proj} > 0 AS BIGINT), {j})")
+    quant = (f"transform({vec_col_name}, "
+             "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+    # disjoint bit positions: + == OR
+    return F.expr(
+        f"element_at(transform(array({quant}), iv -> {' + '.join(terms)}), 1)")
 
 
 def lsh_probed_topk(df: DataFrame, query_id: int = 0, k: int = 5,
@@ -172,7 +182,7 @@ def lsh_probed_topk(df: DataFrame, query_id: int = 0, k: int = 5,
     for j, w in enumerate(planes):
         if sum(wi * xi for wi, xi in zip(w, iq)) > 0:
             qbucket |= 1 << j
-    bucketed = df.withColumn("_bucket", int_bucket_id(F.col(vec_col), planes))
+    bucketed = df.withColumn("_bucket", int_bucket_id(vec_col, planes))
     return (bucketed
             .where(F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket))) <= multiprobe)
             .select(F.col(id_col), F.round(cosine(F.col(vec_col), _lit_vec(query)), 6).alias("cos"))

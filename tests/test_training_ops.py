@@ -524,3 +524,59 @@ def test_pii_redaction_idempotent_on_hostile_text(spark):
     twice = redact.pii_redact(once, keep_counts=False)
     diff = twice.where(F.col("text") != F.col("text_redacted")).count()
     assert diff == 0
+
+
+def test_sql_string_formulations_bit_identical_to_column_forms(spark):
+    """Round-5 driver-side construction optimization: the minhash signature,
+    LSH banding, and hyperplane-bucket expressions were rewritten as parsed
+    SQL strings (one py4j call) — they must stay BIT-IDENTICAL to the
+    original Column compositions, which this test keeps alive as the
+    specification."""
+    from pyspark.sql import functions as F
+
+    from cefspark import dedup
+    from cefspark import similarity as sim
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sets_df = dedup.shingle_sets(docs)
+
+    def perm(i):
+        return lambda x: F.xxhash64(F.lit(i), x)
+
+    spec_sig = sets_df.select(
+        F.col("doc_id"),
+        *[F.array_min(F.transform(F.col("sh"), perm(i))).alias(f"h{i}")
+          for i in range(64)])
+    got_sig = dedup.signatures_from_sets(sets_df)
+    assert spec_sig.exceptAll(got_sig).count() == 0
+    assert got_sig.exceptAll(spec_sig).count() == 0
+
+    spec_bands = (spec_sig.select(
+        F.col("doc_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(*[F.col(f"h{bi * 4 + r}") for r in range(4)])
+                     .alias("bh")) for bi in range(16)])).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bh").alias("bh")))
+    got_bands = dedup._lsh_bucketed(got_sig, "doc_id", 16, 4)
+    assert spec_bands.exceptAll(got_bands).count() == 0
+    assert got_bands.exceptAll(spec_bands).count() == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = sim.rademacher_planes(64, 6)
+    iv = F.transform(F.col("embedding"),
+                     lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("long"))
+    out = None
+    for j, w in enumerate(planes):
+        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        proj = F.aggregate(F.zip_with(iv, warr, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda a, x: a + x)
+        bit = F.shiftleft(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+                          .cast("long"), j)
+        out = bit if out is None else out.bitwiseXOR(bit)
+    spec_b = emb.select("vec_id", out.alias("b"))
+    got_b = emb.select("vec_id",
+                       sim.int_bucket_id("embedding", planes).alias("b"))
+    assert spec_b.exceptAll(got_b).count() == 0
+    assert got_b.exceptAll(spec_b).count() == 0
