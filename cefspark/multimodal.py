@@ -718,9 +718,9 @@ def build_png(width: int, height: int, color_type: int = 2,
 
 def parse_png(payload: bytes) -> dict:
     """Parse PNG metadata via a full chunk walk with CRC verification.
-    Raises ValueError on malformed/truncated/CRC-bad containers,
-    NotImplementedError on bit depths a real codec library should handle
-    (1/2/4/16 — this walker decodes the ubiquitous 8-bit forms)."""
+    Raises ValueError on malformed/truncated/CRC-bad containers and on
+    spec-illegal depth/color combinations. Every LEGAL combination (depths
+    1/2/4/8/16 across the five color types) parses and decodes."""
     import struct
     import zlib
 
@@ -753,9 +753,12 @@ def parse_png(payload: bytes) -> dict:
                 raise ValueError("unknown PNG compression/filter method")
             if color not in _PNG_CHANNELS:
                 raise ValueError(f"invalid PNG color type {color}")
-            if depth != 8:
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} requires a codec library")
+            # spec-legal depth/color combinations (PNG spec table 11.1)
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+            if depth not in legal[color]:
+                raise ValueError(
+                    f"illegal PNG bit depth {depth} for color type {color}")
             if inter not in (0, 1):
                 raise ValueError(f"invalid PNG interlace method {inter}")
             if w == 0 or h == 0:
@@ -800,22 +803,29 @@ def _png_idat(payload: bytes) -> bytes:
 
 
 def decode_png_pixels(payload: bytes) -> np.ndarray:
-    """Full pixel decode -> uint8 array of shape (height, width, channels):
-    zlib-inflate the IDAT stream, reverse all five scanline filters, Adam7
-    deinterlace when present, and expand palette indices through PLTE.
-    Palette images decode to RGB (channels=3)."""
-    import struct
+    """Full pixel decode for EVERY spec-legal depth/color combination:
+    zlib-inflate the IDAT stream, reverse all five scanline filters (they
+    operate on filter units of ``bpp = max(1, channels*depth//8)`` bytes at
+    any depth), unpack sub-byte samples (1/2/4-bit, MSB-first with padded
+    row tails), assemble big-endian 16-bit samples, Adam7-deinterlace, and
+    expand palette indices through PLTE.
+
+    Returns (height, width, channels): uint8 for depth <= 8 (sub-byte
+    samples keep their raw 0..2^depth-1 values), uint16 for depth 16.
+    Palette images decode to RGB (channels=3, uint8)."""
     import zlib
 
     meta = parse_png(payload)
     w, h, ch = meta["width"], meta["height"], meta["channels"]
+    depth = meta["bit_depth"]
+    bpp = max(1, ch * depth // 8)  # filter unit in BYTES (spec 9.2)
     try:
         raw = zlib.decompress(_png_idat(payload))
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from e
 
     def depass(buf: memoryview, pw: int, ph: int) -> np.ndarray:
-        stride = pw * ch
+        stride = (pw * ch * depth + 7) // 8  # sub-byte rows pad to bytes
         if len(buf) != (stride + 1) * ph:
             raise ValueError("IDAT length does not match dimensions")
         img = np.zeros((ph, stride), np.uint8)
@@ -823,19 +833,29 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
         for yy in range(ph):
             line = np.frombuffer(buf[yy * (stride + 1):(yy + 1) * (stride + 1)],
                                  dtype=np.uint8)
-            img[yy] = _png_unfilter_row(int(line[0]), line[1:], prior, ch)
+            img[yy] = _png_unfilter_row(int(line[0]), line[1:], prior, bpp)
             prior = img[yy]
+        if depth == 16:
+            return (img.reshape(ph, pw * ch, 2).astype(np.uint16)[:, :, 0] * 256
+                    + img.reshape(ph, pw * ch, 2)[:, :, 1]).reshape(ph, pw, ch)
+        if depth < 8:
+            bits = np.unpackbits(img, axis=1)  # MSB-first, per the spec
+            samples = bits.reshape(ph, stride * 8 // depth, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (samples * weights).sum(axis=2).astype(np.uint8)
+            return vals[:, :pw * ch].reshape(ph, pw, ch)  # drop pad tail
         return img.reshape(ph, pw, ch)
 
+    dtype = np.uint16 if depth == 16 else np.uint8
     if meta["interlace"]:
-        out = np.zeros((h, w, ch), np.uint8)
+        out = np.zeros((h, w, ch), dtype)
         mv, pos = memoryview(raw), 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            sz = (pw * ch + 1) * ph
+            sz = ((pw * ch * depth + 7) // 8 + 1) * ph
             out[y0::dy, x0::dx] = depass(mv[pos:pos + sz], pw, ph)
             pos += sz
         if pos != len(raw):

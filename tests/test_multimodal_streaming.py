@@ -736,13 +736,13 @@ def test_parse_png_rejects_malformed():
     # IEND sheared off entirely
     with pytest.raises(ValueError, match="missing IEND"):
         mm.parse_png(good[:len(good) - 8])
-    # 16-bit depth: typed NotImplementedError, not a crash
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-    deep = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
-            + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
-            + mm._png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        mm.parse_png(deep)
+    # spec-ILLEGAL depth/color combination is a typed rejection
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 2, 2, 0, 0, 0)  # 2-bit RGB: illegal
+    bad_depth = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+                 + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                 + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="illegal PNG bit depth"):
+        mm.parse_png(bad_depth)
     # IDAT inflating to the wrong length is a typed rejection
     ihdr8 = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
     short = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr8)
@@ -814,8 +814,11 @@ def test_png_real_world_files_decode():
     assert seen >= 1
     deep = "/usr/share/gitweb/static/git-favicon.png"  # 2-bit palette
     if os.path.exists(deep):
-        with pytest.raises(NotImplementedError, match="bit depth"):
-            mm.parse_png(open(deep, "rb").read())
+        b = open(deep, "rb").read()
+        meta = mm.parse_png(b)
+        assert meta["bit_depth"] < 8 and meta["color_type"] == 3
+        px = mm.decode_png_pixels(b)  # sub-byte palette -> RGB
+        assert px.shape == (meta["height"], meta["width"], 3)
 
 
 def test_png_assets_flow_through_feature_and_stats_stages(spark):
@@ -902,3 +905,79 @@ def test_streaming_spike_alerts_match_batch_detector(spark, tmp_path):
     with _pytest.raises(ValueError, match="reserved"):
         streaming.spike_alerts(
             counts.withColumn("__bl_median", F.lit(1)), baseline)
+
+
+def test_png_all_legal_bit_depths_decode():
+    """Hand-built PNGs at every spec-legal depth/color combination decode to
+    the exact planted samples: 16-bit big-endian assembly, sub-byte
+    (1/2/4-bit) MSB-first unpacking with padded row tails, filters applied
+    on byte-level filter units throughout."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cefspark import multimodal as mm
+
+    def make(w, h, depth, color, rows_of_samples):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        raw = b""
+        for row in rows_of_samples:  # row = list of per-sample ints
+            if depth == 16:
+                body = b"".join(struct.pack(">H", s) for s in row)
+            elif depth == 8:
+                body = bytes(row)
+            else:
+                bits = "".join(format(s, f"0{depth}b") for s in row)
+                bits += "0" * (-len(bits) % 8)
+                body = int(bits, 2).to_bytes(len(bits) // 8, "big") if bits else b""
+            raw += b"\x00" + body
+        chunks = [mm._png_chunk(b"IHDR", ihdr)]
+        if color == 3:
+            chunks.append(mm._png_chunk(
+                b"PLTE", bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 5, 6, 7])))
+        chunks += [mm._png_chunk(b"IDAT", zlib.compress(raw)),
+                   mm._png_chunk(b"IEND", b"")]
+        return mm.PNG_SIG + b"".join(chunks)
+
+    # 16-bit grayscale: values beyond uint8
+    blob = make(3, 2, 16, 0, [[1000, 2000, 65535], [0, 256, 513]])
+    px = mm.decode_png_pixels(blob)
+    assert px.dtype == np.uint16
+    assert px[:, :, 0].tolist() == [[1000, 2000, 65535], [0, 256, 513]]
+
+    # 16-bit RGB
+    blob = make(2, 1, 16, 2, [[1, 2, 3, 60000, 50000, 40000]])
+    px = mm.decode_png_pixels(blob)
+    assert px[0].tolist() == [[1, 2, 3], [60000, 50000, 40000]]
+
+    # 1/2/4-bit grayscale with non-byte-aligned widths (pad tail dropped)
+    for depth, w, samples in ((1, 5, [1, 0, 1, 1, 0]),
+                              (2, 3, [3, 0, 2]),
+                              (4, 3, [15, 7, 1])):
+        blob = make(w, 1, depth, 0, [samples])
+        px = mm.decode_png_pixels(blob)
+        assert px[0, :, 0].tolist() == samples, depth
+
+    # 2-bit palette -> RGB through PLTE
+    blob = make(4, 2, 2, 3, [[0, 1, 2, 3], [3, 2, 1, 0]])
+    px = mm.decode_png_pixels(blob)
+    pal = [[10, 20, 30], [40, 50, 60], [70, 80, 90], [5, 6, 7]]
+    assert px.tolist() == [[pal[0], pal[1], pal[2], pal[3]],
+                           [pal[3], pal[2], pal[1], pal[0]]]
+
+    # 16-bit gray with Up filter: filter unit is 2 bytes
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    r0 = b"\x00" + struct.pack(">HH", 300, 400)
+    delta = struct.pack(">HH", 100, 200)  # byte-wise Up adds mod 256 per byte
+    r1 = b"\x02" + bytes((a + b) % 256 for a, b in zip(b"\x00" * 4, delta))
+    raw = r0 + b"\x02" + delta  # recon row1 = row0 + delta bytewise
+    blob = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(raw))
+            + mm._png_chunk(b"IEND", b""))
+    px = mm.decode_png_pixels(blob)
+    assert px[0, :, 0].tolist() == [300, 400]
+    # filters are BYTEWISE mod-256 (no carry across the 16-bit sample):
+    # 300=0x012C + 0x0064 -> 0x0190=400, but 400=0x0190 + 0x00C8 ->
+    # low byte 0x90+0xC8 wraps to 0x58 -> 0x0158=344 (spec 9.2)
+    assert px[1, :, 0].tolist() == [400, 344]
