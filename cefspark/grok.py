@@ -1,0 +1,121 @@
+"""Grok-style pattern parsing: `%{PATTERN:field}` expressions compiled to
+plain regular expressions and evaluated JVM-side.
+
+The north rule's parse stage names "grok/regex parse"; CEF is the deep
+codec, and this module is the GENERIC side — the Logstash-grok workflow of
+naming a line format out of a pattern library and getting typed columns
+back, re-expressed as Catalyst expressions:
+
+    grok_parse(df, "%{IP:clientip} .. %{INT:response}")
+
+adds one column per named capture. Everything stays whole-stage codegen —
+`rlike` + `regexp_extract` per field, no UDF, no shuffle; Catalyst
+deduplicates the identical compiled pattern across the extract calls.
+
+The pattern library is the regex subset with identical semantics in
+java.util.regex and RE2 (character classes, bounded repetition, (?:...),
+anchors — no backreferences, no lookaround), so oracles can restate a
+compiled pattern verbatim; base patterns contain only NON-capturing groups,
+making named-field group numbering purely positional.
+
+Reference scope note: the reference codec (cef.rb) has no grok stage — this
+belongs to the generic log-pipeline surface the engine adds (SURVEY.md §2.4
+scalar functions / projections family).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: base pattern library (no capturing groups — named fields add those)
+BASE_PATTERNS: dict[str, str] = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "LOGLEVEL": r"(?:DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|TRACE)",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "TIMESTAMP_ISO8601":
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}",
+    # bracket-free so `program[pid]` splits correctly (logstash PROG is the
+    # analogous printable-minus-brackets class)
+    "PROG": r"[a-zA-Z0-9._/-]+",
+    "QS": r'"(?:[^"\\]|\\.)*"',
+}
+
+#: composite line formats, themselves grok expressions
+COMPOSITE_PATTERNS: dict[str, str] = {
+    "COMMONAPACHELOG":
+        '%{IP:clientip} %{USER:ident} %{USER:auth} \\[%{HTTPDATE:timestamp}\\] '
+        '"%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?" '
+        '%{INT:response} (?:%{INT:bytes}|-)',
+    "SYSLOGLINE":
+        '%{SYSLOGTIMESTAMP:ts} %{NOTSPACE:host} %{PROG:program}'
+        '(?:\\[%{INT:pid}\\])?: %{GREEDYDATA:msg}',
+}
+
+_REF = re.compile(r"%\{(?P<name>[A-Z0-9_]+)(?::(?P<field>[A-Za-z0-9_]+))?\}")
+
+
+def compile_grok(expr: str) -> tuple[str, list[str]]:
+    """Expand a grok expression to (regex, ordered field names). `%{NAME}`
+    inlines non-capturing; `%{NAME:field}` becomes the next capturing group.
+    Composites expand recursively (cycles impossible: composites only
+    reference BASE_PATTERNS)."""
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group("name"), m.group("field")
+        if name in COMPOSITE_PATTERNS:
+            inner, inner_fields = compile_grok(COMPOSITE_PATTERNS[name])
+            if field is not None:
+                raise ValueError(
+                    f"composite %{{{name}}} cannot take a field name "
+                    f"(it defines its own: {inner_fields})")
+            fields.extend(inner_fields)
+            return f"(?:{inner})"
+        if name not in BASE_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        body = BASE_PATTERNS[name]
+        if field is None:
+            return f"(?:{body})"
+        fields.append(field)
+        return f"({body})"
+
+    pattern = _REF.sub(sub, expr)
+    if len(set(fields)) != len(fields):
+        dupes = sorted({f for f in fields if fields.count(f) > 1})
+        raise ValueError(f"duplicate grok field names: {dupes}")
+    return pattern, fields
+
+
+def grok_parse(df: DataFrame, expr: str, text_col: str = "text",
+               anchored: bool = True, keep_unmatched: bool = True) -> DataFrame:
+    """Add one string column per named capture of ``expr``. Non-matching
+    rows keep NULL in every field (dropped entirely when
+    ``keep_unmatched=False``); an empty capture yields '' (distinguishable
+    from no-match). ``anchored`` wraps the pattern in ^...$ — the usual
+    line-format contract; pass False for substring extraction."""
+    pattern, fields = compile_grok(expr)
+    if not fields:
+        raise ValueError("grok expression binds no fields")
+    if anchored:
+        pattern = f"^(?:{pattern})$"
+    t = F.col(text_col)
+    matched = t.rlike(pattern)
+    out = df
+    if not keep_unmatched:
+        out = out.where(matched)
+    for i, name in enumerate(fields, start=1):
+        ext = F.regexp_extract(t, pattern, i)
+        out = out.withColumn(
+            name, ext if not keep_unmatched else F.when(matched, ext))
+    return out

@@ -845,12 +845,53 @@ def q_cef_raw_lines(spark, sf_dir):
      .write.mode("overwrite").option("lineSep", "\r\n").text(path))
     lines = sources.read_raw_lines(spark, path, delimiter="\\r\\n")
     dec = decode_dataframe(lines)
-    return dec.select(F.col("deviceEventClassId").cast("long").alias("event_id"),
-                      ext("sourceAddress").alias("src_ip"))
+    cef = dec.select(
+        F.lit("cef").alias("variant"),
+        F.col("deviceEventClassId").cast("long").alias("event_id"),
+        ext("sourceAddress").alias("s1"), F.lit("").alias("s2"))
+
+    # grok variant: the GENERIC regex-parse stage (north rule: "grok/regex
+    # parse") — Apache common-log lines built closed-form from events, with
+    # every 13th row garbage; grok_parse must extract the named fields on
+    # matching rows and yield NULLs (not partial matches) on garbage. The
+    # oracle restates the closed form directly — it never runs a regex.
+    from . import grok
+
+    eid = F.col("event_id")
+    apache = F.concat(
+        F.lit("10.0."), (eid % 200).cast("string"), F.lit(".5 - user"),
+        eid.cast("string"), F.lit(' [10/Oct/2025:13:55:36 +0000] "GET /p/'),
+        eid.cast("string"), F.lit(' HTTP/1.0" '),
+        (200 + (eid % 4) * 100).cast("string"),
+        F.when(eid % 7 == 0, F.lit(" -")).otherwise(
+            F.concat(F.lit(" "), (eid * 17 % 100000).cast("string"))))
+    lines_df = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(eid % 13 == 0, F.lit("not a log line")).otherwise(apache)
+        .alias("text"))
+    parsed = grok.grok_parse(lines_df, "%{COMMONAPACHELOG}")
+    gk = parsed.select(
+        F.lit("grok").alias("variant"), "event_id",
+        F.col("clientip").alias("s1"),
+        F.when(F.col("clientip").isNotNull(),
+               F.concat_ws("/", "verb", "response", "bytes")).alias("s2"))
+    return cef.unionByName(gk)
 
 
 O_CEF_RAW_LINES = """
-SELECT event_id, '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS src_ip FROM events
+SELECT 'cef' AS variant, event_id,
+       '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS s1, '' AS s2
+FROM events
+UNION ALL
+SELECT 'grok' AS variant, event_id,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE '10.0.' || CAST(event_id % 200 AS VARCHAR) || '.5' END AS s1,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE 'GET/' || CAST(200 + (event_id % 4) * 100 AS VARCHAR) || '/'
+                 || CASE WHEN event_id % 7 = 0 THEN ''
+                         ELSE CAST(event_id * 17 % 100000 AS VARCHAR) END
+       END AS s2
+FROM events
 """
 
 

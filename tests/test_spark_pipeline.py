@@ -638,3 +638,61 @@ def test_prepare_training_data_job_smoke(tmp_path):
     assert tbl.num_rows == m["n_final"]
     texts = tbl.column("text").to_pylist()
     assert all("@" not in t or "<EMAIL>" in t or "a@b" in t for t in texts)
+
+
+def test_grok_compile_and_parse(spark):
+    """Grok expressions compile positionally (no capture groups inside base
+    patterns), composites expand recursively, and parsing yields NULL per
+    field on non-matching rows but '' for legitimately-empty captures."""
+    from pyspark.sql import functions as F
+
+    from cefspark import grok
+
+    p, fields = grok.compile_grok("%{IP:ip} %{INT:n}")
+    assert fields == ["ip", "n"]
+    _, af = grok.compile_grok("%{COMMONAPACHELOG}")
+    assert af[:2] == ["clientip", "ident"] and "response" in af
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown grok pattern"):
+        grok.compile_grok("%{NOPE:x}")
+    with _pytest.raises(ValueError, match="duplicate grok field"):
+        grok.compile_grok("%{INT:x} %{INT:x}")
+    with _pytest.raises(ValueError, match="cannot take a field name"):
+        grok.compile_grok("%{SYSLOGLINE:whole}")
+    with _pytest.raises(ValueError, match="binds no fields"):
+        grok.grok_parse(spark.range(1).select(F.lit("x").alias("text")),
+                        "%{INT}")
+
+    df = spark.createDataFrame(
+        [(1, '1.2.3.4 - bob [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 99'),
+         (2, '9.8.7.6 x y [01/Jan/2026:00:00:01 +0000] "POST /api HTTP/1.1" 404 -'),
+         (3, "garbage")], "id long, text string")
+    out = {r["id"]: r for r in grok.grok_parse(df, "%{COMMONAPACHELOG}").collect()}
+    assert out[1]["clientip"] == "1.2.3.4" and out[1]["response"] == "200" \
+        and out[1]["bytes"] == "99"
+    assert out[2]["verb"] == "POST" and out[2]["bytes"] == ""  # '-' branch
+    assert out[3]["clientip"] is None and out[3]["bytes"] is None
+    # keep_unmatched=False filters
+    assert grok.grok_parse(df, "%{COMMONAPACHELOG}",
+                           keep_unmatched=False).count() == 2
+
+    sys_df = spark.createDataFrame(
+        [(1, "Feb  3 12:04:01 host1 sshd[999]: Accepted publickey"),
+         (2, "Feb 13 02:04:01 h2 cron: job ran")], "id long, text string")
+    got = {r["id"]: r for r in grok.grok_parse(sys_df, "%{SYSLOGLINE}").collect()}
+    assert got[1]["program"] == "sshd" and got[1]["pid"] == "999"
+    assert got[2]["program"] == "cron" and got[2]["pid"] == ""
+
+
+def test_grok_parse_plan_is_codegen_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from cefspark import grok
+
+    df = spark.range(10).select(F.concat(F.lit("1.2.3.4 "), F.col("id"))
+                                .alias("text"))
+    plan = grok.grok_parse(df, "%{IP:ip} %{INT:n}")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
