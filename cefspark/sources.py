@@ -93,3 +93,52 @@ def decode_binary_dataframe(df: DataFrame, bytes_col: str = "payload",
     schema = StructType(df.schema.fields + DECODED_STRUCT.fields +
                         [StructField("message_bytes", BinaryType())])
     return df.mapInPandas(run, schema=schema)
+
+
+TRANSCRIPT_SCHEMA_DDL = ("conv_id string, turn_idx int, role string, "
+                         "text string, tool string, ts timestamp")
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str,
+                           timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]",
+                           permissive_col: Optional[str] = "_corrupt_record"
+                           ) -> DataFrame:
+    """Transcript table from JSON-lines files with the pinned transcript
+    schema. The schema is EXPLICIT — json inference would both scan the
+    data twice and produce drifting types across ingest batches, which at
+    10^12 turns means two different tables. Malformed lines land in
+    ``permissive_col`` instead of poisoning the batch (PERMISSIVE mode, the
+    error-as-data posture the CEF decode path uses); pass ``None`` to drop
+    them silently."""
+    schema = TRANSCRIPT_SCHEMA_DDL
+    if permissive_col:
+        schema += f", {permissive_col} string"
+    reader = (spark.read.schema(schema)
+              .option("timestampFormat", timestamp_format)
+              .option("mode", "PERMISSIVE"))
+    if permissive_col:
+        reader = reader.option("columnNameOfCorruptRecord", permissive_col)
+    return reader.json(path)
+
+
+def read_transcripts_csv(spark: SparkSession, path: str, header: bool = True,
+                         delimiter: str = ",",
+                         timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+                         permissive_col: Optional[str] = "_corrupt_record"
+                         ) -> DataFrame:
+    """Transcript table from CSV with the pinned schema; quoted fields may
+    embed the delimiter and doubled quotes (RFC 4180), which matters for
+    transcript text. Malformed rows land in ``permissive_col`` (see
+    read_transcripts_jsonl)."""
+    schema = TRANSCRIPT_SCHEMA_DDL
+    if permissive_col:
+        schema += f", {permissive_col} string"
+    reader = (spark.read.schema(schema)
+              .option("header", str(header).lower())
+              .option("sep", delimiter)
+              .option("quote", '"').option("escape", '"')
+              .option("timestampFormat", timestamp_format)
+              .option("mode", "PERMISSIVE"))
+    if permissive_col:
+        reader = reader.option("columnNameOfCorruptRecord", permissive_col)
+    return reader.csv(path)

@@ -66,3 +66,56 @@ def test_read_raw_lines_over_multi_file_directory(spark, tmp_path):
     (d / "part-1.log").write_text("c2\r\nd2")
     df = sources.read_raw_lines(spark, str(d), delimiter="\\r\\n")
     assert sorted(r["text"] for r in df.collect()) == ["a1", "b1", "c2", "d2"]
+
+
+def test_jsonl_and_csv_transcript_sources_roundtrip(spark, tmp_path):
+    """JSONL and CSV ingestion produce the SAME decoded pipeline results as
+    the parquet path on identical transcripts; malformed records land in
+    _corrupt_record instead of failing the batch."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cefspark import fixtures, sources
+    from cefspark.udfs import decode_dataframe
+
+    pdf = fixtures.transcripts_pdf(200)
+    ref = decode_dataframe(spark.createDataFrame(pdf))
+    ref_counts = {r["deviceVendor"]: r["n"] for r in
+                  ref.groupBy("deviceVendor").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+
+    jl = tmp_path / "t.jsonl"
+    with open(jl, "w") as f:
+        for _, r in pdf.iterrows():
+            f.write(_json.dumps({
+                "conv_id": r["conv_id"], "turn_idx": int(r["turn_idx"]),
+                "role": r["role"], "text": r["text"], "tool": r["tool"],
+                "ts": r["ts"].strftime("%Y-%m-%dT%H:%M:%S")}) + "\n")
+        f.write("{ not valid json\n")
+    # Spark disallows queries touching ONLY the corrupt-record column on a
+    # raw json scan; cache first (the documented pattern)
+    jdf = sources.read_transcripts_jsonl(spark, str(jl)).cache()
+    bad = jdf.where(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    good = jdf.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    got = {r["deviceVendor"]: r["n"] for r in
+           decode_dataframe(good).groupBy("deviceVendor")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == ref_counts
+    assert dict(good.dtypes)["ts"] == "timestamp"
+
+    cv = tmp_path / "t.csv"
+    with open(cv, "w") as f:
+        f.write("conv_id,turn_idx,role,text,tool,ts\n")
+        for _, r in pdf.iterrows():
+            text = '"' + str(r["text"]).replace('"', '""') + '"'
+            f.write(f'{r["conv_id"]},{int(r["turn_idx"])},{r["role"]},{text},'
+                    f'{r["tool"] or ""},{r["ts"].strftime("%Y-%m-%d %H:%M:%S")}\n')
+    cdf = sources.read_transcripts_csv(spark, str(cv))
+    goodc = cdf.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    gotc = {r["deviceVendor"]: r["n"] for r in
+            decode_dataframe(goodc).groupBy("deviceVendor")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert gotc == ref_counts  # CSV quoting survives commas/quotes in payloads
+    jdf.unpersist()
