@@ -107,6 +107,12 @@ def grok_parse(df: DataFrame, expr: str, text_col: str = "text",
     pattern, fields = compile_grok(expr)
     if not fields:
         raise ValueError("grok expression binds no fields")
+    if text_col in fields:
+        # a field named like the source column would REPLACE it mid-loop,
+        # so later extractions (and the match predicate) would silently
+        # resolve against the first capture instead of the line
+        raise ValueError(
+            f"grok field {text_col!r} collides with the source column")
     if anchored:
         pattern = f"^(?:{pattern})$"
     t = F.col(text_col)

@@ -145,6 +145,20 @@ def _window_seconds(window: str) -> int:
     return int(parts[0]) * unit
 
 
+def median_baseline(counts: DataFrame) -> DataFrame:
+    """Per-sink median window count — the ONE definition of the spike
+    baseline, shared by :func:`detect_rate_spikes` (inline) and
+    :func:`cefspark.streaming.spike_alerts` (as its static ``baseline``
+    input, typically computed over yesterday's counts table).
+    ``percentile_disc`` picks an actually-observed count; the long cast
+    matters: Spark types disc-of-longs as double, and a double baseline
+    would silently drift from the batch detector's exact integer
+    predicate."""
+    return counts.groupBy("sink_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .cast("long").alias("median_n"))
+
+
 def detect_rate_spikes(counts: DataFrame, factor: int = 2) -> DataFrame:
     """Per-sink rate-anomaly detection over the windowed counts relation:
     flag windows whose event count exceeds ``factor`` × the sink's own
@@ -160,10 +174,7 @@ def detect_rate_spikes(counts: DataFrame, factor: int = 2) -> DataFrame:
     Scale: runs on the COUNTS relation, never the raw events — per-sink
     medians aggregate O(sinks × windows) rows and broadcast back; the only
     shuffle is over that already-aggregated relation."""
-    med = counts.groupBy("sink_id").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
-        .cast("long").alias("median_n"))  # disc of longs IS a long; Spark types it double
-    return (counts.join(F.broadcast(med), "sink_id")
+    return (counts.join(F.broadcast(median_baseline(counts)), "sink_id")
             .where(F.col("n_events") > F.lit(factor) * F.col("median_n"))
             .select("sink_id", "window_start", "n_events", "median_n"))
 

@@ -151,8 +151,14 @@ def int_bucket_id(vec_col_name: str, planes: list[list[int]]) -> Column:
         warr = ", ".join(f"{int(x)}L" for x in w)
         proj = (f"aggregate(zip_with(iv, array({warr}), (x, y) -> x * y), "
                 f"0L, (acc, x) -> acc + x)")
-        terms.append(f"shiftleft(CAST({proj} > 0 AS BIGINT), {j})")
-    quant = (f"transform({vec_col_name}, "
+        # coalesce keeps the old Column spec's NULL behavior (a NULL vector
+        # element made `proj > 0` NULL; F.when(...).otherwise(0) mapped it
+        # to bit 0 — without it the whole bucket would go NULL and the row
+        # would silently vanish from the candidate set)
+        terms.append(
+            f"shiftleft(CAST(coalesce({proj} > 0, false) AS BIGINT), {j})")
+    safe = vec_col_name.replace("`", "``")
+    quant = (f"transform(`{safe}`, "
              "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
     # disjoint bit positions: + == OR
     return F.expr(

@@ -100,7 +100,8 @@ TRANSCRIPT_SCHEMA_DDL = ("conv_id string, turn_idx int, role string, "
 
 
 def read_transcripts_jsonl(spark: SparkSession, path: str,
-                           timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]",
+                           timestamp_format: str =
+                           "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][XXX]",
                            permissive_col: Optional[str] = "_corrupt_record"
                            ) -> DataFrame:
     """Transcript table from JSON-lines files with the pinned transcript
@@ -124,11 +125,16 @@ def read_transcripts_jsonl(spark: SparkSession, path: str,
 def read_transcripts_csv(spark: SparkSession, path: str, header: bool = True,
                          delimiter: str = ",",
                          timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+                         multi_line: bool = True,
                          permissive_col: Optional[str] = "_corrupt_record"
                          ) -> DataFrame:
     """Transcript table from CSV with the pinned schema; quoted fields may
-    embed the delimiter and doubled quotes (RFC 4180), which matters for
-    transcript text. Malformed rows land in ``permissive_col`` (see
+    embed the delimiter, doubled quotes, AND newlines (RFC 4180), all of
+    which transcript text contains. ``multi_line=True`` (default) makes
+    quoted embedded newlines parse correctly — the cost is that files stop
+    being line-splittable, so ingest parallelism is per-FILE; flip it off
+    only for corpora guaranteed newline-free, where byte-range splitting of
+    huge files matters more. Malformed rows land in ``permissive_col`` (see
     read_transcripts_jsonl)."""
     schema = TRANSCRIPT_SCHEMA_DDL
     if permissive_col:
@@ -137,6 +143,7 @@ def read_transcripts_csv(spark: SparkSession, path: str, header: bool = True,
               .option("header", str(header).lower())
               .option("sep", delimiter)
               .option("quote", '"').option("escape", '"')
+              .option("multiLine", str(multi_line).lower())
               .option("timestampFormat", timestamp_format)
               .option("mode", "PERMISSIVE"))
     if permissive_col:

