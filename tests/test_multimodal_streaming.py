@@ -979,3 +979,55 @@ def test_png_all_legal_bit_depths_decode():
     # 300=0x012C + 0x0064 -> 0x0190=400, but 400=0x0190 + 0x00C8 ->
     # low byte 0x90+0xC8 wraps to 0x58 -> 0x0158=344 (spec 9.2)
     assert px[1, :, 0].tolist() == [400, 344]
+
+
+def test_transform_with_state_matches_applyinpandaswithstate(spark, tmp_path):
+    """The transformWithState (Spark 4 stateful API) conversation-stats
+    operator produces the same final per-conversation stats as the
+    applyInPandasWithState formulation across multi-micro-batch drains.
+    Where the environment lacks protobuf (transformWithState's state
+    protocol — this sandbox), the operator must reject with a typed
+    NotImplementedError instead of crashing the streaming query."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    from cefspark import fixtures, pipeline, streaming
+    from cefspark.udfs import decode_dataframe
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        stream0 = streaming.read_transcript_stream(spark, str(tmp_path))
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming.conversation_stats_tws(
+                decode_dataframe(stream0, columns=["error"]))
+        return
+
+    src = str(tmp_path / "tws_in")
+    sdf = spark.createDataFrame(fixtures.transcripts_pdf(800))
+    sdf.where(F.col("turn_idx") < 4).coalesce(2).write.parquet(src)
+    sdf.where(F.col("turn_idx") >= 4).coalesce(2).write.mode("append").parquet(src)
+
+    stream = streaming.read_transcript_stream(spark, src, max_files_per_trigger=2)
+    decoded = decode_dataframe(stream, columns=["error"])
+    stats = streaming.conversation_stats_tws(decoded)
+    q = (stats.writeStream.format("memory").queryName("twsstats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["conv_id"]: (r["n_turns"], r["n_failed"], r["last_turn_idx"])
+           for r in spark.sql(
+               "select conv_id, max(n_turns) n_turns, max(n_failed) n_failed,"
+               " max(last_turn_idx) last_turn_idx from twsstats group by conv_id"
+           ).collect()}
+
+    batch = decode_dataframe(sdf)
+    exp = {r["conv_id"]: (r["n"], r["f"], r["l"]) for r in
+           batch.groupBy("conv_id").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
+               F.max("turn_idx").alias("l")).collect()}
+    assert got == exp
+    assert all(v[0] == 8 for v in got.values())
