@@ -580,3 +580,34 @@ def test_sql_string_formulations_bit_identical_to_column_forms(spark):
                        sim.int_bucket_id("embedding", planes).alias("b"))
     assert spec_b.exceptAll(got_b).count() == 0
     assert got_b.exceptAll(spec_b).count() == 0
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index returns the same top-k as the in-memory path
+    AND physically prunes: the probe plan carries a list_id partition
+    filter, and the files it reads live only under the probed list_id=
+    directories."""
+    import re
+
+    from cefspark import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(emb, idx, n_lists=8)
+
+    got = sim.ivf_index_topk(spark, idx, query, k=5, n_probe=2)
+    direct = sim.ivf_topk(emb, query, cents, k=5, n_probe=2)
+    assert [(r["vec_id"], r["cos"]) for r in got.collect()] == \
+        [(r["vec_id"], r["cos"]) for r in direct.collect()]
+
+    # pruning is PHYSICAL: the FileScan carries the probe lists as
+    # PartitionFilters (exactly n_probe list ids), so unprobed partitions'
+    # files are never read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[list_id#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan[plan.find("FileScan"):plan.find("FileScan") + 400]
+    assert len(m.group(1).split(",")) == 2
+    # and the filter is not also a post-scan data filter (pure pruning)
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "DataFilters: []" in scan_line
