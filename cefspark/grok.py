@@ -125,3 +125,48 @@ def grok_parse(df: DataFrame, expr: str, text_col: str = "text",
         out = out.withColumn(
             name, ext if not keep_unmatched else F.when(matched, ext))
     return out
+
+
+def grok_parse_any(df: DataFrame, exprs: list[str], text_col: str = "text",
+                   match_col: str = "grok_pattern") -> DataFrame:
+    """First-match-wins over a LIST of grok expressions — the standard grok
+    filter configuration for mixed-format log streams (try the specific
+    format first, fall back to the generic one). Adds the union of all
+    patterns' fields plus ``match_col`` (the 0-based index of the matching
+    pattern; NULL when none match); a field defined by several patterns is
+    filled by the FIRST matching pattern that defines it, later patterns
+    never overwrite.
+
+    Still pure JVM expression work: per pattern one rlike + one
+    regexp_extract per field, gated by the first-match predicate — no UDF,
+    no shuffle. Cost grows with patterns × fields; order patterns
+    most-specific-first both for semantics and so hot rows exit early via
+    the cheapest predicate short-circuit."""
+    if not exprs:
+        raise ValueError("no grok expressions given")
+    compiled = []
+    for e in exprs:
+        pattern, fields = compile_grok(e)
+        for reserved in (text_col, match_col):
+            if reserved in fields:
+                # overwriting either would corrupt the later extractions
+                # that reference it by name (same hazard as in grok_parse)
+                raise ValueError(
+                    f"grok field {reserved!r} collides with the "
+                    f"{'source' if reserved == text_col else 'match'} column")
+        compiled.append((f"^(?:{pattern})$", fields))
+    t = F.col(text_col)
+    matches = [t.rlike(p) for p, _ in compiled]
+    # first-match index: coalesce of when-chains in order
+    first = F.coalesce(*[F.when(m, F.lit(i)) for i, m in enumerate(matches)],
+                       F.lit(None).cast("int"))
+    out = df.withColumn(match_col, first)
+    seen: dict[str, list] = {}
+    for i, (p, fields) in enumerate(compiled):
+        for gi, name in enumerate(fields, start=1):
+            seen.setdefault(name, []).append(
+                F.when(F.col(match_col) == i, F.regexp_extract(t, p, gi)))
+    for name, branches in seen.items():
+        out = out.withColumn(name, F.coalesce(*branches)
+                             if len(branches) > 1 else branches[0])
+    return out

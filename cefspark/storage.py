@@ -220,6 +220,37 @@ class ManifestTable:
             return None
         return spark.read.parquet(*dirs)
 
+    def snapshot_as_of(self, ts: float) -> Optional[Snapshot]:
+        """Time travel: the chain's newest snapshot committed at or before
+        epoch-seconds ``ts`` (None if the table didn't exist yet). Walks the
+        LATEST chain driver-side — bounded by commit count; snapshots
+        expired by maintenance are genuinely gone, same as any table
+        format's retention horizon."""
+        sid = self.latest_snapshot_id()
+        while sid:
+            snap = self.snapshot(sid)
+            if snap.committed_at <= ts:
+                return snap
+            sid = snap.parent_id
+        return None
+
+    def read_union_as_of(self, spark: SparkSession,
+                         ts: float) -> Optional[DataFrame]:
+        """Time travel over the DELTA view: the logical table exactly as it
+        stood at epoch-seconds ``ts`` — the union of every snapshot on the
+        as-of snapshot's ancestor chain (the Iceberg/Delta
+        ``VERSION AS OF``/``TIMESTAMP AS OF`` read on this layout)."""
+        snap = self.snapshot_as_of(ts)
+        if snap is None:
+            return None
+        dirs = []
+        sid: Optional[str] = snap.snapshot_id
+        while sid:
+            s = self.snapshot(sid)
+            dirs.append(s.data_dir)
+            sid = s.parent_id
+        return spark.read.parquet(*dirs)
+
     # -- resume -----------------------------------------------------------------
 
     def _chain_manifest_paths(self) -> list[str]:

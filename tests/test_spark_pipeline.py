@@ -696,3 +696,86 @@ def test_grok_parse_plan_is_codegen_no_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF on the manifest table: reads reconstruct the table
+    exactly as it stood between commits; before the first commit -> None;
+    expiry honestly limits the horizon."""
+    table = ManifestTable(str(tmp_path / "t"))
+    pdf = fixtures.transcripts_pdf(30)
+    s1 = table.commit(spark.createDataFrame(pdf[:10]), inputs=[])
+    time.sleep(0.05)
+    between_1_2 = time.time()
+    time.sleep(0.05)
+    s2 = table.commit(spark.createDataFrame(pdf[10:25]), inputs=[])
+    time.sleep(0.05)
+    after_2 = time.time()
+
+    assert table.snapshot_as_of(s1.committed_at - 10) is None
+    assert table.read_union_as_of(spark, s1.committed_at - 10) is None
+    assert table.snapshot_as_of(between_1_2).snapshot_id == s1.snapshot_id
+    assert table.read_union_as_of(spark, between_1_2).count() == 10
+    assert table.snapshot_as_of(after_2).snapshot_id == s2.snapshot_id
+    assert table.read_union_as_of(spark, after_2).count() == 25
+    # future timestamp == current view
+    assert table.read_union_as_of(spark, time.time() + 100).count() == 25
+    # expiry removes the horizon honestly
+    table.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert table.snapshot_as_of(between_1_2) is None
+
+
+def test_grok_parse_any_first_match_wins(spark):
+    """Mixed-format stream through a pattern list: each row gets the first
+    matching pattern's fields, shared field names are filled by that
+    pattern only, non-matching rows carry NULL everywhere."""
+    from cefspark import grok
+
+    df = spark.createDataFrame(
+        [(1, '1.2.3.4 - bob [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 99'),
+         (2, "Feb  3 12:04:01 host1 sshd[999]: hello"),
+         (3, "2026-01-01T00:00:00Z INFO something happened"),
+         (4, "???")], "id long, text string")
+    out = {r["id"]: r for r in grok.grok_parse_any(
+        df, ["%{COMMONAPACHELOG}", "%{SYSLOGLINE}",
+             "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}"]
+    ).collect()}
+    assert out[1]["grok_pattern"] == 0 and out[1]["clientip"] == "1.2.3.4"
+    assert out[1]["msg"] is None  # syslog/iso fields untouched for apache rows
+    assert out[2]["grok_pattern"] == 1 and out[2]["program"] == "sshd" \
+        and out[2]["msg"] == "hello"
+    assert out[3]["grok_pattern"] == 2 and out[3]["level"] == "INFO" \
+        and out[3]["ts"] == "2026-01-01T00:00:00Z"
+    assert out[4]["grok_pattern"] is None and out[4]["clientip"] is None
+
+    with pytest.raises(ValueError, match="match column"):
+        grok.grok_parse_any(df, ["%{INT:grok_pattern}"])
+    with pytest.raises(ValueError, match="no grok expressions"):
+        grok.grok_parse_any(df, [])
+
+
+def test_grok_parse_works_on_streams(spark, tmp_path):
+    """grok is a pure projection, so it composes with Structured Streaming
+    unchanged: an availableNow drain equals the batch parse row-for-row."""
+    from pyspark.sql import functions as F
+
+    from cefspark import grok
+
+    rows = [(i, f"10.0.0.{i % 9} - u{i} [10/Oct/2025:00:00:00 +0000] "
+                f'"GET /d/{i} HTTP/1.0" 200 {i * 3}') for i in range(40)]
+    src = str(tmp_path / "groksrc")
+    batch_df = spark.createDataFrame(rows, "id long, text string")
+    batch_df.coalesce(2).write.parquet(src)
+    exp = {r["id"]: (r["clientip"], r["bytes"]) for r in
+           grok.grok_parse(batch_df, "%{COMMONAPACHELOG}").collect()}
+
+    stream = (spark.readStream.schema("id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (grok.grok_parse(stream, "%{COMMONAPACHELOG}")
+         .select("id", "clientip", "bytes")
+         .writeStream.format("memory").queryName("grokstream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: (r["clientip"], r["bytes"]) for r in
+           spark.sql("select * from grokstream").collect()}
+    assert got == exp and len(got) == 40
