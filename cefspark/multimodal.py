@@ -88,13 +88,17 @@ WAV_META_SCHEMA = StructType([
 
 
 def build_wav(sample_rate: int, n_frames: int, channels: int = 1,
-              bits_per_sample: int = 16, with_list_chunk: bool = False) -> bytes:
-    """Serialize a real PCM RIFF/WAVE blob with a deterministic sawtooth
-    payload. Readable by any WAV reader (pytest cross-checks with stdlib
-    `wave`)."""
+              bits_per_sample: int = 16, with_list_chunk: bool = False,
+              ieee_float: bool = False) -> bytes:
+    """Serialize a real RIFF/WAVE blob with a deterministic sawtooth
+    payload: 16-bit PCM (format 1) by default, or IEEE float32 (format 3,
+    sawtooth scaled to [-1, 1)) with ``ieee_float=True``. Readable by any
+    WAV reader (pytest cross-checks with stdlib `wave`)."""
     import struct
 
-    if bits_per_sample != 16:
+    if ieee_float:
+        bits_per_sample = 32
+    elif bits_per_sample != 16:
         # the sample packer is '<h'; a different declared width would produce
         # an internally inconsistent blob (fmt says one size, data another)
         raise ValueError("build_wav packs 16-bit PCM only")
@@ -104,9 +108,12 @@ def build_wav(sample_rate: int, n_frames: int, channels: int = 1,
     data = bytearray()
     for i in range(n_frames * channels):
         val = (i * 257) % 65536 - 32768  # deterministic full-range sawtooth
-        data += struct.pack("<h", val)
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
-                      block_align, bits_per_sample)
+        if ieee_float:
+            data += struct.pack("<f", val / 32768.0)
+        else:
+            data += struct.pack("<h", val)
+    fmt = struct.pack("<HHIIHH", 3 if ieee_float else 1, channels,
+                      sample_rate, byte_rate, block_align, bits_per_sample)
     chunks = [(b"fmt ", fmt)]
     if with_list_chunk:  # metadata chunk BEFORE data: parsers must walk, not seek
         info = b"INFOISFT" + struct.pack("<I", 8) + b"cefspark"
@@ -149,7 +156,12 @@ def parse_wav(payload: bytes) -> dict:
     if fmt is None or data_len is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
-    if audio_format != 1:
+    if audio_format == 3:
+        # IEEE-float WAV (format 3): decodable with numpy alone — no codec
+        # library needed. 32- and 64-bit are the spec's float widths.
+        if bits not in (32, 64):
+            raise ValueError(f"IEEE-float WAV with bit depth {bits}")
+    elif audio_format != 1:
         raise NotImplementedError(
             f"non-PCM WAV (format {audio_format}) requires a codec library")
     if block_align == 0:
@@ -159,7 +171,8 @@ def parse_wav(payload: bytes) -> dict:
     n_frames = data_len // block_align
     return {"channels": channels, "sample_rate": sample_rate,
             "bits_per_sample": bits, "n_frames": n_frames,
-            "duration_ms": n_frames * 1000 // sample_rate}
+            "duration_ms": n_frames * 1000 // sample_rate,
+            "audio_format": audio_format}
 
 
 # --- real GIF codec (pure stdlib: GIF89a block walker + fixed-width LZW) ------
@@ -511,7 +524,12 @@ def parse_bmp(payload: bytes) -> dict:
         "<IiiHHI", payload[14:34])
     if hdr_size < 40:
         raise ValueError("unsupported BMP header version")
-    if compression != 0:
+    if compression == 1:
+        # BI_RLE8: spec-legal only at 8 bpp; decodable in pure Python
+        # (decode_bmp_rle8) — no codec library needed
+        if bpp != 8:
+            raise ValueError(f"BI_RLE8 with bit depth {bpp}")
+    elif compression != 0:
         raise NotImplementedError(
             f"compressed BMP (method {compression}) requires a codec library")
     if width <= 0:
@@ -523,22 +541,125 @@ def parse_bmp(payload: bytes) -> dict:
     # 8 stride bytes (ceil(33/32)*4), which the naive byte formula gets wrong
     row_bytes = ((width * bpp + 31) // 32) * 4
     n_pixel_bytes = row_bytes * height
-    if offset + n_pixel_bytes > len(payload):
+    if compression == 0 and offset + n_pixel_bytes > len(payload):
         raise ValueError("truncated BMP pixel array")
     return {"width": width, "height": height, "bits_per_pixel": bpp,
-            "n_pixel_bytes": n_pixel_bytes}
+            "n_pixel_bytes": n_pixel_bytes, "compression": compression}
+
+
+def build_bmp_rle8(width: int, height: int, deltas: bool = False,
+                   uniform_runs: int = 0) -> bytes:
+    """Serialize a real BI_RLE8 (8-bit run-length) BMP of a deterministic
+    runs-of-gradient pattern: row y = runs of value (y*31+r)%256, lengths
+    cycling 1..4 — short runs force the encoder through BOTH encoded-run
+    and absolute-literal modes; ``deltas=True`` ends each row early with a
+    delta escape (dx to the row end) so decoders must implement all four
+    escapes (EOL, EOF, delta, absolute). ``uniform_runs=k`` (width must be
+    a multiple of k) makes every run exactly k long — the decoded pixel at
+    (x, y) is then the CLOSED FORM (y*31 + (x//k)*7) % 256, which the
+    oracle-gated fixture uses."""
+    import struct
+
+    if uniform_runs and width % uniform_runs:
+        raise ValueError("width must be a multiple of uniform_runs")
+    out = bytearray()
+    for y in range(height):
+        x = 0
+        r = 0
+        while x < width:
+            if uniform_runs:
+                run = uniform_runs
+            else:
+                run = min(1 + (y + r) % 4, width - x)
+            val = (y * 31 + r * 7) % 256
+            if run >= 2:
+                out += bytes((run, val))  # encoded run
+            else:
+                # absolute mode needs >= 3 literals; emit a 1-run instead
+                out += bytes((1, val))
+            x += run
+            r += 1
+            if deltas and x >= width - 2 and x < width:
+                out += bytes((0, 2, width - x, 0))  # delta to row end
+                x = width
+        out += bytes((0, 0))  # end of line
+    out += bytes((0, 1))  # end of bitmap
+    palette = b"".join(bytes((i % 256, i % 256, i % 256, 0)) for i in range(256))
+    offset = 14 + 40 + len(palette)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 1,
+                       len(out), 2835, 2835, 256, 0)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(out), 0, 0, offset)
+    return bytes(header + info + palette + out)
+
+
+def decode_bmp_rle8(payload: bytes) -> np.ndarray:
+    """Decode a BI_RLE8 pixel stream to the uncompressed-equivalent pixel
+    array: (height, row_bytes) uint8 palette indices, rows padded to the
+    4-byte stride with zeros and stored bottom-up exactly like the
+    uncompressed layout (so band stats are layout-compatible). Implements
+    all four escapes: 0=EOL, 1=EOF, 2=delta(dx,dy), n>=3 absolute literals
+    (word-aligned). Out-of-bounds writes are typed rejections."""
+    import struct
+
+    meta = parse_bmp(payload)
+    if meta["compression"] != 1:
+        raise ValueError("not an RLE8-compressed BMP")
+    w, h = meta["width"], meta["height"]
+    row_bytes = (w + 3) & ~3
+    offset = struct.unpack("<I", payload[10:14])[0]
+    data = payload[offset:]
+    img = np.zeros((h, row_bytes), np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data):
+        n, b = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("RLE8 run overflows the bitmap")
+            img[y, x:x + n] = b
+            x += n
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            # keep STREAM (bottom-up) row order — the same order the
+            # uncompressed pixel array is stored in, so band stats over the
+            # two layouts are directly comparable
+            return img
+        elif b == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("truncated RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("RLE8 delta out of bounds")
+        else:  # absolute mode: b literal bytes, word-aligned
+            if pos + b > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= h or x + b > w:
+                raise ValueError("RLE8 absolute run overflows the bitmap")
+            img[y, x:x + b] = np.frombuffer(data[pos:pos + b], np.uint8)
+            x += b
+            pos += b + (b % 2)
+    raise ValueError("RLE8 stream missing end-of-bitmap marker")
 
 
 def _bmp_block_stats(payload: bytes) -> list[tuple[int, int]]:
     """Exact integer per-band stats: (sum of pixel bytes, n bytes) for each of
-    FEATURE_DIM np.array_split bands. Integer-exact by construction, so an SQL
-    oracle can reproduce them bit-for-bit from the fixture's closed form."""
+    FEATURE_DIM np.array_split bands — over the stored pixel array for
+    uncompressed BMPs, over the DECODED uncompressed-equivalent array for
+    BI_RLE8 (same padded layout, so the closed form is shared).
+    Integer-exact by construction, so an SQL oracle can reproduce them
+    bit-for-bit from the fixture's closed form."""
     import struct
 
     meta = parse_bmp(payload)
-    offset = struct.unpack("<I", payload[10:14])[0]
-    px = np.frombuffer(payload[offset:offset + meta["n_pixel_bytes"]],
-                       dtype=np.uint8).astype(np.int64)
+    if meta["compression"] == 1:
+        px = decode_bmp_rle8(payload).astype(np.int64).ravel()
+    else:
+        offset = struct.unpack("<I", payload[10:14])[0]
+        px = np.frombuffer(payload[offset:offset + meta["n_pixel_bytes"]],
+                           dtype=np.uint8).astype(np.int64)
     return [(int(b.sum()), len(b)) for b in np.array_split(px, FEATURE_DIM)]
 
 
@@ -963,6 +1084,26 @@ def synthesize_wav_assets(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
+def synthesize_bmp_rle_assets(spark: SparkSession, n: int) -> DataFrame:
+    """BI_RLE8 BMP assets with index-derived dimensions: width a multiple
+    of 4 and uniform 4-runs, so decoded pixels follow the closed form
+    (y*31 + (x//4)*7) % 256 with zero stride padding (w % 4 == 0 ⇒ stride
+    == width) — SQL-restatable for the gate. Built executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_i in pdf["id"]:
+                i = int(raw_i)
+                rows.append((f"rle-{i:06d}", "image",
+                             build_bmp_rle8(4 * (2 + i % 5), 3 + i % 6,
+                                            uniform_runs=4),
+                             {"codec": "bmp_rle8"}))
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
 def synthesize_bmp_assets(spark: SparkSession, n: int) -> DataFrame:
     """Real BMP assets with index-derived dimensions (every 4th carries a
     header-to-pixels gap, so parsers must honor the offset field). Built
@@ -987,12 +1128,14 @@ IMAGE_META_SCHEMA = StructType([
     StructField("height", IntegerType()),
     StructField("bits_per_pixel", IntegerType()),
     StructField("n_pixel_bytes", IntegerType()),
+    StructField("compression", IntegerType()),
 ])
 
 
 def extract_image_meta(df: DataFrame) -> DataFrame:
     """Real image metadata extraction (mapInPandas over BMP payloads)."""
-    meta_cols = ["width", "height", "bits_per_pixel", "n_pixel_bytes"]
+    meta_cols = ["width", "height", "bits_per_pixel", "n_pixel_bytes",
+                 "compression"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1075,6 +1218,19 @@ def _wav_samples(payload: bytes, bits: int = 16) -> np.ndarray:
     return np.frombuffer(data, dtype="<i4").astype(np.int64)
 
 
+def _wav_float_samples(payload: bytes, bits: int) -> np.ndarray:
+    """Samples of an IEEE-float (format 3) WAV data chunk as float64.
+    Nominal full scale is [-1, 1]; values outside are legal and kept."""
+    data = _wav_data_chunk(payload)
+    if bits not in (32, 64):
+        raise ValueError(f"unsupported float bit depth {bits}")
+    if len(data) % (bits // 8):
+        raise ValueError(
+            f"data chunk length {len(data)} is not a whole number of "
+            f"{bits}-bit samples")
+    return np.frombuffer(data, dtype=f"<f{bits // 8}").astype(np.float64)
+
+
 def _wav_block_stats(payload: bytes) -> list[tuple[int, int]]:
     """Exact integer per-block stats: (sum of squared centered samples, n)
     for each of FEATURE_DIM np.array_split blocks, at the native PCM scale
@@ -1083,8 +1239,13 @@ def _wav_block_stats(payload: bytes) -> list[tuple[int, int]]:
     audio (~131k full-scale 24-bit samples per block suffice), so the sum
     accumulates through Python ints over the vectorized squares — exact at
     any length and width. Integer-exact, so an SQL oracle reproduces them
-    from the sawtooth's closed form."""
+    from the sawtooth's closed form. Float (format 3) WAVs have no integer
+    contract — their features flow through :func:`_wav_features` directly."""
     meta = parse_wav(payload)  # container + PCM validation
+    if meta["audio_format"] == 3:
+        raise ValueError(
+            "IEEE-float WAV has no integer block-stat contract; use "
+            "extract_features (float RMS path)")
     v = _wav_samples(payload, meta["bits_per_sample"])
     return [(sum(map(int, b * b)), len(b))
             for b in np.array_split(v, FEATURE_DIM)]
@@ -1092,12 +1253,17 @@ def _wav_block_stats(payload: bytes) -> list[tuple[int, int]]:
 
 def _wav_features(payload: bytes) -> list[float]:
     """Real audio features: per-block RMS envelope (FEATURE_DIM blocks),
-    normalized to [0, 1] — sqrt(sum_sq/n)/half_range, a scalar function of
-    the integer block stats, so the oracle-gated sums transitively cover
-    these. Works for any standard PCM width."""
+    normalized to nominal full scale — sqrt(sum_sq/n)/half_range for PCM (a
+    scalar function of the oracle-gated integer block stats), the direct
+    float RMS for IEEE-float (format 3) WAVs, whose nominal scale is
+    already [-1, 1]."""
     import math
 
     meta = parse_wav(payload)
+    if meta["audio_format"] == 3:
+        v = _wav_float_samples(payload, meta["bits_per_sample"])
+        return [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0
+                for b in np.array_split(v, FEATURE_DIM)]
     half = float(1 << (meta["bits_per_sample"] - 1))
     return [math.sqrt(s / n) / half if n else 0.0
             for s, n in _wav_block_stats(payload)]

@@ -1192,8 +1192,17 @@ def q_multimodal_features(spark, sf_dir):
         "asset_id", "kind", F.lit("png_px").alias("variant"),
         F.col("block_idx").cast("long").alias("block_idx"),
         F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
+    # rle_px: REAL BI_RLE8 decompression — uniform 4-run fixtures give the
+    # decoded pixel the closed form (y*31 + (x//4)*7) % 256 with zero
+    # stride padding, so a hash match proves the run-length walker exactly
+    # reconstructed the uncompressed-equivalent array.
+    rle = multimodal.extract_block_stats(
+        multimodal.synthesize_bmp_rle_assets(spark, n=150)).select(
+        "asset_id", "kind", F.lit("rle_px").alias("variant"),
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
     return (fake_rows.unionByName(wav).unionByName(bmp).unionByName(gif)
-            .unionByName(png))
+            .unionByName(png).unionByName(rle))
 
 
 # np.array_split block index for position j of L items in 16 blocks:
@@ -1272,6 +1281,20 @@ FROM (
   CROSS JOIN generate_series(0, 599) s(p)
   WHERE p < L
 ) q GROUP BY asset_id, b
+UNION ALL
+SELECT asset_id, 'image' AS kind, 'rle_px' AS variant,
+       CAST(b AS BIGINT) AS block_idx,
+       CAST(SUM(val) AS BIGINT) AS m1, CAST(COUNT(*) AS BIGINT) AS m2
+FROM (
+  SELECT printf('rle-%06d', i) AS asset_id,
+         ((p // w) * 31 + ((p % w) // 4) * 7) % 256 AS val,
+         {_BLOCK_IDX_SQL.format(j='p', L='L')} AS b
+  FROM (SELECT i, 4 * (2 + i % 5) AS w,
+               (4 * (2 + i % 5)) * (3 + i % 6) AS L
+        FROM generate_series(0, 149) t(i)) a
+  CROSS JOIN generate_series(0, 223) s(p)
+  WHERE p < L
+) r GROUP BY asset_id, b
 """
 
 
@@ -1364,7 +1387,15 @@ def q_multimodal_codec_meta(spark, sf_dir):
         F.col("height").cast("long").alias("m2"),
         F.col("channels").cast("long").alias("m3"),
         F.col("interlace").cast("long").alias("m4"))
-    return wav.unionByName(bmp).unionByName(png)
+    # bmp_rle: BI_RLE8 containers parse (m4 = compression tag 1)
+    rle = multimodal.extract_image_meta(
+        multimodal.synthesize_bmp_rle_assets(spark, n=150)).select(
+        "asset_id", F.lit("bmp_rle").alias("codec"),
+        F.col("width").cast("long").alias("m1"),
+        F.col("height").cast("long").alias("m2"),
+        F.col("bits_per_pixel").cast("long").alias("m3"),
+        F.col("compression").cast("long").alias("m4"))
+    return wav.unionByName(bmp).unionByName(png).unionByName(rle)
 
 
 O_MULTIMODAL_CODEC_META = """
@@ -1389,6 +1420,13 @@ SELECT printf('png-%06d', i) AS asset_id, 'png' AS codec,
                  WHEN 2 THEN 2 ELSE 4 END AS BIGINT) AS m3,
        CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS m4
 FROM generate_series(0, 159) t(i)
+UNION ALL
+SELECT printf('rle-%06d', i) AS asset_id, 'bmp_rle' AS codec,
+       CAST(4 * (2 + i % 5) AS BIGINT) AS m1,
+       CAST(3 + i % 6 AS BIGINT) AS m2,
+       CAST(8 AS BIGINT) AS m3,
+       CAST(1 AS BIGINT) AS m4
+FROM generate_series(0, 149) t(i)
 """
 
 

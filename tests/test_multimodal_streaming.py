@@ -138,7 +138,7 @@ def test_parse_wav_reads_stdlib_wave_output():
         w.writeframes(struct.pack("<160h", *range(160)))
     meta = multimodal.parse_wav(buf.getvalue())
     assert meta == {"channels": 1, "sample_rate": 8000, "bits_per_sample": 16,
-                    "n_frames": 160, "duration_ms": 20}
+                    "n_frames": 160, "duration_ms": 20, "audio_format": 1}
 
 
 def test_parse_wav_rejects_malformed_and_non_pcm():
@@ -149,10 +149,16 @@ def test_parse_wav_rejects_malformed_and_non_pcm():
 
     with _pytest.raises(ValueError):
         multimodal.parse_wav(b"not a wav at all")
-    # IEEE-float format tag (3): real container, unsupported encoding
+    # format tag 3 (IEEE float) now DECODES when the bit depth is a float
+    # width; a 16-bit blob relabeled float is internally inconsistent and
+    # gets a typed ValueError, and truly exotic formats (ALAW=6) keep the
+    # NotImplementedError
     blob = bytearray(multimodal.build_wav(8000, 10))
     fmt_at = blob.find(b"fmt ") + 8
     blob[fmt_at:fmt_at + 2] = struct.pack("<H", 3)
+    with _pytest.raises(ValueError, match="float WAV with bit depth 16"):
+        multimodal.parse_wav(bytes(blob))
+    blob[fmt_at:fmt_at + 2] = struct.pack("<H", 6)
     with _pytest.raises(NotImplementedError):
         multimodal.parse_wav(bytes(blob))
 
@@ -186,13 +192,17 @@ def test_parse_bmp_honors_pixel_offset_and_rejects_bad_input():
     blob = multimodal.build_bmp(7, 5, with_gap=True)
     meta = multimodal.parse_bmp(blob)
     assert meta == {"width": 7, "height": 5, "bits_per_pixel": 24,
-                    "n_pixel_bytes": 24 * 5}  # rows pad 21 -> 24 bytes
+                    "n_pixel_bytes": 24 * 5,  # rows pad 21 -> 24 bytes
+                    "compression": 0}
     with _pytest.raises(ValueError):
         multimodal.parse_bmp(b"BMtooshort")
     with _pytest.raises(ValueError):
         multimodal.parse_bmp(blob[:40])  # truncated pixel array
     comp = bytearray(blob)
-    comp[30:34] = struct.pack("<I", 1)  # BI_RLE8 compression tag
+    comp[30:34] = struct.pack("<I", 1)  # BI_RLE8 on a 24-bit blob: illegal
+    with _pytest.raises(ValueError, match="BI_RLE8 with bit depth 24"):
+        multimodal.parse_bmp(bytes(comp))
+    comp[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS: genuinely codec work
     with _pytest.raises(NotImplementedError):
         multimodal.parse_bmp(bytes(comp))
 
@@ -1031,3 +1041,87 @@ def test_transform_with_state_matches_applyinpandaswithstate(spark, tmp_path):
                F.max("turn_idx").alias("l")).collect()}
     assert got == exp
     assert all(v[0] == 8 for v in got.values())
+
+
+def test_ieee_float_wav_decodes():
+    """Format-3 (IEEE float32) WAVs parse and produce the same RMS envelope
+    as the equivalent PCM blob (the float sawtooth is the int sawtooth /
+    32768), and the integer block-stat path correctly refuses them."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cefspark import multimodal as mm
+
+    fblob = mm.build_wav(8000, 320, channels=1, ieee_float=True)
+    meta = mm.parse_wav(fblob)
+    assert meta["audio_format"] == 3 and meta["bits_per_sample"] == 32
+    assert meta["n_frames"] == 320
+
+    pcm = mm.build_wav(8000, 320, channels=1)
+    f_feat = mm._wav_features(fblob)
+    p_feat = mm._wav_features(pcm)
+    assert np.allclose(f_feat, p_feat, rtol=1e-6)
+    assert all(0.0 <= x <= 1.01 for x in f_feat)
+    with _pytest.raises(ValueError, match="no integer block-stat contract"):
+        mm._wav_block_stats(fblob)
+    # truncated float data chunk is typed
+    bad = bytearray(fblob)
+    data_at = bad.find(b"data")
+    import struct as _struct
+    (dlen,) = _struct.unpack("<I", bad[data_at + 4:data_at + 8])
+    bad[data_at + 4:data_at + 8] = _struct.pack("<I", dlen - 2)
+    bad2 = bytes(bad[:len(bad) - 2])
+    with _pytest.raises(ValueError):
+        mm._wav_features(bad2)
+
+
+def test_bmp_rle8_decodes():
+    """BI_RLE8 BMPs decode through all four escapes (runs, absolute
+    literals, EOL, delta, EOF) to the uncompressed-equivalent padded
+    layout; malformed streams are typed rejections; the real-decode feature
+    path accepts them."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cefspark import multimodal as mm
+
+    for deltas in (False, True):
+        blob = mm.build_bmp_rle8(11, 6, deltas=deltas)
+        meta = mm.parse_bmp(blob)
+        assert meta["compression"] == 1 and meta["bits_per_pixel"] == 8
+        img = mm.decode_bmp_rle8(blob)
+        assert img.shape == (6, 12)  # 11 -> 12-byte stride
+        assert img[:, 11:].sum() == 0  # pad zeros
+        # reconstruct row 0 (stream order) from the generator's closed rule
+        x = r = 0
+        row = np.zeros(12, np.uint8)
+        while x < 11:
+            run = min(1 + (0 + r) % 4, 11 - x)
+            row[x:x + run] = (0 * 31 + r * 7) % 256
+            x += run
+            r += 1
+            if deltas and x >= 9 and x < 11:
+                x = 11
+        assert (img[0] == row).all()
+
+    # stats/features flow through the RLE decode
+    stats = mm._bmp_block_stats(mm.build_bmp_rle8(9, 4))
+    flat = mm.decode_bmp_rle8(mm.build_bmp_rle8(9, 4)).astype(np.int64).ravel()
+    exp = [(int(b.sum()), len(b)) for b in np.array_split(flat, mm.FEATURE_DIM)]
+    assert stats == exp
+
+    # malformed: run overflowing the row, truncated stream, missing EOF
+    good = bytearray(mm.build_bmp_rle8(5, 2))
+    import struct as _struct
+    offset = _struct.unpack("<I", good[10:14])[0]
+    bad = bytearray(good)
+    bad[offset:offset + 2] = bytes((200, 7))  # 200-run into a 5-wide row
+    with _pytest.raises(ValueError, match="overflows"):
+        mm.decode_bmp_rle8(bytes(bad))
+    with _pytest.raises(ValueError, match="end-of-bitmap"):
+        mm.decode_bmp_rle8(bytes(good[:len(good) - 2]))
+    # RLE8 with a non-8 bit depth is spec-illegal -> typed
+    bad2 = bytearray(good)
+    bad2[28:30] = _struct.pack("<H", 24)
+    with _pytest.raises(ValueError, match="BI_RLE8 with bit depth"):
+        mm.parse_bmp(bytes(bad2))
