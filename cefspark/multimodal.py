@@ -5,11 +5,12 @@ feature-extract / resize / frame-sample are Arrow-batched mapInPandas stages.
 The *Spark-side* contract — schemas, batch shapes, partitioning, UDF
 signatures — is real and tested, and so are the decoders: no image/audio
 libraries ship in this environment, so four pure-stdlib codecs cover the
-three kinds — PCM WAV (RIFF chunk walker), uncompressed BMP (header walk),
-PNG (chunk walk + CRC + zlib inflate + full scanline defilter + Adam7 +
-palette), and GIF87a/89a (block walker + full adaptive LZW pixel decoder).
-They parse arbitrary conformant files, not just this module's builders
-(pytest decodes system PNGs shipped with this OS).
+three kinds — WAV (RIFF walker; every PCM width + IEEE float), BMP (header
+walk; uncompressed + full BI_RLE8 run-length decode), PNG (chunk walk +
+CRC + zlib inflate + full scanline defilter + Adam7 + palette + every
+spec-legal bit depth), and GIF87a/89a (block walker + full adaptive LZW
+pixel decoder). They parse arbitrary conformant files, not just this
+module's builders (pytest decodes system PNGs shipped with this OS).
 `deterministic_fake=True` remains available as a SHA-256 pseudo-codec for
 plumbing tests where container bytes aren't wanted; a production deployment
 would swap richer decoders (PIL / torchaudio / pyav) in behind the same
