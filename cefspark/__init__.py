@@ -16,8 +16,17 @@ Spark-first parse -> enrich -> route -> aggregate pipeline:
 * ``cefspark.dedup``      — exact / MinHash-LSH / SimHash / n-gram-Jaccard deduplication
 * ``cefspark.asof``       — as-of (temporal) join: state-at-event-time enrichment
 * ``cefspark.sketches``   — mergeable HLL distinct-count cubes (rollups without rescan)
-* ``cefspark.similarity`` — embedding cosine top-k + LSH-bucketed ANN
-* ``cefspark.multimodal`` — opaque-binary multimodal column plumbing (decode stubs)
+* ``cefspark.similarity`` — embedding cosine top-k + LSH/IVF ANN (persisted
+  partition-pruned index)
+* ``cefspark.multimodal`` — multimodal binary columns + real pure-stdlib
+  codecs (WAV incl. float, BMP incl. RLE8, PNG all depths, GIF+LZW)
+* ``cefspark.sampling``   — deterministic splits + engine-exact sampling
+* ``cefspark.langid``     — Cavnar-Trenkle trigram language identification
+* ``cefspark.redact``     — PII redaction (email/card/IP/phone regexp chains)
+* ``cefspark.grok``       — grok-style %{PATTERN:field} parsing + pattern library
+* ``cefspark.streaming``  — Structured Streaming mode (windows, state, dedup,
+  SCD-2/as-of enrich, spike alerts)
+* ``cefspark.sources``    — raw-stream framing, binary UTF-8 ingest, JSONL/CSV readers
 
 Everything here derives only from public knowledge: the Apache Spark / PySpark
 API and the behavior of the public reference repo.
