@@ -132,10 +132,11 @@ def grok_parse_any(df: DataFrame, exprs: list[str], text_col: str = "text",
     """First-match-wins over a LIST of grok expressions — the standard grok
     filter configuration for mixed-format log streams (try the specific
     format first, fall back to the generic one). Adds the union of all
-    patterns' fields plus ``match_col`` (the 0-based index of the matching
-    pattern; NULL when none match); a field defined by several patterns is
-    filled by the FIRST matching pattern that defines it, later patterns
-    never overwrite.
+    patterns' fields plus ``match_col`` (the 0-based index of the FIRST
+    matching pattern; NULL when none match). Each row's fields come from
+    its winning pattern ONLY — fields that pattern does not define stay
+    NULL even if a later pattern also matches the row and defines them
+    (one parse per row, logstash-grok `break_on_match` semantics).
 
     Still pure JVM expression work: per pattern one rlike + one
     regexp_extract per field, gated by the first-match predicate — no UDF,

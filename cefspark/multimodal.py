@@ -551,14 +551,14 @@ def parse_bmp(payload: bytes) -> dict:
 def build_bmp_rle8(width: int, height: int, deltas: bool = False,
                    uniform_runs: int = 0) -> bytes:
     """Serialize a real BI_RLE8 (8-bit run-length) BMP of a deterministic
-    runs-of-gradient pattern: row y = runs of value (y*31+r)%256, lengths
-    cycling 1..4 — short runs force the encoder through BOTH encoded-run
-    and absolute-literal modes; ``deltas=True`` ends each row early with a
-    delta escape (dx to the row end) so decoders must implement all four
-    escapes (EOL, EOF, delta, absolute). ``uniform_runs=k`` (width must be
-    a multiple of k) makes every run exactly k long — the decoded pixel at
-    (x, y) is then the CLOSED FORM (y*31 + (x//k)*7) % 256, which the
-    oracle-gated fixture uses."""
+    runs-of-gradient pattern: row y = runs of value (y*31+r*7)%256 with
+    lengths cycling 1..4, emitted as ENCODED RUNS (1-runs included — this
+    builder never uses absolute-literal mode; the decoder's absolute branch
+    is covered by a hand-built stream in pytest). ``deltas=True`` ends each
+    row early with a delta escape (dx to the row end). ``uniform_runs=k``
+    (width must be a multiple of k) makes every run exactly k long — the
+    decoded pixel at (x, y) is then the CLOSED FORM (y*31 + (x//k)*7) %
+    256, which the oracle-gated fixture uses."""
     import struct
 
     if uniform_runs and width % uniform_runs:

@@ -236,18 +236,27 @@ def assign_lists(df: DataFrame, centroids: list, vec_col: str = "embedding",
             .drop("_sims"))
 
 
-def ivf_topk(df: DataFrame, query: Sequence[float], centroids: list, k: int = 5,
-             n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF search: score centroids on the driver, scan only the n_probe
-    closest lists. At scale the lists are the table's partition key, so this
-    is partition pruning, not a filter."""
+def _probe_lists(query: Sequence[float], centroids: list,
+                 n_probe: int) -> list[int]:
+    """The n_probe nearest centroid indices by cosine — the ONE probe-choice
+    definition shared by the in-memory and persisted-index paths (their
+    pytest-pinned result equality depends on identical tie-breaking and
+    epsilon here)."""
     qn = np.asarray(query, dtype=np.float64)
 
     def cos_np(c):
         c = np.asarray(c, dtype=np.float64)
         return float(np.dot(qn, c) / (np.linalg.norm(qn) * np.linalg.norm(c) + 1e-12))
 
-    probe = sorted(range(len(centroids)), key=lambda i: -cos_np(centroids[i]))[:n_probe]
+    return sorted(range(len(centroids)), key=lambda i: -cos_np(centroids[i]))[:n_probe]
+
+
+def ivf_topk(df: DataFrame, query: Sequence[float], centroids: list, k: int = 5,
+             n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF search: score centroids on the driver, scan only the n_probe
+    closest lists. At scale the lists are the table's partition key, so this
+    is partition pruning, not a filter."""
+    probe = _probe_lists(query, centroids, n_probe)
     assigned = assign_lists(df, centroids, vec_col, id_col)
     return (assigned.where(F.col("list_id").isin(probe))
             .select(F.col(id_col), F.round(cosine(F.col(vec_col), _lit_vec(query)), 6).alias("cos"))
@@ -322,13 +331,7 @@ def ivf_index_topk(spark, path: str, query: Sequence[float], k: int = 5,
 
     with open(os.path.join(path, "centroids.json")) as f:
         cents = json.load(f)
-    qn = np.asarray(query, dtype=np.float64)
-
-    def cos_np(c):
-        c = np.asarray(c, dtype=np.float64)
-        return float(np.dot(qn, c) / (np.linalg.norm(qn) * np.linalg.norm(c) + 1e-12))
-
-    probe = sorted(range(len(cents)), key=lambda i: -cos_np(cents[i]))[:n_probe]
+    probe = _probe_lists(query, cents, n_probe)
     lists = spark.read.parquet(os.path.join(path, "lists"))
     return (lists.where(F.col("list_id").isin(probe))
             .select(F.col(id_col),

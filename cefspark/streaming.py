@@ -312,6 +312,17 @@ def conversation_stats_tws(decoded_stream: DataFrame) -> DataFrame:
             "transformWithStateInPandas requires the protobuf package "
             "(its state-server protocol); install protobuf or use "
             "conversation_stats_stream (applyInPandasWithState)")
+    # the operator also requires the RocksDB state store provider — the
+    # default HDFS-backed provider fails the query at start; surface that
+    # as the same typed up-front rejection instead of a mid-query crash
+    provider = decoded_stream.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "") or ""
+    if "RocksDB" not in provider:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the RocksDB state store: "
+            "set spark.sql.streaming.stateStore.providerClass="
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider (or use conversation_stats_stream)")
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 

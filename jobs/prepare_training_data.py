@@ -96,17 +96,18 @@ def main() -> None:
         & F.col("n_tokens").between(args.min_tokens, args.max_tokens)
     ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
 
-    # 3. exact dedup: min-id representative per distinct text
-    reps = dedup.exact_dedup(kept, ["text"]).select("doc_id")
-    deduped = kept.join(reps, "doc_id")  # doc_id unique both sides
+    # 3. exact dedup: min-id representative per distinct text, as a WINDOW
+    # over text (one shuffle, single-path plan) rather than agg + self-join:
+    # leaner, and the kept subtree appears exactly ONCE so the Observation
+    # count is unambiguous by construction
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    deduped = (kept.withColumn("_rn", rn).where(F.col("_rn") == 1)
+               .drop("_rn"))
     dedup_path = os.path.join(out, "_deduped")
     deduped.write.mode("overwrite").parquet(dedup_path)
-    # one named CollectMetrics node reports once per action even though the
-    # kept subtree feeds both sides of the dedup self-join (verified; the
-    # clamp guards a future planner that fires it per-subtree)
     n_after_quality = obs_kept.get["n"]
-    if n_after_quality > n_input:
-        n_after_quality //= 2
     deduped = spark.read.parquet(dedup_path)  # cut lineage; stages 4-6 rescan
     n_deduped = deduped.count()
 

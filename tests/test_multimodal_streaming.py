@@ -1016,6 +1016,11 @@ def test_transform_with_state_matches_applyinpandaswithstate(spark, tmp_path):
                 decode_dataframe(stream0, columns=["error"]))
         return
 
+    # the API further needs the RocksDB state store; configure it for this
+    # drain (the operator raises the same typed error when it is absent)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     src = str(tmp_path / "tws_in")
     sdf = spark.createDataFrame(fixtures.transcripts_pdf(800))
     sdf.where(F.col("turn_idx") < 4).coalesce(2).write.parquet(src)
@@ -1125,3 +1130,49 @@ def test_bmp_rle8_decodes():
     bad2[28:30] = _struct.pack("<H", 24)
     with _pytest.raises(ValueError, match="BI_RLE8 with bit depth"):
         mm.parse_bmp(bytes(bad2))
+
+
+def test_bmp_rle8_absolute_mode_hand_built():
+    """The decoder's absolute-literal branch (n=0, b>=3 literals,
+    word-aligned) against a HAND-BUILT stream another encoder could emit —
+    the library builder never uses absolute mode, so this covers the branch
+    with explicit bytes: odd-length literals need a pad byte, and a
+    truncated literal block is typed."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cefspark import multimodal as mm
+
+    def wrap(stream, w, h):
+        palette = b"\x00" * 1024
+        offset = 14 + 40 + len(palette)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                           len(stream), 2835, 2835, 256, 0)
+        header = struct.pack("<2sIHHI", b"BM", offset + len(stream), 0, 0, offset)
+        return bytes(header + info + palette + stream)
+
+    # row0: run of 2 x 9, absolute [5,6,7] (odd -> pad), run 1 x 1; row1:
+    # absolute [1,2,3,4] (even, no pad), run 2 x 8
+    stream = bytes((2, 9, 0, 3, 5, 6, 7, 0,  # 3 literals + pad byte
+                    1, 1, 0, 0,              # 1-run, EOL
+                    0, 4, 1, 2, 3, 4,        # 4 literals, no pad
+                    2, 8, 0, 0,              # run, EOL
+                    0, 1))                   # EOF
+    img = mm.decode_bmp_rle8(wrap(stream, 6, 2))
+    assert img.shape == (2, 8)  # 6 -> 8-byte stride
+    assert img[0, :6].tolist() == [9, 9, 5, 6, 7, 1]
+    assert img[1, :6].tolist() == [1, 2, 3, 4, 8, 8]
+    assert img[:, 6:].sum() == 0
+
+    # absolute run overflowing the row is typed
+    bad = bytes((0, 5, 1, 2, 3, 4, 5, 0,  # 5 literals into x=4 remaining...
+                 0, 0, 0, 1))
+    full = bytes((2, 9,)) + bad
+    with _pytest.raises(ValueError, match="overflows"):
+        mm.decode_bmp_rle8(wrap(full, 6, 2))
+    # truncated literal block is typed
+    trunc = bytes((0, 4, 1, 2))
+    with _pytest.raises(ValueError, match="truncated RLE8 absolute"):
+        mm.decode_bmp_rle8(wrap(trunc, 6, 2))
