@@ -467,7 +467,11 @@ def synthesize_gif_assets(spark: SparkSession, n: int) -> DataFrame:
                              {"codec": "gif"}))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+    # right-size the synthesis stage: these fixture tables are a few
+    # hundred rows, so default-parallelism partitioning (32+) would spend
+    # more on empty-task scheduling than on building/decoding the blobs
+    return spark.range(0, n, 1, min(16, max(1, n // 10))).mapInPandas(
+        gen, schema=ASSET_SCHEMA)
 
 
 def extract_gif_meta(df: DataFrame) -> DataFrame:
@@ -1042,7 +1046,11 @@ def synthesize_png_assets(spark: SparkSession, n: int) -> DataFrame:
                              {"codec": "png"}))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+    # right-size the synthesis stage: these fixture tables are a few
+    # hundred rows, so default-parallelism partitioning (32+) would spend
+    # more on empty-task scheduling than on building/decoding the blobs
+    return spark.range(0, n, 1, min(16, max(1, n // 10))).mapInPandas(
+        gen, schema=ASSET_SCHEMA)
 
 
 def extract_png_meta(df: DataFrame) -> DataFrame:
@@ -1082,7 +1090,11 @@ def synthesize_wav_assets(spark: SparkSession, n: int) -> DataFrame:
                              {"codec": "wav"}))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+    # right-size the synthesis stage: these fixture tables are a few
+    # hundred rows, so default-parallelism partitioning (32+) would spend
+    # more on empty-task scheduling than on building/decoding the blobs
+    return spark.range(0, n, 1, min(16, max(1, n // 10))).mapInPandas(
+        gen, schema=ASSET_SCHEMA)
 
 
 def synthesize_bmp_rle_assets(spark: SparkSession, n: int) -> DataFrame:
@@ -1102,7 +1114,11 @@ def synthesize_bmp_rle_assets(spark: SparkSession, n: int) -> DataFrame:
                              {"codec": "bmp_rle8"}))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+    # right-size the synthesis stage: these fixture tables are a few
+    # hundred rows, so default-parallelism partitioning (32+) would spend
+    # more on empty-task scheduling than on building/decoding the blobs
+    return spark.range(0, n, 1, min(16, max(1, n // 10))).mapInPandas(
+        gen, schema=ASSET_SCHEMA)
 
 
 def synthesize_bmp_assets(spark: SparkSession, n: int) -> DataFrame:
@@ -1120,7 +1136,11 @@ def synthesize_bmp_assets(spark: SparkSession, n: int) -> DataFrame:
                              {"codec": "bmp"}))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+    # right-size the synthesis stage: these fixture tables are a few
+    # hundred rows, so default-parallelism partitioning (32+) would spend
+    # more on empty-task scheduling than on building/decoding the blobs
+    return spark.range(0, n, 1, min(16, max(1, n // 10))).mapInPandas(
+        gen, schema=ASSET_SCHEMA)
 
 
 IMAGE_META_SCHEMA = StructType([

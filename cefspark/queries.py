@@ -1197,7 +1197,7 @@ def q_multimodal_features(spark, sf_dir):
     # stride padding, so a hash match proves the run-length walker exactly
     # reconstructed the uncompressed-equivalent array.
     rle = multimodal.extract_block_stats(
-        multimodal.synthesize_bmp_rle_assets(spark, n=150)).select(
+        multimodal.synthesize_bmp_rle_assets(spark, n=60)).select(
         "asset_id", "kind", F.lit("rle_px").alias("variant"),
         F.col("block_idx").cast("long").alias("block_idx"),
         F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
@@ -1291,7 +1291,7 @@ FROM (
          {_BLOCK_IDX_SQL.format(j='p', L='L')} AS b
   FROM (SELECT i, 4 * (2 + i % 5) AS w,
                (4 * (2 + i % 5)) * (3 + i % 6) AS L
-        FROM generate_series(0, 149) t(i)) a
+        FROM generate_series(0, 59) t(i)) a
   CROSS JOIN generate_series(0, 223) s(p)
   WHERE p < L
 ) r GROUP BY asset_id, b
@@ -1389,7 +1389,7 @@ def q_multimodal_codec_meta(spark, sf_dir):
         F.col("interlace").cast("long").alias("m4"))
     # bmp_rle: BI_RLE8 containers parse (m4 = compression tag 1)
     rle = multimodal.extract_image_meta(
-        multimodal.synthesize_bmp_rle_assets(spark, n=150)).select(
+        multimodal.synthesize_bmp_rle_assets(spark, n=60)).select(
         "asset_id", F.lit("bmp_rle").alias("codec"),
         F.col("width").cast("long").alias("m1"),
         F.col("height").cast("long").alias("m2"),
@@ -1426,7 +1426,7 @@ SELECT printf('rle-%06d', i) AS asset_id, 'bmp_rle' AS codec,
        CAST(3 + i % 6 AS BIGINT) AS m2,
        CAST(8 AS BIGINT) AS m3,
        CAST(1 AS BIGINT) AS m4
-FROM generate_series(0, 149) t(i)
+FROM generate_series(0, 59) t(i)
 """
 
 
