@@ -113,6 +113,12 @@ def grok_parse(df: DataFrame, expr: str, text_col: str = "text",
         # resolve against the first capture instead of the line
         raise ValueError(
             f"grok field {text_col!r} collides with the source column")
+    clash = set(fields) & set(df.columns)
+    if clash:
+        # ADVICE r5: withColumn silently overwrites ANY pre-existing column,
+        # not just the source — reject rather than drop user data
+        raise ValueError(
+            f"grok fields {sorted(clash)} collide with existing columns")
     if anchored:
         pattern = f"^(?:{pattern})$"
     t = F.col(text_col)
@@ -155,6 +161,10 @@ def grok_parse_any(df: DataFrame, exprs: list[str], text_col: str = "text",
                 raise ValueError(
                     f"grok field {reserved!r} collides with the "
                     f"{'source' if reserved == text_col else 'match'} column")
+        clash = set(fields) & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"grok fields {sorted(clash)} collide with existing columns")
         compiled.append((f"^(?:{pattern})$", fields))
     t = F.col(text_col)
     matches = [t.rlike(p) for p, _ in compiled]

@@ -44,10 +44,18 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     shape: a few LARGE parquet files are splittable (Spark already fans
     them out by byte range), so the fan-out only triggers when the listed
     files are few AND small (< ~32 MB total — the one-row-group fixture
-    profile); non-file-backed frames (empty listing) are left alone.
+    profile). Non-file-backed frames (empty listing: createDataFrame /
+    in-memory relations) fall back to the old partition-count probe —
+    that probe costs a plan-to-RDD conversion, but only on the path where
+    the cheap listing told us nothing (ADVICE r5: the registry always
+    feeds file-backed frames, so the fallback is free there).
     """
     par = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
+    if not files:
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        return df
     if 0 < len(files) < par:
         total = 0
         for f in files:

@@ -64,7 +64,15 @@ def redact_text(col: Column) -> Column:
 
 
 def pii_count(col: Column, class_name: str) -> Column:
-    """Match count for one PII class (pre-redaction text)."""
+    """Match count for one PII class, evaluated INDEPENDENTLY on the
+    pre-redaction text. This is the audit contract: counts answer "how much
+    of each class did the original contain", not "how many replacements did
+    the sequential chain perform" — when one class's match lies inside a
+    span an earlier class already consumed (e.g. a dotted-quad inside a
+    masked URL), the chain replaces fewer times than this counts. Counting
+    against the progressively-redacted text would make ``n_<class>`` depend
+    on chain order, which is the less useful audit number (ADVICE r5:
+    documented divergence, deliberate)."""
     for name, pattern, _ in PII_CLASSES:
         if name == class_name:
             return F.regexp_count(col, F.lit(pattern))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import time
 import uuid
 from contextlib import contextmanager
@@ -117,7 +118,17 @@ class ManifestTable:
         """Exclusive advisory lock on the table root. ``O_CREAT|O_EXCL`` is
         atomic on POSIX local and NFS filesystems; on object stores a real
         catalog (the ManifestTable seam) provides the compare-and-swap
-        instead."""
+        instead.
+
+        The lockfile records ``pid hostname epoch`` so stale-breaking can
+        verify the holder is actually dead: a same-host holder whose pid is
+        still alive is NEVER broken, however old the lock (a >60s GC/NFS
+        pause must not lose its critical section). Cross-host or unreadable
+        holders fall back to the age rule — the best an advisory file lock
+        can do; the catalog seam is the real answer for multi-host commits.
+        The deadline is honored on EVERY loop iteration, including the
+        stale path, so a stale-but-unremovable lock raises instead of
+        spinning forever."""
         lock = os.path.join(self.root, "COMMIT.lock")
         deadline = time.monotonic() + timeout
         while True:
@@ -130,16 +141,16 @@ class ManifestTable:
                              > self._STALE_LOCK_SECONDS)
                 except FileNotFoundError:
                     continue  # holder released between open and stat
-                if stale:
+                if stale and not self._holder_alive(lock):
                     self._break_stale_lock(lock)
-                    continue
                 if time.monotonic() >= deadline:
                     raise ConcurrentCommitError(
                         f"could not acquire {lock} within {timeout}s; "
                         "another committer holds it") from None
                 time.sleep(0.01)
         try:
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.write(fd, f"{os.getpid()} {socket.gethostname()} "
+                         f"{time.time()}".encode())
             os.close(fd)
             yield
         finally:
@@ -147,6 +158,27 @@ class ManifestTable:
                 os.unlink(lock)
             except FileNotFoundError:
                 pass
+
+    @staticmethod
+    def _holder_alive(lock: str) -> bool:
+        """True when the lockfile names a live same-host process. Unreadable,
+        empty (racer mid-write), garbage, or other-host lockfiles return
+        False — liveness unknowable, the age rule decides alone."""
+        try:
+            with open(lock, "rb") as f:
+                parts = f.read().decode("utf-8", "replace").split()
+            pid, host = int(parts[0]), parts[1]
+        except (OSError, ValueError, IndexError):
+            return False
+        if host != socket.gethostname():
+            return False
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
 
     def _break_stale_lock(self, lock: str) -> None:
         """Remove a crashed committer's lockfile without the unlink-by-path
@@ -172,7 +204,9 @@ class ManifestTable:
         try:
             os.close(bfd)
             try:
-                if time.time() - os.path.getmtime(lock) > self._STALE_LOCK_SECONDS:
+                if (time.time() - os.path.getmtime(lock)
+                        > self._STALE_LOCK_SECONDS
+                        and not self._holder_alive(lock)):
                     os.unlink(lock)
             except FileNotFoundError:
                 pass  # released naturally in the meantime

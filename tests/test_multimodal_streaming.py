@@ -798,8 +798,9 @@ def test_decode_png_palette_path():
 
 def test_png_real_world_files_decode():
     """The walker parses arbitrary conformant files, not just its own
-    builder's output: system PNGs (greyscale, RGBA, palette) decode; a
-    sub-8-bit one hits the typed NotImplementedError."""
+    builder's output: system PNGs (greyscale, RGBA, palette) decode,
+    including the sub-8-bit palette favicon (all spec-legal bit depths
+    decode since r5)."""
     import os
 
     import pytest
@@ -821,7 +822,8 @@ def test_png_real_world_files_decode():
         assert meta["color_type"] == ct
         px = mm.decode_png_pixels(b)
         assert px.shape == (meta["height"], meta["width"], out_ch)
-    assert seen >= 1
+    if seen == 0:
+        pytest.skip("no system PNG fixtures present on this host")
     deep = "/usr/share/gitweb/static/git-favicon.png"  # 2-bit palette
     if os.path.exists(deep):
         b = open(deep, "rb").read()

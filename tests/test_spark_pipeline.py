@@ -4,13 +4,14 @@ and snapshot/resume. (North-rule gates: per-turn decoded-text equality under
 stable (conv_id, turn_idx) ordering; routed-row equality; per-sink counts.)"""
 
 import os
+import subprocess
 import time
 
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from cefspark import fixtures, pipeline
+from cefspark import fixtures, pipeline, storage
 from cefspark.parser import DecodeConfig, decode_batch
 from cefspark.storage import ManifestTable, list_input_files
 from cefspark.udfs import decode_dataframe, encode_dataframe, ext
@@ -517,6 +518,37 @@ def test_stale_commit_lock_is_broken(tmp_path, spark):
     _os.utime(lock, (old, old))
     df = spark.createDataFrame(fixtures.transcripts_pdf(5))
     snap = table.commit(df, inputs=[])
+    assert table.latest_snapshot_id() == snap.snapshot_id
+    assert not lock.exists()
+
+
+def test_old_lock_of_live_holder_is_not_broken(tmp_path, spark):
+    """ADVICE r5: a live committer paused >60s (GC/NFS stall) must NOT have
+    its lock broken mid-critical-section. The lockfile names pid+host; a
+    same-host pid that is still alive defeats the age rule, and the waiter
+    honors its deadline on the stale path instead of spinning."""
+    import os as _os
+    import socket as _socket
+
+    table = ManifestTable(str(tmp_path / "t"))
+    lock = tmp_path / "t" / "COMMIT.lock"
+    # "paused holder": our own (definitely live) pid, hour-old mtime
+    lock.write_text(f"{_os.getpid()} {_socket.gethostname()} 0")
+    old = time.time() - 3600
+    _os.utime(lock, (old, old))
+    df = spark.createDataFrame(fixtures.transcripts_pdf(5))
+    t0 = time.monotonic()
+    with pytest.raises(storage.ConcurrentCommitError):
+        table.commit(df, inputs=[], lock_timeout=0.5)
+    assert time.monotonic() - t0 < 10  # deadline honored, no spin
+    assert lock.exists()  # the live holder's lock survived
+
+    # same age, but a dead same-host pid: broken and the commit proceeds
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock.write_text(f"{proc.pid} {_socket.gethostname()} 0")
+    _os.utime(lock, (old, old))
+    snap = table.commit(df, inputs=[], lock_timeout=30)
     assert table.latest_snapshot_id() == snap.snapshot_id
     assert not lock.exists()
 
