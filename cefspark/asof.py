@@ -37,12 +37,15 @@ fill would pick an arbitrary one. Aggregate first (as `q_event_sessions`
 does with a groupBy-max) — this function asserts nothing at runtime because
 the check would cost a full shuffle of its own.
 
-Known scale limitation, documented not hidden: a single key whose combined
-event+state row count exceeds one task's sort budget (billions of rows under
-ONE key) serializes in that task. The standard mitigation — time-chunk the
-partition key and carry each chunk's last state forward as a boundary row —
-is a planning-level change left to callers with that shape; TPC-H-like and
-log workloads key by user/device/tenant and stay far below it.
+Hot-key scale: a single key whose combined event+state row count exceeds
+one task's sort budget (billions of rows under ONE key) would serialize in
+that task. The opt-in ``chunk_ms`` parameter applies the standard
+mitigation — time-chunk the partition key and carry each chunk's last state
+forward as a boundary row — so the hot key's sort splits across
+``span/chunk_ms`` tasks while staying bit-identical to the unchunked path
+(property-tested). Leave it off for workloads keyed by user/device/tenant,
+whose per-key volumes sit far below a task's budget: chunking costs one
+extra small aggregation + a tiny per-key carry window.
 
 No counterpart exists in the reference codec (logstash-codec-cef operates
 per line); this module belongs to the training-data-pipeline extensions.
@@ -60,6 +63,8 @@ _TAG = "__asof_is_left"
 _TS = "__asof_ts"
 _STATE = "__asof_state"
 _STATE_TS = "__asof_state_ts"
+_CHUNK = "__asof_chunk"
+_CARRY = "__asof_carry"
 
 
 def asof_join(
@@ -71,6 +76,7 @@ def asof_join(
     value_cols: Sequence[str],
     tolerance_ms: Optional[int] = None,
     keep_state_ts: Optional[str] = None,
+    chunk_ms: Optional[int] = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join; returns all of ``left``'s columns plus
     ``value_cols`` from the latest ``right`` row with
@@ -83,6 +89,14 @@ def asof_join(
     state columns. ``tolerance_ms`` requires both timestamp columns to be
     TimestampType — on a numeric epoch column the implied cast would
     silently reinterpret millis as seconds, so that is rejected instead.
+
+    ``chunk_ms`` opts into hot-key time-chunking: the window partitions on
+    ``(key, floor(ts/chunk_ms))`` instead of ``key`` alone, and each chunk
+    is seeded with a boundary row carrying the latest state from all
+    earlier chunks, so a single key spanning billions of rows sorts in
+    ``span/chunk_ms`` parallel tasks instead of one. Results are
+    bit-identical to the unchunked path. Requires TIMESTAMP (not _NTZ)
+    columns for the same cast-safety reason as ``tolerance_ms``.
     """
     value_cols = list(value_cols)
     if not value_cols:
@@ -90,7 +104,7 @@ def asof_join(
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
-    reserved = {_TAG, _TS, _STATE, _STATE_TS}
+    reserved = {_TAG, _TS, _STATE, _STATE_TS, _CHUNK, _CARRY}
     bad = (reserved & set(value_cols)) | (reserved & set(left.columns))
     if bad:
         raise ValueError(f"reserved internal column names in input: {sorted(bad)}")
@@ -106,6 +120,16 @@ def asof_join(
                     f"tolerance_ms requires timestamp columns; {c!r} is "
                     f"{t!r} (a numeric epoch column would be reinterpreted "
                     f"as seconds by a cast)")
+    if chunk_ms is not None:
+        if chunk_ms <= 0:
+            raise ValueError("chunk_ms must be positive")
+        for df_, c in ((left, left_ts), (right, right_ts)):
+            t = dict(df_.dtypes).get(c, "")
+            if t != "timestamp":
+                raise ValueError(
+                    f"chunk_ms requires TIMESTAMP columns; {c!r} is {t!r} "
+                    "(numeric epochs would be reinterpreted by a cast, and "
+                    "TIMESTAMP_NTZ has no epoch to chunk on)")
 
     ev = (left
           .withColumn(_TS, F.col(left_ts))
@@ -116,15 +140,50 @@ def asof_join(
                   F.col(right_ts).alias(_TS),
                   *[F.col(c) for c in value_cols])
           .withColumn(_TAG, F.lit(0)))
-    u = ev.unionByName(st, allowMissingColumns=True)
 
-    w = (Window.partitionBy(key)
+    struct_of_row = F.struct(F.col(_TS).alias(_STATE_TS),
+                             *[F.col(c) for c in value_cols])
+    if chunk_ms is None:
+        u = ev.unionByName(st, allowMissingColumns=True)
+        part = [F.col(key)]
+        state_struct = F.when(F.col(_TAG) == 0, struct_of_row)
+    else:
+        chunk_of = F.floor(F.unix_millis(F.col(_TS)) / F.lit(int(chunk_ms)))
+        ev = ev.withColumn(_CHUNK, chunk_of)
+        st = st.withColumn(_CHUNK, chunk_of)
+        # latest state per (key, chunk): small relation, one row per chunk
+        per_chunk = (st.groupBy(key, _CHUNK)
+                     .agg(F.max_by(struct_of_row, F.col(_TS)).alias(_STATE)))
+        # chunk spine = every (key, chunk) holding events OR states, so a
+        # state-free event chunk still receives its boundary row
+        spine = (ev.where(F.col(_CHUNK).isNotNull())
+                 .select(key, _CHUNK).distinct()
+                 .unionByName(per_chunk.select(key, _CHUNK)).distinct())
+        carry_w = (Window.partitionBy(key).orderBy(_CHUNK)
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        carried = (spine
+                   .join(per_chunk, [key, _CHUNK], "left")
+                   .withColumn(_CARRY,
+                               F.last(F.col(_STATE), ignorenulls=True)
+                               .over(carry_w))
+                   .where(F.col(_CARRY).isNotNull())
+                   # _TS NULL sorts first within the chunk (asc_nulls_first):
+                   # the boundary state precedes every real row, and real
+                   # null-ts events live in the NULL chunk, never here
+                   .select(F.col(key), F.col(_CHUNK),
+                           F.lit(None).cast(dict(ev.dtypes)[_TS]).alias(_TS),
+                           F.lit(-1).alias(_TAG), F.col(_CARRY)))
+        u = (ev.unionByName(st, allowMissingColumns=True)
+             .withColumn(_CARRY, F.lit(None).cast(
+                 dict(carried.dtypes)[_CARRY]))
+             .unionByName(carried, allowMissingColumns=True))
+        part = [F.col(key), F.col(_CHUNK)]
+        state_struct = F.coalesce(F.when(F.col(_TAG) == 0, struct_of_row),
+                                  F.col(_CARRY))
+
+    w = (Window.partitionBy(*part)
          .orderBy(F.col(_TS).asc_nulls_first(), F.col(_TAG))
          .rowsBetween(Window.unboundedPreceding, 0))
-    state_struct = F.when(
-        F.col(_TAG) == 0,
-        F.struct(F.col(_TS).alias(_STATE_TS),
-                 *[F.col(c) for c in value_cols]))
     filled = (u
               .withColumn(_STATE, F.last(state_struct, ignorenulls=True).over(w))
               .where(F.col(_TAG) == 1))
@@ -157,6 +216,7 @@ def interval_join(
     valid_to: str,
     value_cols: Sequence[str],
     keep_state_ts: Optional[str] = None,
+    chunk_ms: Optional[int] = None,
 ) -> DataFrame:
     """Point-in-interval lookup for per-key NON-OVERLAPPING validity
     intervals (the SCD-2 / slowly-changing-dimension shape: config versions,
@@ -180,7 +240,8 @@ def interval_join(
     r = right.withColumnRenamed(valid_to, _TO)
     enriched = asof_join(left, r, key, left_ts, valid_from,
                          value_cols + [_TO],
-                         keep_state_ts=keep_state_ts or _TS)
+                         keep_state_ts=keep_state_ts or _TS,
+                         chunk_ms=chunk_ms)
     alive = F.col(_TO).isNull() | (F.col(left_ts) < F.col(_TO))
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [F.when(alive, F.col(c)).alias(c) for c in value_cols]

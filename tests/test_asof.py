@@ -182,3 +182,112 @@ def test_asof_plan_is_one_shuffle_no_python(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "EvalPython" not in plan
     assert "Join" not in plan  # the whole point: no join node, no explosion
+
+
+def _chunk_parity(spark, events, states, chunk_ms, **kw):
+    base = asof_join(events, states, key="k", left_ts="ts",
+                     right_ts="valid_from", value_cols=["state_id", "cfg"],
+                     keep_state_ts="state_ts", **kw)
+    chunked = asof_join(events, states, key="k", left_ts="ts",
+                        right_ts="valid_from", value_cols=["state_id", "cfg"],
+                        keep_state_ts="state_ts", chunk_ms=chunk_ms, **kw)
+    a = base.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = chunked.toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_asof_chunked_bit_identical(spark):
+    """VERDICT r4 #6 / r5 #2: the opt-in hot-key time-chunking must be
+    bit-identical to the unchunked path across chunk widths that produce
+    many chunks, a few chunks, state-free chunks (boundary carry across
+    gaps), and one chunk (degenerate — pure overhead, same answer)."""
+    events, states = _fixture_frames(spark)
+    for chunk_ms in (60_000,          # ~1440 chunks over the day span
+                     3_600_000,       # 24 chunks
+                     7 * 86_400_000): # everything in one chunk
+        _chunk_parity(spark, events, states, chunk_ms)
+    # with tolerance: the carried struct must keep the ORIGINAL state ts
+    _chunk_parity(spark, events, states, 3_600_000, tolerance_ms=7_200_000)
+
+
+def test_asof_chunked_property_random_timelines(spark):
+    """Seeded randomized parity: sparse states, dense bursts, exact ties,
+    null event timestamps, keys with no states at all."""
+    import random
+
+    rng = random.Random(20260817)
+    base = 1_700_000_000_000
+    ev, st = [], []
+    for i in range(600):
+        k = rng.randrange(5)
+        ts = None if rng.random() < 0.05 else base + rng.randrange(0, 10**7)
+        ev.append((i, k, ts))
+    for j in range(80):
+        k = rng.randrange(4)  # key 4 never gets a state
+        ts = base + rng.randrange(0, 10**7)
+        st.append((j, k, ts, f"s{j}"))
+    st.append((900, 0, ev[0][2] or base, "tie0"))  # exact tie with event 0
+    events = spark.createDataFrame(
+        ev, "event_id long, k long, ts_ms long").select(
+        "event_id", "k", F.timestamp_millis("ts_ms").alias("ts"))
+    states = spark.createDataFrame(
+        st, "state_id long, k long, ts_ms long, cfg string").select(
+        "state_id", "k", F.timestamp_millis("ts_ms").alias("valid_from"),
+        "cfg")
+    for chunk_ms in (97_000, 1_000_003):  # odd widths: ties straddle edges
+        _chunk_parity(spark, events, states, chunk_ms)
+
+
+def test_asof_chunked_rejections(spark):
+    events = spark.createDataFrame([(1, 0, 1000)],
+                                   "event_id long, k long, t long")
+    states = spark.createDataFrame([(0, 900, "s")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="TIMESTAMP"):
+        asof_join(events, states, key="k", left_ts="t", right_ts="t",
+                  value_cols=["v"], chunk_ms=1000)
+    ev_ts = events.select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    st_ts = states.select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    with pytest.raises(ValueError, match="positive"):
+        asof_join(ev_ts, st_ts, key="k", left_ts="ts", right_ts="ts",
+                  value_cols=["v"], chunk_ms=0)
+
+
+def test_asof_chunked_window_partitions_on_chunk(spark):
+    """The scale contract itself: the chunked plan's window partitions on
+    (key, chunk) — the hot key's sort really is split — and stays
+    join-free/Python-free."""
+    events, states = _fixture_frames(spark)
+    out = asof_join(events, states, key="k", left_ts="ts",
+                    right_ts="valid_from", value_cols=["cfg"],
+                    chunk_ms=3_600_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_chunk" in plan
+    assert re.search(r"windowspecdefinition\(k.*__asof_chunk", plan)
+    assert "EvalPython" not in plan
+    # the spine->per_chunk boundary join is allowed (it runs over the tiny
+    # per-(key,chunk) relation, not event volume); what must NOT appear is
+    # any pair-exploding join shape
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_chunked_parity(spark):
+    events = spark.createDataFrame(
+        [(i, i % 3, 1_700_000_000_000 + i * 37_000) for i in range(200)],
+        "event_id long, k long, ts_ms long").select(
+        "event_id", "k", F.timestamp_millis("ts_ms").alias("ts"))
+    states = spark.createDataFrame(
+        [(j, j % 3, 1_700_000_000_000 + j * 500_000,
+          None if j % 4 == 0 else 1_700_000_000_000 + j * 500_000 + 400_000,
+          f"v{j}") for j in range(12)],
+        "state_id long, k long, f_ms long, to_ms long, v string").select(
+        "state_id", "k", F.timestamp_millis("f_ms").alias("f"),
+        F.timestamp_millis("to_ms").alias("to"), "v")
+    base = interval_join(events, states, key="k", left_ts="ts",
+                         valid_from="f", valid_to="to", value_cols=["v"])
+    chunked = interval_join(events, states, key="k", left_ts="ts",
+                            valid_from="f", valid_to="to", value_cols=["v"],
+                            chunk_ms=250_000)
+    a = base.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = chunked.toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
