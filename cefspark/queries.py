@@ -883,7 +883,43 @@ def q_cef_raw_lines(spark, sf_dir):
         F.col("clientip").alias("s1"),
         F.when(F.col("clientip").isNotNull(),
                F.concat_ws("/", "verb", "response", "bytes")).alias("s2"))
-    return cef.unionByName(gk)
+
+    # grok_any variant (VERDICT r5 #4): first-match-wins over a mixed-format
+    # stream — syslog-shaped lines must win pattern 0, request-shaped lines
+    # fall through to pattern 1, garbage matches neither — plus TYPED
+    # captures: pid/status land as BIGINT and lat as DOUBLE (s2 does double
+    # arithmetic on lat, so a string capture could not fake it). The oracle
+    # restates the pre-parse closed forms; lat = (event_id%4)/4 is exactly
+    # representable, so lat*4 is exact integer math in both engines.
+    sys_line = F.concat(
+        F.lit("Nov  7 03:12:45 host-"), (eid % 50).cast("string"),
+        F.lit(".example.com app["), (eid % 30000 + 1).cast("string"),
+        F.lit("]: restart "), eid.cast("string"))
+    lat_str = F.element_at(
+        F.array(F.lit("0.0"), F.lit("0.25"), F.lit("0.5"), F.lit("0.75")),
+        (eid % 4).cast("int") + 1)
+    req_line = F.concat(
+        F.lit("GET /api/p/"), eid.cast("string"), F.lit(" "),
+        (200 + (eid % 4) * 100).cast("string"), F.lit(" "), lat_str)
+    mixed_df = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(eid % 13 == 0, F.lit("not a log line"))
+        .when(eid % 3 == 0, sys_line).otherwise(req_line).alias("text"))
+    parsed_any = grok.grok_parse_any(mixed_df, [
+        r"%{SYSLOGTIMESTAMP:ts} %{HOSTNAME:host} %{PROG:prog}"
+        r"\[%{INT:pid:int}\]: %{GREEDYDATA:msg}",
+        r"%{WORD:verb} %{URIPATH:path} %{INT:status:int} %{NUMBER:lat:float}",
+    ])
+    ga = parsed_any.select(
+        F.lit("grok_any").alias("variant"), "event_id",
+        F.concat(F.col("grok_pattern").cast("string"), F.lit(":"),
+                 F.coalesce("host", "path")).alias("s1"),
+        F.when(F.col("grok_pattern") == 0, F.col("pid").cast("string"))
+        .when(F.col("grok_pattern") == 1,
+              F.concat(F.col("status").cast("string"), F.lit("+"),
+                       (F.col("lat") * 4).cast("bigint").cast("string")))
+        .alias("s2"))
+    return cef.unionByName(gk).unionByName(ga)
 
 
 O_CEF_RAW_LINES = """
@@ -899,6 +935,18 @@ SELECT 'grok' AS variant, event_id,
                  || CASE WHEN event_id % 7 = 0 THEN ''
                          ELSE CAST(event_id * 17 % 100000 AS VARCHAR) END
        END AS s2
+FROM events
+UNION ALL
+SELECT 'grok_any' AS variant, event_id,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            WHEN event_id % 3 = 0
+                THEN '0:host-' || CAST(event_id % 50 AS VARCHAR)
+                     || '.example.com'
+            ELSE '1:/api/p/' || CAST(event_id AS VARCHAR) END AS s1,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            WHEN event_id % 3 = 0 THEN CAST(event_id % 30000 + 1 AS VARCHAR)
+            ELSE CAST(200 + (event_id % 4) * 100 AS VARCHAR) || '+'
+                 || CAST(event_id % 4 AS VARCHAR) END AS s2
 FROM events
 """
 

@@ -811,3 +811,66 @@ def test_grok_parse_works_on_streams(spark, tmp_path):
     got = {r["id"]: (r["clientip"], r["bytes"]) for r in
            spark.sql("select * from grokstream").collect()}
     assert got == exp and len(got) == 40
+
+
+def test_grok_typed_coercion(spark):
+    """%{PAT:field:type} coerces JVM-side via try_cast: int/long -> BIGINT,
+    float/double -> DOUBLE; unparseable or empty captures land NULL
+    (ANSI-safe); untyped fields stay string. Conflicting per-field types
+    across grok_parse_any patterns are an eager error."""
+    from pyspark.sql import functions as F
+
+    from cefspark import grok
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.1 200 0.25"), (2, "10.0.0.2 xxl 0.5"), (3, "nope")],
+        "id long, text string")
+    out = grok.grok_parse(
+        df, "%{IP:ip} %{NOTSPACE:status:int} %{NUMBER:lat:float}")
+    types = dict(out.dtypes)
+    assert types["status"] == "bigint" and types["lat"] == "double" \
+        and types["ip"] == "string"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["status"] == 200 and rows[1]["lat"] == 0.25
+    assert rows[2]["status"] is None          # 'xxl': try_cast -> NULL
+    assert rows[2]["lat"] == 0.5              # other fields still coerce
+    assert rows[3]["status"] is None and rows[3]["lat"] is None
+
+    with pytest.raises(ValueError, match="unknown grok type suffix"):
+        grok.compile_grok_typed("%{INT:n:decimal}")
+    p, typed = grok.compile_grok_typed("%{INT:a:long} %{NUMBER:b:double} %{WORD:c}")
+    assert typed == [("a", "bigint"), ("b", "double"), ("c", None)]
+
+    with pytest.raises(ValueError, match="conflicting types"):
+        grok.grok_parse_any(df.select("text"), ["%{INT:n:int}", "%{WORD:n}"])
+    # consistent typing across patterns is fine and lands once
+    any_out = grok.grok_parse_any(
+        df, ["%{IP:ip} %{INT:n:int} %{NUMBER:lat:float}",
+             "%{WORD:w} %{INT:n:int} %{NUMBER:lat:float}"])
+    assert dict(any_out.dtypes)["n"] == "bigint"
+
+
+def test_grok_round6_base_patterns(spark):
+    """HOSTNAME / URIPATH / UUID / MAC / IPORHOST: positive matches and the
+    near-miss rejections that distinguish them from NOTSPACE."""
+    from cefspark import grok
+
+    df = spark.createDataFrame(
+        [(1, "web-1.eu.example.com /api/v2/items"
+             " 550e8400-e29b-41d4-a716-446655440000 de:ad:be:ef:00:01"),
+         (2, "-bad.host notapath bad-uuid de:ad:be:ef:00"),  # all four fail
+         (3, "h /x/ 550E8400-E29B-41D4-A716-446655440AAA DE-AD-BE-EF-00-01")],
+        "id long, text string")
+    out = {r["id"]: r for r in grok.grok_parse(
+        df, "%{HOSTNAME:host} %{URIPATH:path} %{UUID:uid} %{MAC:mac}"
+    ).collect()}
+    assert out[1]["host"] == "web-1.eu.example.com"
+    assert out[1]["path"] == "/api/v2/items"
+    assert out[1]["uid"].startswith("550e8400") and out[1]["mac"].endswith("01")
+    assert all(out[2][c] is None for c in ("host", "path", "uid", "mac"))
+    assert out[3]["host"] == "h" and out[3]["mac"] == "DE-AD-BE-EF-00-01"
+
+    ih = {r["id"]: r for r in grok.grok_parse(
+        df.select("id", F.split("text", " ")[0].alias("text")),
+        "%{IPORHOST:t}").collect()}
+    assert ih[1]["t"] == "web-1.eu.example.com" and ih[2]["t"] is None
