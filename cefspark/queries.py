@@ -1120,38 +1120,97 @@ SELECT event_id FROM events
 # ==============================================================================
 
 def q_streaming_window_counts(spark, sf_dir):
-    """Streaming operator gate: the events table consumed as a file stream,
-    payload-built and engine-decoded inside the micro-batch, watermarked and
-    windowed per vendor, drained with availableNow into a memory sink. Being
-    a complete-mode aggregation, the final table equals the batch result."""
+    """Streaming operator gate, two merged variants (VERDICT r5 #7):
+
+    - ``counts``: the events table consumed as a file stream, payload-built
+      and engine-decoded inside the micro-batch, watermarked and windowed
+      per vendor, drained with availableNow into a memory sink. Being a
+      complete-mode aggregation, the final table equals the batch result.
+    - ``spike``: the streaming side of the round-5 flagship alerting
+      feature — streaming.spike_alerts over the watermarked per-sink
+      counts stream against a STATIC batch-computed median baseline (the
+      production shape: baseline refreshed from history), drained in
+      APPEND mode. Append emits exactly the windows the watermark closed,
+      so the oracle restates the emitted set closed-form: spiking windows
+      whose end <= max(ts) - the 10-minute watermark delay (max(ts) is
+      never hour-aligned in the testdata, so the boundary is tie-free).
+    """
     import os
 
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # glob form: FileStreamSource requires a directory basePath, and the
-    # testdata table is a single file — the glob makes sf_dir the basePath
-    src = spark.readStream.schema(static.schema).parquet(f"{sf_dir}/events*.parquet")
-    # watermarks need TIMESTAMP; the parquet column is TIMESTAMP_NTZ and the
-    # session zone is pinned UTC, so the cast preserves the wall-clock instant
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    decoded = decode_dataframe(_with_payload(src), columns=["deviceVendor"])
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+    def stream_src():
+        # glob form: FileStreamSource requires a directory basePath, and the
+        # testdata table is a single file — the glob makes sf_dir the basePath.
+        # watermarks need TIMESTAMP; the parquet column is TIMESTAMP_NTZ and
+        # the session zone is pinned UTC, so the cast preserves the instant.
+        src = spark.readStream.schema(static.schema).parquet(
+            f"{sf_dir}/events*.parquet")
+        return src.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    decoded = decode_dataframe(_with_payload(stream_src()),
+                               columns=["deviceVendor"])
     counts = (decoded.withWatermark("ts", "1 hour")
               .groupBy(F.window("ts", "1 hour").alias("w"), "deviceVendor")
               .agg(F.count(F.lit(1)).alias("n_events"))
               .select("deviceVendor",
                       F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
                       "n_events"))
-    name = "stream_wc_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_wc_{tag}"
     q = (counts.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
+
+    # spike variant: routed stream -> watermarked per-sink counts ->
+    # stream-static baseline join (spike_alerts is stateless on top of the
+    # aggregation, so append mode is legal and exactly-once per window)
+    baseline = pipeline.median_baseline(
+        pipeline.sink_counts(_routed(spark, sf_dir)))
+    dec2 = decode_dataframe(_with_payload(stream_src(), mixed_failures=True),
+                            columns=pipeline.ROUTING_COLUMNS)
+    routed_stream = pipeline.route(pipeline.enrich(dec2, spark))
+    from . import streaming as _streaming
+
+    counts_stream = _streaming.windowed_sink_counts(routed_stream)
+    alerts = _streaming.spike_alerts(counts_stream, baseline, factor=2)
+    name2 = f"stream_spike_{tag}"
+    q2 = (alerts.writeStream.format("memory").queryName(name2)
+          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(name)
+    q2.awaitTermination()
+
+    base = spark.table(name).select(
+        F.lit("counts").alias("variant"), F.col("deviceVendor").alias("k"),
+        "window_start_s", "n_events",
+        F.lit(None).cast("long").alias("median_n"))
+    spike = spark.table(name2).select(
+        F.lit("spike").alias("variant"), F.col("sink_id").alias("k"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "n_events", F.col("median_n").cast("long"))
+    return base.unionByName(spike)
 
 
 O_STREAMING_WINDOW_COUNTS = f"""
-SELECT {_VENDOR_SQL} AS deviceVendor,
+WITH c AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN '_cefparsefailure'
+              ELSE {_VENDOR_SQL} || '/' || {_BAND_SQL} END AS sink_id,
+         date_trunc('hour', ts) AS w,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT 'counts' AS variant, {_VENDOR_SQL} AS k,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
-       COUNT(*) AS n_events
-FROM events GROUP BY 1, 2
+       COUNT(*) AS n_events, CAST(NULL AS BIGINT) AS median_n
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'spike' AS variant, sink_id AS k,
+       strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start_s,
+       n_events, med AS median_n
+FROM c JOIN (SELECT sink_id,
+                    CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS med
+             FROM c GROUP BY 1) m USING (sink_id)
+WHERE n_events > 2 * med
+  AND w + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM events)
+                             - INTERVAL 10 MINUTE
 """
 
 
