@@ -283,12 +283,18 @@ def asof_enrich(stream: DataFrame, states: DataFrame, key: str,
 
 
 def conversation_stats_tws(decoded_stream: DataFrame) -> DataFrame:
-    """Per-conversation running stats on Spark 4's ``transformWithState``
-    API — the successor to ``applyInPandasWithState`` with named state
-    variables, TTL, and timers. Semantics are pinned EQUAL to
+    """EXPERIMENTAL. Per-conversation running stats on Spark 4's
+    ``transformWithState`` API — the successor to
+    ``applyInPandasWithState`` with named state variables, TTL, and
+    timers. Semantics are pinned EQUAL to
     :func:`conversation_stats_stream` (the applyInPandasWithState
     formulation) in pytest; both shuffle once on conv_id and keep
-    fixed-size per-key state.
+    fixed-size per-key state. The experimental label is honest, not
+    boilerplate: this sandbox lacks protobuf AND the RocksDB state-store
+    provider, so the processor body below the probe has never executed
+    anywhere — the dual-branch parity test runs it the first time a
+    deployment carries both deps. Prefer ``conversation_stats_stream``
+    until then.
 
     Kept alongside the old API deliberately: production clusters on Spark
     3.x need the applyInPandasWithState form, 4.x+ should prefer this one
