@@ -363,12 +363,23 @@ def main() -> None:
     # actual decode), so also measure the same pipeline on a 2M-row
     # pre-written transcript table where compute dominates.
     steady = steady_median = steady_rows = steady_steal = None
+    steady_attempts = 0
     try:
         if not os.path.isdir(STEADY_DIR):
             from cefspark import fixtures
             fixtures.transcripts_df(spark, 2_000_000, partitions=128).write.mode(
                 "overwrite").parquet(STEADY_DIR)
-        mn, med, steady_rows, steady_steal = measure_steady(spark, cpus, reps=5)
+        # the wide leg gets the same contamination-retry treatment as the
+        # subprocess scaling legs: a stolen window undercounts the headline
+        # throughput, so retry into a quieter one (bounded)
+        best = None
+        for steady_attempts in range(1, 4):
+            cur = measure_steady(spark, cpus, reps=5)
+            if best is None or cur[3] < best[3]:
+                best = cur
+            if cur[3] <= 0.05 and cur[1] <= cur[0] * 1.25:
+                break
+        mn, med, steady_rows, steady_steal = best
         steady = round(steady_rows / mn, 1)
         steady_median = round(steady_rows / med, 1)
     except Exception:
@@ -426,6 +437,7 @@ def main() -> None:
         "steady_turns_per_sec": steady,
         "steady_turns_per_sec_median": steady_median,
         "steady_steal": steady_steal,
+        "steady_attempts": steady_attempts,
         "steady_turns_per_sec_local8": thr(8, "min_sec"),
         "steady_turns_per_sec_local8_median": thr(8, "median_sec"),
         "steady_local8_steal": levels.get(8, {}).get("steal"),
