@@ -344,3 +344,77 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     return (d.join(F.broadcast(b.distinct()), "_k")
             .groupBy(id_col)
             .agg(F.count_distinct("_k").alias("n_hits")))
+
+
+def remove_boilerplate(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_doc_frac: float = 0.05,
+                       min_docs: int = 2) -> DataFrame:
+    """Corpus-wide boilerplate LINE removal — the CCNet/RefinedWeb-style
+    cleanup step that strips lines recurring across many documents
+    (copyright footers, cookie banners, nav chrome) while leaving
+    document-specific content intact. A line is boilerplate when its
+    normalized form (lowercased, whitespace-collapsed, trimmed) appears in
+    at least ``max(min_docs, ceil(max_doc_frac * n_docs))`` distinct
+    documents — an exact integer predicate. Returns
+    ``(id_col, text_clean, n_lines, n_removed)`` with every input document
+    present (a fully-boilerplate document keeps an empty ``text_clean``)
+    and surviving lines in their original form and order.
+
+    Scale shape: posexplode -> ONE count-distinct shuffle keyed on the
+    8-byte xxhash64 of the normalized line (never the string), then the
+    boilerplate set joins back BROADCAST — it is small by construction
+    (each member absorbs >= threshold distinct docs, so its cardinality is
+    bounded by total_lines / threshold) — then one regroup shuffle on the
+    doc id rebuilds texts via array_sort(collect_list(struct(pos, line))).
+    No driver collect; the doc-count scalar rides a 1-row broadcast
+    crossJoin. A 64-bit hash collision can only over-remove one line form;
+    pair with a ``hashed=False``-style audit offline if that matters."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("line")), r"\s+", " "))
+    lines = lines.withColumn("_h", F.xxhash64(norm))
+    total = df.agg(F.count_distinct(id_col).alias("_n_docs"))
+    thresh = F.greatest(F.lit(int(min_docs)),
+                        F.ceil(F.lit(float(max_doc_frac)) * F.col("_n_docs")))
+    boiler = (lines.groupBy("_h")
+              .agg(F.count_distinct(id_col).alias("_nd"))
+              .crossJoin(F.broadcast(total))
+              .where(F.col("_nd") >= thresh)
+              .select("_h", F.lit(True).alias("_bp")))
+    flagged = lines.join(F.broadcast(boiler), "_h", "left")
+    kept_struct = F.when(F.col("_bp").isNull(),
+                         F.struct(F.col("pos"), F.col("line")))
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                 lambda s: s["line"]), "\n")
+                 .alias("text_clean"),
+                 F.count(F.lit(1)).alias("n_lines"),
+                 F.count("_bp").alias("n_removed")))
+
+
+def boiler_docs(spark, n: int) -> DataFrame:
+    """Deterministic boilerplate fixture: doc i carries two unique content
+    lines, one semi-shared heading (n/40 docs each — below any sane
+    threshold, must SURVIVE), one universal copyright line whose case and
+    spacing vary by parity (normalization must unify the variants), and —
+    on every third doc — a newsletter plea wrapped in stray whitespace.
+    The expected cleaned text is a closed form the oracle restates."""
+    i = F.col("id")
+    copyright_line = F.when(i % 2 == 0, F.lit("Copyright  ACME Corp")) \
+                      .otherwise(F.lit("copyright acme corp"))
+    lines = [
+        F.concat(F.lit("intro "), i.cast("string"), F.lit(" alpha "),
+                 (i * 7 % 997).cast("string")),
+        copyright_line,
+        F.concat(F.lit("section "), (i % 40).cast("string"),
+                 F.lit(" heading")),
+        F.concat(F.lit("body "), i.cast("string"), F.lit(" gamma "),
+                 (i * 13 % 991).cast("string")),
+    ]
+    text = F.concat_ws(
+        "\n", *lines,
+        F.when(i % 3 == 0, F.lit("  Subscribe to our newsletter!  ")))
+    return (spark.range(0, n, 1, min(16, max(1, n // 25)))
+            .select(i.alias("doc_id"), text.alias("text")))

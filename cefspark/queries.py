@@ -2041,11 +2041,21 @@ WITH m AS (
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
          len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
          len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|a|for|on|with)\\b')) AS n_stopwords
-  FROM documents)
-SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         COUNT(DISTINCT array_to_string(t[j:j+2], ' ')) AS n_distinct_3g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents) toks,
+       LATERAL unnest(range(1, greatest(len(t) - 2, 0) + 1)) u(j)
+  GROUP BY doc_id)
+SELECT m.doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+       CASE WHEN n_tokens >= 3 THEN n_tokens - 2 ELSE 0 END AS n_3grams,
+       CASE WHEN n_tokens >= 3 THEN n_tokens - 2 ELSE 0 END
+         - COALESCE(g.n_distinct_3g, 0) AS n_dup_3grams,
        ROUND(least(1.0, n_stopwords / greatest(n_tokens, 1) * 4.0)
              * (1.0 - least(0.5, n_punct / greatest(n_chars, 1))), 6) AS quality_score
-FROM m
+FROM m LEFT JOIN g USING (doc_id)
 """
 
 
@@ -2207,7 +2217,14 @@ def q_text_fingerprint(spark, sf_dir):
       does NOT re-run the regexes: it constructs the EXPECTED redacted
       string from the fixture's closed form, so a hash match proves the
       patterns found exactly the planted PII (and none of the planted
-      near-miss distractors) in the pinned class order."""
+      near-miss distractors) in the pinned class order.
+    - ``boiler``: cefspark.dedup.remove_boilerplate over the closed-form
+      line fixture — the universal copyright line (case/spacing varying by
+      doc parity) and the every-third-doc newsletter plea must vanish,
+      the 10-doc section headings must SURVIVE (below the 20-doc
+      threshold), and surviving lines keep original form and order.
+      h1 = md5(cleaned text restated closed-form by the oracle — the
+      oracle never runs the removal), h2 = n_lines/n_removed."""
     from . import redact
 
     fp = textops.fingerprint(_documents(spark, sf_dir)).select(
@@ -2219,7 +2236,11 @@ def q_text_fingerprint(spark, sf_dir):
         F.md5(F.col("text_redacted")).alias("h1"),
         F.concat_ws("/", F.col("n_email"), F.col("n_card"),
                     F.col("n_ipv4"), F.col("n_phone")).alias("h2"))
-    return fp.unionByName(pii)
+    boiler = dedup.remove_boilerplate(dedup.boiler_docs(spark, 400)).select(
+        "doc_id", F.lit("boiler").alias("variant"),
+        F.md5(F.col("text_clean")).alias("h1"),
+        F.concat_ws("/", F.col("n_lines"), F.col("n_removed")).alias("h2"))
+    return fp.unionByName(pii).unionByName(boiler)
 
 
 O_TEXT_FINGERPRINT = """
@@ -2231,6 +2252,15 @@ SELECT i AS doc_id, 'pii' AS variant,
        md5('contact <EMAIL> or v1.2.3 build card <CARD> host <IP>'
            || ' call <PHONE> not-pii: a@b 123456789012345 ver 10.20') AS h1,
        '1/1/1/1' AS h2
+FROM generate_series(0, 399) t(i)
+UNION ALL
+SELECT i AS doc_id, 'boiler' AS variant,
+       md5('intro ' || CAST(i AS VARCHAR) || ' alpha '
+           || CAST(i * 7 % 997 AS VARCHAR) || chr(10)
+           || 'section ' || CAST(i % 40 AS VARCHAR) || ' heading' || chr(10)
+           || 'body ' || CAST(i AS VARCHAR) || ' gamma '
+           || CAST(i * 13 % 991 AS VARCHAR)) AS h1,
+       CASE WHEN i % 3 = 0 THEN '5/2' ELSE '4/1' END AS h2
 FROM generate_series(0, 399) t(i)
 """
 

@@ -43,21 +43,46 @@ def punct_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(_PUNCT_RE)).cast("long").alias("n_punct")
 
 
+def dup_ngram_counts(col: Column, n: int = 3) -> tuple[Column, Column]:
+    """(total, duplicated) word n-gram counts — the Gopher-style repetition
+    signal ("fraction of duplicate n-grams") kept as two exact INTEGERS so
+    the oracle contract needs no float tolerance (consumers divide
+    themselves). Pure array functions over the whitespace tokenization —
+    whole-stage codegen, no UDF, no shuffle; texts shorter than ``n``
+    tokens count 0/0."""
+    toks = F.split(F.trim(col), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + k + 1)
+                               for k in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("long")
+    dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("long")
+    return total, dup
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation / stopword quality features + a composite score.
+    """Length / punctuation / stopword / repetition quality features + a
+    composite score.
 
     quality_score in [0,1]: stopword ratio (fluency proxy) damped by
     excessive punctuation; rounded to 6dp so float comparison is stable
-    across engines.
+    across engines. n_3grams/n_dup_3grams carry the duplicate-trigram
+    repetition signal as exact integers (round 6).
     """
     t = F.col(text_col)
     n_tok = token_count(t)
+    n_g, n_dup = dup_ngram_counts(t, n=3)
     out = df.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
         n_tok,
         punct_count(t),
         stopword_hits(t),
+        n_g.alias("n_3grams"),
+        n_dup.alias("n_dup_3grams"),
     )
     return out.withColumn("quality_score", composite_quality_score())
 

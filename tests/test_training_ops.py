@@ -611,3 +611,89 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     # and the filter is not also a post-scan data filter (pure pruning)
     scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "DataFilters: []" in scan_line
+
+
+def test_remove_boilerplate_threshold_order_and_normalization(spark):
+    """Line-level boilerplate removal: the integer threshold
+    max(min_docs, ceil(frac*n_docs)) decides removal on NORMALIZED line
+    forms, survivors keep original text and order, fully-boilerplate docs
+    survive with empty text_clean, and a singleton corpus removes nothing."""
+    docs = spark.createDataFrame(
+        [(0, "alpha 0\nCopyright  ACME\nzz"),
+         (1, "alpha 1\ncopyright acme\nzz"),
+         (2, "alpha 2\n  copyright   acme  \nzz"),
+         (3, "copyright acme"),                        # fully boilerplate
+         (4, "alpha 4\nunique tail 4")],
+        "doc_id long, text string")
+    # n_docs=5: frac 0.5 -> threshold max(2, ceil(2.5))=3; 'copyright acme'
+    # normalized appears in 4 docs -> removed; 'zz' in 3 docs -> removed
+    # (== threshold); 'alpha i' unique -> kept
+    out = {r["doc_id"]: r for r in dedup.remove_boilerplate(
+        docs, max_doc_frac=0.5, min_docs=2).collect()}
+    assert len(out) == 5
+    assert out[0]["text_clean"] == "alpha 0"
+    assert out[1]["text_clean"] == "alpha 1"
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text_clean"] == "alpha 4\nunique tail 4"
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 2
+
+    # order reconstruction across >10 lines (string-sorted pos would
+    # interleave 10 before 2)
+    many = spark.createDataFrame(
+        [(0, "\n".join(f"line {i:02d} of doc" for i in range(15)))],
+        "doc_id long, text string")
+    got = dedup.remove_boilerplate(many, min_docs=2).collect()[0]
+    assert got["text_clean"] == "\n".join(f"line {i:02d} of doc"
+                                          for i in range(15))
+
+    # singleton corpus: nothing can reach min_docs=2
+    one = spark.createDataFrame([(9, "a\nb\na")], "doc_id long, text string")
+    r = dedup.remove_boilerplate(one).collect()[0]
+    assert r["text_clean"] == "a\nb\na" and r["n_removed"] == 0
+
+    # repeated line WITHIN one doc counts that doc once (count_distinct):
+    # 'dup' lives in docs 0 (twice) and 1 -> 2 distinct docs >= min_docs=2
+    rep = spark.createDataFrame(
+        [(0, "dup\nx0\ndup"), (1, "dup\nx1"), (2, "x2")],
+        "doc_id long, text string")
+    rr = {r["doc_id"]: r for r in dedup.remove_boilerplate(
+        rep, max_doc_frac=0.6, min_docs=2).collect()}
+    assert rr[0]["text_clean"] == "x0" and rr[0]["n_removed"] == 2
+    assert rr[1]["text_clean"] == "x1"
+
+
+def test_remove_boilerplate_plan_broadcasts_boiler_set(spark):
+    """Scale contract: the boilerplate set joins back as a BROADCAST hash
+    join (it is small by construction), the line-count aggregation keys on
+    the 8-byte hash, and no pair-exploding join appears."""
+    docs = dedup.boiler_docs(spark, 100)
+    plan = dedup.remove_boilerplate(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row doc-count scalar
+    # riding its broadcast crossJoin into the threshold predicate
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "_n_docs" in line, line
+
+
+def test_dup_ngram_repetition_counts(spark):
+    """Duplicate-trigram counts: hand-computed on repetitive vs clean text;
+    sub-3-token and empty texts count 0/0 (no NULLs)."""
+    from cefspark import textops
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b c a b"),   # 6 trigrams: abc,bca,cab,abc,bca,cab -> 3 dup
+         (1, "w x y z"),           # 2 distinct trigrams -> 0 dup
+         (2, "one two"),           # < 3 tokens
+         (3, ""),                  # empty
+         (4, "r r r r r")],        # 3 identical trigrams -> 2 dup
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.quality_metrics(df).collect()}
+    assert (out[0]["n_3grams"], out[0]["n_dup_3grams"]) == (6, 3)
+    assert (out[1]["n_3grams"], out[1]["n_dup_3grams"]) == (2, 0)
+    assert (out[2]["n_3grams"], out[2]["n_dup_3grams"]) == (0, 0)
+    assert (out[3]["n_3grams"], out[3]["n_dup_3grams"]) == (0, 0)
+    assert (out[4]["n_3grams"], out[4]["n_dup_3grams"]) == (3, 2)
