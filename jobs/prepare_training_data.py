@@ -4,6 +4,10 @@ The engine's product story as ONE batch job — every stage is a gated library
 operator; this file is the composition surface, not new logic:
 
     1. REDACT    PII masking (email/card/IPv4/phone; JVM regexp chain)
+    1b. BOILER   opt-in corpus-wide boilerplate-line removal
+                 (--boilerplate-frac > 0; lines recurring across that doc
+                 fraction vanish — run it on line-structured corpora, skip
+                 it for single-line records where it can only empty docs)
     2. FILTER    quality floor (composite score + token-count band)
     3. DEDUP     exact duplicate collapse (min-id representative)
     4. DECONTAM  drop docs sharing n-gram shingles with a benchmark corpus
@@ -51,6 +55,9 @@ def main() -> None:
     p.add_argument("--out", help="output base path (default: temp dir)")
     p.add_argument("--ngram", type=int, default=8,
                    help="decontamination shingle width (tokens)")
+    p.add_argument("--boilerplate-frac", type=float, default=0.0,
+                   help="remove lines recurring in > this fraction of docs "
+                        "(0 = stage disabled, the default)")
     p.add_argument("--min-quality", type=float, default=0.05)
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=100_000)
@@ -82,6 +89,18 @@ def main() -> None:
 
     red = redact.pii_redact(docs, keep_counts=False).select(
         "doc_id", F.col("text_redacted").alias("text"))
+
+    # 1b. opt-in boilerplate-line removal (after redaction so recurring
+    # masked lines — '<EMAIL> unsubscribe footer' — unify; before quality
+    # so the score reflects the text that ships). The removed-line total
+    # rides an Observation on the same pass that materializes dedup.
+    obs_boiler = Observation("boiler") if args.boilerplate_frac > 0 else None
+    if args.boilerplate_frac > 0:
+        bp = dedup.remove_boilerplate(red, text_col="text",
+                                      max_doc_frac=args.boilerplate_frac)
+        red = (bp.observe(obs_boiler,
+                          F.sum("n_removed").alias("n_lines_removed"))
+               .select("doc_id", F.col("text_clean").alias("text")))
     t = F.col("text")
     scored = red.select(
         "doc_id", "text",
@@ -144,6 +163,8 @@ def main() -> None:
     n_contaminated = n_deduped - sum(split_counts.values())
     print(json.dumps({
         "n_input": n_input,
+        **({"n_boilerplate_lines_removed": int(obs_boiler.get["n_lines_removed"] or 0)}
+           if obs_boiler is not None else {}),
         "n_after_quality": n_after_quality,
         "n_after_dedup": n_deduped,
         "n_contaminated_dropped": n_contaminated,

@@ -656,10 +656,15 @@ def test_prepare_training_data_job_smoke(tmp_path):
     out = str(tmp_path / "training")
     r = subprocess.run(
         [sys.executable, "jobs/prepare_training_data.py", "--cpus", "4",
-         "--sf-dir", "/root/testdata/sf0.001", "--ngram", "3", "--out", out],
+         "--sf-dir", "/root/testdata/sf0.001", "--ngram", "3", "--out", out,
+         # exercise the opt-in boilerplate stage; at 0.5 no single-line
+         # word-soup doc recurs in half the corpus, so counts are unchanged
+         # while the stage's shuffles + Observation actually run
+         "--boilerplate-frac", "0.5"],
         capture_output=True, text=True, timeout=420, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_boilerplate_lines_removed"] == 0
     assert 0 < m["n_final"] <= m["n_after_dedup"] <= m["n_after_quality"] \
         <= m["n_input"]
     assert m["n_final"] == m["n_after_dedup"] - m["n_contaminated_dropped"]
