@@ -1830,16 +1830,84 @@ FROM (
 
 
 def q_turn_ordering(spark, sf_dir):
-    """Window function: stable per-conversation ordering (row_number)."""
+    """Per-conversation ordering + the conversation-native training-data
+    formatters, three merged variants:
+
+    - ``rank``: stable per-conversation row_number (as before).
+    - ``render``: cefspark.transcripts.render_conversations — one training
+      document per conversation ("role: text" lines in turn order);
+      s = md5(dialog), turn_rank = n_turns. The oracle recomputes the
+      rendering independently via DuckDB's ordered string_agg.
+    - ``sft``: cefspark.transcripts.sft_pairs — each assistant turn as a
+      supervised (context, response) pair, context = all earlier turns
+      rendered; s = md5(context || sep || response). Ordered window
+      string_agg on the oracle side.
+
+    The transcript frame derives closed-form from events (conv = user,
+    turn_idx = rank-1, role alternates by parity), so both engines build
+    identical inputs without any fixture I/O."""
     from pyspark.sql.window import Window
+
+    from . import transcripts
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (_events(spark, sf_dir)
-            .select("event_id", F.row_number().over(w).cast("long").alias("turn_rank")))
+    ev = _events(spark, sf_dir)
+    rank = ev.select(
+        F.lit("rank").alias("variant"), "event_id",
+        F.row_number().over(w).cast("long").alias("turn_rank"),
+        F.lit("").alias("s"))
+
+    tr = ev.select(
+        F.col("user_id").alias("conv_id"), "event_id",
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.concat(F.lit("turn "), F.col("event_id").cast("string"),
+                 F.lit(" says "),
+                 (F.col("event_id") * 31 % 1000).cast("string")).alias("text")
+    ).withColumn("role", F.when(F.col("turn_idx") % 2 == 0, "user")
+                 .otherwise("assistant"))
+    render = transcripts.render_conversations(tr).select(
+        F.lit("render").alias("variant"),
+        F.col("conv_id").alias("event_id"),
+        F.col("n_turns").cast("long").alias("turn_rank"),
+        F.md5("dialog").alias("s"))
+    sft = transcripts.sft_pairs(tr).join(
+        tr.select("conv_id", "turn_idx", "event_id"),
+        ["conv_id", "turn_idx"]).select(
+        F.lit("sft").alias("variant"), "event_id",
+        F.col("turn_idx").alias("turn_rank"),
+        F.md5(F.concat("context", F.lit("\n=>\n"), "response")).alias("s"))
+    return rank.unionByName(render).unionByName(sft)
 
 
 O_TURN_ORDERING = """
-SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
+WITH tr AS (
+  SELECT user_id AS conv_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         'turn ' || CAST(event_id AS VARCHAR) || ' says '
+           || CAST(event_id * 31 % 1000 AS VARCHAR) AS text
+  FROM events),
+t2 AS (SELECT *, CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+                   AS role
+       FROM tr)
+SELECT 'rank' AS variant, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS turn_rank,
+       '' AS s
 FROM events
+UNION ALL
+SELECT 'render' AS variant, conv_id AS event_id, COUNT(*) AS turn_rank,
+       md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)) AS s
+FROM t2 GROUP BY conv_id
+UNION ALL
+SELECT 'sft' AS variant, event_id, turn_idx AS turn_rank,
+       md5(COALESCE(string_agg(role || ': ' || text, chr(10))
+                      OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), '')
+           || chr(10) || '=>' || chr(10) || text) AS s
+FROM t2
+QUALIFY role = 'assistant'
 """
 
 

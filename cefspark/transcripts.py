@@ -1,0 +1,80 @@
+"""Conversation-native training-data operators over multi-turn transcript
+tables ``(conv_id, turn_idx, role, text, ...)`` — the input shape this
+engine's north rule names.
+
+Two product stages a transcript→SFT-corpus pipeline needs after the
+cleaning ops (redact/dedup/decontaminate operate per-turn or per-doc):
+
+- :func:`render_conversations` — collapse a conversation's turns into one
+  training document ("role: text" lines in turn order), the standard
+  pre-tokenization formatting step.
+- :func:`sft_pairs` — explode each assistant turn into a (context,
+  response) supervised pair, the context being every prior turn rendered.
+
+Both cost ONE hash shuffle on the conversation key — the same exchange any
+per-conversation sessionizer already pays, so composing them with
+conversation stats reuses the partitioning. Turn order comes from
+``array_sort`` over ``struct(turn_idx, line)`` (turn_idx is unique per
+conversation by the transcript contract), never from implicit row order,
+so results are deterministic under any input partitioning. Everything is
+built-in array/window expressions — no UDF, no driver collect.
+
+No counterpart exists in the reference codec (logstash-codec-cef is
+per-line); this module belongs to the training-data-pipeline extensions
+(SURVEY.md §2.4 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def render_conversations(df: DataFrame, conv_col: str = "conv_id",
+                         turn_col: str = "turn_idx", role_col: str = "role",
+                         text_col: str = "text",
+                         sep: str = "\n") -> DataFrame:
+    """One row per conversation: ``dialog`` = the turns rendered as
+    ``role: text`` joined by ``sep`` in ``turn_col`` order, plus
+    ``n_turns``. A NULL text renders as an empty line body (concat of the
+    role prefix with NULL would drop the turn silently — coalesced
+    instead, so turn counts and rendering stay consistent)."""
+    line = F.concat(F.col(role_col), F.lit(": "),
+                    F.coalesce(F.col(text_col), F.lit("")))
+    return (df.groupBy(F.col(conv_col))
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col(turn_col), line.alias("l")))),
+                         lambda s: s["l"]), sep).alias("dialog"),
+                 F.count(F.lit(1)).alias("n_turns")))
+
+
+def sft_pairs(df: DataFrame, assistant_role: str = "assistant",
+              conv_col: str = "conv_id", turn_col: str = "turn_idx",
+              role_col: str = "role", text_col: str = "text",
+              sep: str = "\n") -> DataFrame:
+    """One row per ``assistant_role`` turn: ``(conv_col, turn_col,
+    context, response)`` where ``context`` is every EARLIER turn rendered
+    ``role: text`` in order (empty string when the assistant somehow
+    speaks first) and ``response`` is the turn's own text.
+
+    The context accumulates via a window ``collect_list`` over
+    ``rowsBetween(unboundedPreceding, -1)`` on the conversation key —
+    same single shuffle as any sessionizer; the per-row array is then
+    array_sort-ed on turn_idx so the rendering is order-deterministic
+    even though window frames already deliver orderBy order (belt and
+    suspenders against partial re-sorts under AQE retries)."""
+    line = F.concat(F.col(role_col), F.lit(": "),
+                    F.coalesce(F.col(text_col), F.lit("")))
+    w = (Window.partitionBy(conv_col).orderBy(turn_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ctx_arr = F.collect_list(
+        F.struct(F.col(turn_col), line.alias("l"))).over(w)
+    context = F.array_join(
+        F.transform(F.array_sort(ctx_arr), lambda s: s["l"]), sep)
+    return (df.withColumn("context", context)
+            .where(F.col(role_col) == assistant_role)
+            .select(F.col(conv_col), F.col(turn_col), "context",
+                    F.col(text_col).alias("response")))

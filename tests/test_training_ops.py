@@ -2,6 +2,8 @@
 exact in-Spark baselines (LSH vs brute force, MinHash vs exact Jaccard,
 SimHash on injected near-dups), plus the __spark_entry__ contract smoke."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -697,3 +699,53 @@ def test_dup_ngram_repetition_counts(spark):
     assert (out[2]["n_3grams"], out[2]["n_dup_3grams"]) == (0, 0)
     assert (out[3]["n_3grams"], out[3]["n_dup_3grams"]) == (0, 0)
     assert (out[4]["n_3grams"], out[4]["n_dup_3grams"]) == (3, 2)
+
+
+def test_render_conversations_and_sft_pairs(spark):
+    """Transcript formatters: turn order holds under hostile input order,
+    NULL text renders as an empty body (not a dropped turn), an
+    assistant-first conversation yields an empty context, and non-assistant
+    turns produce no pair."""
+    from cefspark import transcripts
+
+    rows = [
+        ("c1", 1, "assistant", "hi there"),
+        ("c1", 0, "user", "hello"),           # out of order on purpose
+        ("c1", 2, "user", None),              # null text
+        ("c1", 3, "assistant", "bye"),
+        ("c2", 0, "assistant", "I speak first"),
+        ("c3", 0, "user", "monologue"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(7)  # scatter turns across partitions
+
+    r = {x["conv_id"]: x for x in
+         transcripts.render_conversations(df).collect()}
+    assert r["c1"]["dialog"] == ("user: hello\nassistant: hi there\n"
+                                 "user: \nassistant: bye")
+    assert r["c1"]["n_turns"] == 4
+    assert r["c2"]["dialog"] == "assistant: I speak first"
+    assert r["c3"]["dialog"] == "user: monologue"
+
+    p = {(x["conv_id"], x["turn_idx"]): x for x in
+         transcripts.sft_pairs(df).collect()}
+    assert set(p) == {("c1", 1), ("c1", 3), ("c2", 0)}
+    assert p[("c1", 1)]["context"] == "user: hello"
+    assert p[("c1", 1)]["response"] == "hi there"
+    assert p[("c1", 3)]["context"] == ("user: hello\nassistant: hi there\n"
+                                       "user: ")
+    assert p[("c2", 0)]["context"] == ""       # assistant speaks first
+
+
+def test_transcript_ops_single_shuffle_no_python(spark):
+    from cefspark import transcripts
+
+    df = spark.createDataFrame(
+        [("c", i, "user", f"t{i}") for i in range(20)],
+        "conv_id string, turn_idx int, role string, text string"
+    ).repartition(4)
+    for op in (transcripts.render_conversations, transcripts.sft_pairs):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, op
+        assert "EvalPython" not in plan
