@@ -1665,7 +1665,13 @@ def q_user_sessions(spark, sf_dir):
     """Grouped-map pandas UDF (applyInPandas): per-user session stats computed
     with arbitrary pandas logic per group — the template for custom grouped
     aggregations the built-in functions can't express. Shuffles once on the
-    group key; each group is processed in one Arrow batch."""
+    group key; each group is processed in one Arrow batch.
+
+    Round 6 adds agent-transcript TOOL-USAGE stats to the same pass (the
+    input_hint's ``tool`` column, derived closed-form from events: every
+    7th event calls one of three tools): n_tool_calls / n_distinct_tools
+    per user, pandas-side, oracle-checked via COUNT(tool) /
+    COUNT(DISTINCT tool)."""
     import math
 
     import pandas as pd
@@ -1688,16 +1694,30 @@ def q_user_sessions(spark, sf_dir):
             "span_seconds": [int((ts.iloc[-1] - ts.iloc[0]).total_seconds())],
             # SQL SUM over an all-NULL group is NULL, not 0
             "sum_value_e4": [sum(e4) if e4 else None],
+            "n_tool_calls": [int(pdf["tool"].notna().sum())],
+            "n_distinct_tools": [int(pdf["tool"].nunique(dropna=True))],
         })
 
-    return (_events(spark, sf_dir).groupBy("user_id")
-            .applyInPandas(stats, "user_id long, n_events long, span_seconds long, sum_value_e4 long"))
+    tool = F.when(F.col("event_id") % 7 == 0,
+                  F.element_at(F.array(F.lit("search"), F.lit("code"),
+                                       F.lit("browse")),
+                               (F.col("event_id") % 3).cast("int") + 1))
+    return (_events(spark, sf_dir).withColumn("tool", tool)
+            .groupBy("user_id")
+            .applyInPandas(stats, "user_id long, n_events long, "
+                                  "span_seconds long, sum_value_e4 long, "
+                                  "n_tool_calls long, n_distinct_tools long"))
 
 
 O_USER_SESSIONS = """
 SELECT user_id, COUNT(*) AS n_events,
        CAST(FLOOR(date_part('epoch', MAX(ts) - MIN(ts))) AS BIGINT) AS span_seconds,
-       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+       COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_tool_calls,
+       COUNT(DISTINCT CASE WHEN event_id % 7 = 0 THEN
+             list_extract(['search', 'code', 'browse'],
+                          CAST(event_id % 3 AS INTEGER) + 1) END)
+         AS n_distinct_tools
 FROM events GROUP BY user_id
 """
 

@@ -592,3 +592,66 @@ def open_table(root: str, spark: Optional[SparkSession] = None,
             f"a {fmt} runtime is present but no {fmt} delegate is wired; "
             f"implement the ManifestTable contract on {fmt}: {TABLE_CONTRACT}")
     raise ValueError(f"unknown table format {fmt!r}")
+
+
+def dedup_ingest(spark: SparkSession, corpus: "ManifestTable",
+                 fingerprints: "ManifestTable", batch: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 lock_timeout: float = 30.0) -> dict:
+    """Incremental corpus ingest with HISTORY-WIDE exact dedup — the
+    production shape where batches arrive forever and a document admitted
+    once must never be admitted again, without ever rescanning the corpus
+    text. A sidecar ``fingerprints`` ManifestTable accumulates one md5 per
+    admitted text (128-bit: collision odds stay negligible at 10^12 docs,
+    where a 64-bit key would already expect collisions); each ingest is
+
+        batch -> in-batch dedup (min-id per fingerprint, one window)
+              -> anti-join the fingerprint history (fp-only scan, never
+                 corpus text)
+              -> commit survivors to ``corpus``, then their fps to
+                 ``fingerprints``
+
+    Returns ``{"n_batch", "n_in_batch_dupes", "n_history_dupes",
+    "n_ingested", "snapshot_id"}`` (scalar counts only — no data rows
+    reach the driver).
+
+    Crash ordering, documented not hidden: corpus commits FIRST. A crash
+    between the two commits leaves admitted rows whose fingerprints are
+    unrecorded, so a later batch can re-admit the same text — a DUPLICATE,
+    which downstream exact dedup can repair. The reverse order would
+    instead record fingerprints for rows that never landed — silent DATA
+    LOSS, unrepairable downstream. Duplicates over loss is the right
+    default for training corpora."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if "_fp" in batch.columns:
+        raise ValueError("batch already carries the reserved column '_fp'")
+    n_batch = batch.count()
+    fp = batch.withColumn("_fp", F.md5(F.col(text_col)))
+    rn = F.row_number().over(Window.partitionBy("_fp").orderBy(id_col))
+    in_batch = fp.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
+    history = fingerprints.read_union(spark)
+    if history is not None:
+        fresh = in_batch.join(history.select(F.col("fp").alias("_fp")),
+                              "_fp", "left_anti")
+    else:
+        fresh = in_batch
+    # one materialization serves both commits and the counts: localCheckpoint
+    # would pin executor memory; a corpus commit IS a parquet write, so the
+    # fingerprint side re-reads that committed snapshot instead
+    snap = corpus.commit(fresh.drop("_fp"), inputs=[],
+                         lock_timeout=lock_timeout)
+    committed = corpus.read(spark, snap.snapshot_id)
+    fingerprints.commit(
+        committed.select(F.md5(F.col(text_col)).alias("fp")),
+        inputs=[], lock_timeout=lock_timeout)
+    n_ingested = committed.count()
+    n_unique = in_batch.count()
+    return {
+        "n_batch": n_batch,
+        "n_in_batch_dupes": n_batch - n_unique,
+        "n_history_dupes": n_unique - n_ingested,
+        "n_ingested": n_ingested,
+        "snapshot_id": snap.snapshot_id,
+    }

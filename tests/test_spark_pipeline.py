@@ -879,3 +879,42 @@ def test_grok_round6_base_patterns(spark):
         df.select("id", F.split("text", " ")[0].alias("text")),
         "%{IPORHOST:t}").collect()}
     assert ih[1]["t"] == "web-1.eu.example.com" and ih[2]["t"] is None
+
+
+def test_dedup_ingest_history_wide(spark, tmp_path):
+    """Incremental ingest: in-batch dupes collapse to the min id,
+    history dupes never re-enter across batches, fingerprints accumulate,
+    and only scalar counts are computed (no text rescan of the corpus)."""
+    corpus = ManifestTable(str(tmp_path / "corpus"))
+    fps = ManifestTable(str(tmp_path / "fps"))
+
+    b1 = spark.createDataFrame(
+        [(3, "alpha"), (1, "alpha"), (2, "beta")], "doc_id long, text string")
+    r1 = storage.dedup_ingest(spark, corpus, fps, b1)
+    assert r1 == {**r1, "n_batch": 3, "n_in_batch_dupes": 1,
+                  "n_history_dupes": 0, "n_ingested": 2}
+    got1 = {(r["doc_id"], r["text"])
+            for r in corpus.read_union(spark).collect()}
+    assert got1 == {(1, "alpha"), (2, "beta")}  # min-id representative
+
+    # batch 2: one history dupe ('beta'), one fresh, an in-batch dupe pair
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")],
+        "doc_id long, text string")
+    r2 = storage.dedup_ingest(spark, corpus, fps, b2)
+    assert (r2["n_in_batch_dupes"], r2["n_history_dupes"],
+            r2["n_ingested"]) == (1, 1, 1)
+    got2 = {r["text"] for r in corpus.read_union(spark).collect()}
+    assert got2 == {"alpha", "beta", "gamma"}
+
+    # batch 3: everything already known -> empty commit, chain still sane
+    b3 = spark.createDataFrame([(20, "alpha"), (21, "gamma")],
+                               "doc_id long, text string")
+    r3 = storage.dedup_ingest(spark, corpus, fps, b3)
+    assert r3["n_ingested"] == 0 and r3["n_history_dupes"] == 2
+    assert corpus.read_union(spark).count() == 3
+    assert fps.read_union(spark).count() == 3  # one fp per admitted text
+
+    with pytest.raises(ValueError, match="_fp"):
+        storage.dedup_ingest(spark, corpus, fps,
+                             b1.withColumn("_fp", F.lit("x")))
