@@ -1871,13 +1871,10 @@ def q_turn_ordering(spark, sf_dir):
     from . import transcripts
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = _events(spark, sf_dir)
-    rank = ev.select(
-        F.lit("rank").alias("variant"), "event_id",
-        F.row_number().over(w).cast("long").alias("turn_rank"),
-        F.lit("").alias("s"))
-
-    tr = ev.select(
+    # every variant hangs off the SAME transcript subtree (one events scan
+    # + one window shuffle; AQE stage reuse dedupes it across the union
+    # branches — the same measured win as cef_window_counts' spike variant)
+    tr = _events(spark, sf_dir).select(
         F.col("user_id").alias("conv_id"), "event_id",
         (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
         F.concat(F.lit("turn "), F.col("event_id").cast("string"),
@@ -1885,14 +1882,15 @@ def q_turn_ordering(spark, sf_dir):
                  (F.col("event_id") * 31 % 1000).cast("string")).alias("text")
     ).withColumn("role", F.when(F.col("turn_idx") % 2 == 0, "user")
                  .otherwise("assistant"))
+    rank = tr.select(
+        F.lit("rank").alias("variant"), "event_id",
+        (F.col("turn_idx") + 1).alias("turn_rank"), F.lit("").alias("s"))
     render = transcripts.render_conversations(tr).select(
         F.lit("render").alias("variant"),
         F.col("conv_id").alias("event_id"),
         F.col("n_turns").cast("long").alias("turn_rank"),
         F.md5("dialog").alias("s"))
-    sft = transcripts.sft_pairs(tr).join(
-        tr.select("conv_id", "turn_idx", "event_id"),
-        ["conv_id", "turn_idx"]).select(
+    sft = transcripts.sft_pairs(tr, extra_cols=("event_id",)).select(
         F.lit("sft").alias("variant"), "event_id",
         F.col("turn_idx").alias("turn_rank"),
         F.md5(F.concat("context", F.lit("\n=>\n"), "response")).alias("s"))

@@ -49,18 +49,30 @@ def dup_ngram_counts(col: Column, n: int = 3) -> tuple[Column, Column]:
     the oracle contract needs no float tolerance (consumers divide
     themselves). Pure array functions over the whitespace tokenization —
     whole-stage codegen, no UDF, no shuffle; texts shorter than ``n``
-    tokens count 0/0."""
-    toks = F.split(F.trim(col), r"\s+")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(toks, i + k + 1)
-                               for k in range(n)]))
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams).cast("long")
-    dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("long")
-    return total, dup
+    tokens count 0/0.
+
+    The token array is BOUND ONCE through a lambda variable (the
+    element_at(transform(array(...)), 1) scoping idiom): referencing the
+    raw ``split`` expression from every per-gram element_at would
+    re-tokenize the text per gram — O(tokens²) per document, measured 10×
+    on the documents table."""
+    def counts(t):
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(t, i + k + 1)
+                                   for k in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            F.size(grams).cast("long").alias("total"),
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            .cast("long").alias("dup"))
+
+    bound = F.element_at(
+        F.transform(F.array(F.struct(F.split(F.trim(col), r"\s+").alias("t"))),
+                    lambda x: counts(x["t"])), 1)
+    return bound["total"], bound["dup"]
 
 
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

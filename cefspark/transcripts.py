@@ -54,11 +54,15 @@ def render_conversations(df: DataFrame, conv_col: str = "conv_id",
 def sft_pairs(df: DataFrame, assistant_role: str = "assistant",
               conv_col: str = "conv_id", turn_col: str = "turn_idx",
               role_col: str = "role", text_col: str = "text",
-              sep: str = "\n") -> DataFrame:
+              sep: str = "\n",
+              extra_cols: tuple = ()) -> DataFrame:
     """One row per ``assistant_role`` turn: ``(conv_col, turn_col,
     context, response)`` where ``context`` is every EARLIER turn rendered
     ``role: text`` in order (empty string when the assistant somehow
-    speaks first) and ``response`` is the turn's own text.
+    speaks first) and ``response`` is the turn's own text. ``extra_cols``
+    names further input columns to carry through (e.g. an event id) —
+    cheaper than re-joining the source afterwards, which would cost a
+    second shuffle.
 
     The context accumulates via a window ``collect_list`` over
     ``rowsBetween(unboundedPreceding, -1)`` on the conversation key —
@@ -77,4 +81,5 @@ def sft_pairs(df: DataFrame, assistant_role: str = "assistant",
     return (df.withColumn("context", context)
             .where(F.col(role_col) == assistant_role)
             .select(F.col(conv_col), F.col(turn_col), "context",
-                    F.col(text_col).alias("response")))
+                    F.col(text_col).alias("response"),
+                    *[F.col(c) for c in extra_cols]))
