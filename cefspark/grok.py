@@ -72,6 +72,10 @@ COMPOSITE_PATTERNS: dict[str, str] = {
     "SYSLOGLINE":
         '%{SYSLOGTIMESTAMP:ts} %{NOTSPACE:host} %{PROG:program}'
         '(?:\\[%{INT:pid}\\])?: %{GREEDYDATA:msg}',
+    # references COMMONAPACHELOG — composites may nest; the reference graph
+    # is acyclic by construction (a composite only names earlier entries)
+    "COMBINEDAPACHELOG":
+        '%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}',
 }
 
 _REF = re.compile(r"%\{(?P<name>[A-Z0-9_]+)"
@@ -95,7 +99,7 @@ def compile_grok_typed(expr: str) -> tuple[str, list[tuple[str, str | None]]]:
     capturing group (cast None = stays string); `%{NAME:field:int}` adds a
     ``try_cast`` target — logstash grok's typed-coercion convenience
     (VERDICT r5 #4). Composites expand recursively (cycles impossible:
-    composites only reference BASE_PATTERNS)."""
+    a composite only references base patterns or earlier composites)."""
     fields: list[tuple[str, str | None]] = []
 
     def sub(m: re.Match) -> str:

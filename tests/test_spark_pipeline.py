@@ -918,3 +918,21 @@ def test_dedup_ingest_history_wide(spark, tmp_path):
     with pytest.raises(ValueError, match="_fp"):
         storage.dedup_ingest(spark, corpus, fps,
                              b1.withColumn("_fp", F.lit("x")))
+
+
+def test_grok_combined_apache_log(spark):
+    """COMBINEDAPACHELOG: nested composite expansion (references
+    COMMONAPACHELOG) keeps positional group numbering; referrer/agent
+    capture with their quotes (QS semantics)."""
+    from cefspark import grok
+
+    df = spark.createDataFrame(
+        [(1, '1.2.3.4 - bob [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0"'
+             ' 200 99 "http://ref.example/page" "Mozilla/5.0 (X11)"'),
+         (2, "nope")], "id long, text string")
+    out = {r["id"]: r for r in
+           grok.grok_parse(df, "%{COMBINEDAPACHELOG}").collect()}
+    assert out[1]["clientip"] == "1.2.3.4" and out[1]["response"] == "200"
+    assert out[1]["referrer"] == '"http://ref.example/page"'
+    assert out[1]["agent"] == '"Mozilla/5.0 (X11)"'
+    assert out[2]["agent"] is None
