@@ -375,8 +375,12 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text",
     norm = F.lower(F.regexp_replace(F.trim(F.col("line")), r"\s+", " "))
     lines = lines.withColumn("_h", F.xxhash64(norm))
     total = df.agg(F.count_distinct(id_col).alias("_n_docs"))
-    thresh = F.greatest(F.lit(int(min_docs)),
-                        F.ceil(F.lit(float(max_doc_frac)) * F.col("_n_docs")))
+    # round to 6dp before ceil: binary float dust would otherwise push an
+    # exact product over the next integer (0.05 * 400 = 20.000000000000004
+    # -> ceil 21, silently sparing lines at exactly the documented threshold)
+    thresh = F.greatest(
+        F.lit(int(min_docs)),
+        F.ceil(F.round(F.lit(float(max_doc_frac)) * F.col("_n_docs"), 6)))
     boiler = (lines.groupBy("_h")
               .agg(F.count_distinct(id_col).alias("_nd"))
               .crossJoin(F.broadcast(total))

@@ -749,3 +749,16 @@ def test_transcript_ops_single_shuffle_no_python(spark):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, op
         assert "EvalPython" not in plan
+
+
+def test_remove_boilerplate_threshold_is_float_dust_free(spark):
+    """0.05 * 400 must threshold at 20, not 21 (binary float dust through
+    ceil): a line in exactly ceil(frac*n) docs IS removed."""
+    rows = [(i, f"u{i}\n" + ("shared line" if i < 20 else f"v{i}"))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_boilerplate(
+        df, max_doc_frac=0.05).collect()}
+    # 'shared line' is in exactly 20 = ceil(0.05*400) docs -> removed
+    assert out[0]["text_clean"] == "u0" and out[0]["n_removed"] == 1
+    assert out[399]["n_removed"] == 0
