@@ -655,3 +655,27 @@ def dedup_ingest(spark: SparkSession, corpus: "ManifestTable",
         "n_ingested": n_ingested,
         "snapshot_id": snap.snapshot_id,
     }
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, sort_cols: Optional[list[str]] = None,
+                   path: Optional[str] = None) -> None:
+    """Persist ``df`` as a BUCKETED catalog table — the shuffle-free join
+    primitive for repeated large-×-large joins on a stable key (the
+    100-TB alternative to paying a SortMergeJoin exchange per query): two
+    tables bucketed identically on the join key co-locate, and the
+    planner joins them with ZERO Exchange (pinned in
+    ``test_plans.py::test_bucketed_join_is_shuffle_free``). ``sort_cols``
+    additionally pre-sorts within buckets so the join skips its Sort too.
+
+    Buckets require catalog metadata (`saveAsTable`, not `.parquet(path)`
+    — a bare directory loses the bucket spec); ``path`` pins the data
+    location for external-table layouts. Choose ``n_buckets`` once per
+    subject area and reuse it everywhere the key appears — mismatched
+    bucket counts fall back to a shuffle on one side."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

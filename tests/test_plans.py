@@ -191,3 +191,54 @@ def test_rate_spikes_broadcast_median_join(spark):
     plan = plan_of(pipeline.detect_rate_spikes(counts))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located bucketed join: two tables bucketed identically on the
+    join key join with ZERO Exchange — and with sortBy, zero Sort on the
+    scan sides too. The catalog metadata (not the directory layout) is
+    what the planner trusts, so write_bucketed goes through saveAsTable."""
+    from cefspark import storage
+
+    spark.sql("DROP TABLE IF EXISTS bkt_docs")
+    spark.sql("DROP TABLE IF EXISTS bkt_scores")
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"))
+    scores = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("score"))
+    storage.write_bucketed(docs, "bkt_docs", ["doc_id"], n_buckets=8,
+                           sort_cols=["doc_id"],
+                           path=str(tmp_path / "bkt_docs"))
+    storage.write_bucketed(scores, "bkt_scores", ["doc_id"], n_buckets=8,
+                           sort_cols=["doc_id"],
+                           path=str(tmp_path / "bkt_scores"))
+    # force the large-x-large join shape (small fixtures would broadcast,
+    # where bucketing is irrelevant — the planner even annotates the scan
+    # 'Bucketed: false (disabled by query planner)' under a broadcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                             "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_docs").join(spark.table("bkt_scores"),
+                                              "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       old_aqe)
+    # mismatched bucket counts: the planner must still produce correct
+    # results (with a shuffle on one side) — correctness never depends on
+    # the optimization applying
+    spark.sql("DROP TABLE IF EXISTS bkt_scores4")
+    storage.write_bucketed(scores, "bkt_scores4", ["doc_id"], n_buckets=4,
+                           path=str(tmp_path / "bkt_scores4"))
+    j2 = spark.table("bkt_docs").join(spark.table("bkt_scores4"), "doc_id")
+    assert j2.count() == 10_000
+    for t in ("bkt_docs", "bkt_scores", "bkt_scores4"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
