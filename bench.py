@@ -71,7 +71,8 @@ HEADLINE = [
     "turn_ordering",
 ]
 
-STEADY_DIR = "/tmp/cefspark_scaling/transcripts_2000000"
+STEADY_DIR = os.environ.get("SPARK_GRAFT_STEADY_DIR",
+                            "/tmp/cefspark_scaling/transcripts_2000000")
 
 
 def shield_stdout() -> int:
@@ -406,20 +407,41 @@ def main() -> None:
     spark.stop()
 
     # Scaling-evidence pair local[2] vs local[8] in FRESH follow-on JVMs
-    # (the wide session is stopped, so levels never compete for cores);
-    # contaminated legs are retried (run_level) so efficiency is never null.
+    # (the wide session is stopped, so levels never compete for cores).
+    # TWO interleaved (hi, lo) pairs, each leg retried while its own
+    # window is flagged contaminated (run_level), then the pair with the
+    # lower residual steal is cited: a steadily-noisy host window can
+    # depress one level without tripping any per-leg flag (observed:
+    # 0.671 from legs at 1.9%/1.2% steal in a window whose quiet reading
+    # was 0.881), and pairing bounds that failure mode the same way the
+    # bench/scaling.py study does. Efficiency is never null; both pair
+    # readings stay in the artifact.
     levels: dict[int, dict] = {}
     level_attempts: dict[int, int] = {}
     eff = None
+    pair_readings: list = []
     try:
         if steady is not None:
-            for cores in (8, 2):
-                levels[cores], level_attempts[cores] = run_level(cores)
-            thr8 = levels[8]["rows"] / levels[8]["min_sec"]
-            thr2 = levels[2]["rows"] / levels[2]["min_sec"]
-            eff = round((thr8 / 8) / (thr2 / 2), 3)
+            pairs = []
+            for _ in range(2):
+                pl, pa = {}, {}
+                for cores in (8, 2):
+                    pl[cores], pa[cores] = run_level(cores, max_attempts=2)
+                thr8 = pl[8]["rows"] / pl[8]["min_sec"]
+                thr2 = pl[2]["rows"] / pl[2]["min_sec"]
+                pairs.append({
+                    "eff": round((thr8 / 8) / (thr2 / 2), 3),
+                    "steal": max(pl[8]["steal"], pl[2]["steal"]),
+                    "contaminated": bool(pl[8]["contaminated"]
+                                         or pl[2]["contaminated"]),
+                    "levels": pl, "attempts": pa,
+                })
+            pair_readings = [p["eff"] for p in pairs]
+            best = min(pairs, key=lambda p: (p["contaminated"], p["steal"]))
+            levels, level_attempts = best["levels"], best["attempts"]
+            eff = best["eff"]
     except Exception:
-        levels, eff = {}, None
+        levels, eff, pair_readings = {}, None, []
 
     def thr(cores, stat):
         d = levels.get(cores)
@@ -448,6 +470,7 @@ def main() -> None:
         "steady_local2_contaminated": levels.get(2, {}).get("contaminated"),
         "steady_scaling_efficiency": eff,
         "steady_scaling_pair": "local[2] vs local[8] (physical-core envelope)",
+        "steady_scaling_pair_readings": pair_readings,
         "steady_scaling_attempts": {str(k): v for k, v in level_attempts.items()},
         "steady_rows": steady_rows,
         "streaming_turns_per_sec": stream_thr,
