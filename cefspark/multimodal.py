@@ -1415,9 +1415,97 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Records the intended resize in metadata (the real pixel op is a codec
-    concern); keeps the payload column flowing through the plan untouched."""
+    """Records the intended resize in metadata without touching pixels —
+    the cheap planning-only path kept for formats this library cannot
+    decode (JPEG/MP4 typed rejections). For decodable containers
+    (BMP/PNG/RLE8) use :func:`resize_images`, which resamples REAL
+    pixels."""
     return df.withColumn(
         "meta",
         F.map_concat(F.col("meta"), F.create_map(
             F.lit("resize"), F.lit(f"{width}x{height}"))))
+
+
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Decode an UNCOMPRESSED 24-bpp BMP to a top-down ``(h, w, 3)`` BGR
+    array: strip the 4-byte row-stride padding and un-flip the bottom-up
+    row order (a negative header height means rows are already top-down).
+    Other depths/compressions raise typed errors (``decode_bmp_rle8``
+    covers BI_RLE8; 1/4/8/16/32-bpp raster walks are metadata-supported
+    but out of the pixel-op scope)."""
+    import struct
+
+    meta = parse_bmp(payload)  # validates container + bounds
+    if meta["compression"] != 0 or meta["bits_per_pixel"] != 24:
+        raise NotImplementedError(
+            "decode_bmp_pixels handles uncompressed 24-bpp BMP; got "
+            f"compression={meta['compression']} bpp={meta['bits_per_pixel']}"
+            " (BI_RLE8 -> decode_bmp_rle8)")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    raw_h = struct.unpack("<i", payload[22:26])[0]
+    w, h = meta["width"], meta["height"]
+    row_bytes = ((w * 24 + 31) // 32) * 4
+    arr = np.frombuffer(payload, np.uint8,
+                        count=row_bytes * h, offset=offset)
+    rows = arr.reshape(h, row_bytes)[:, :3 * w].reshape(h, w, 3)
+    return rows if raw_h < 0 else rows[::-1]
+
+
+def _decode_any_pixels(payload: bytes) -> np.ndarray:
+    """Route a payload to its real pixel decoder; 2-D results (palette /
+    RLE8 index rasters) gain a trailing channel axis so every caller sees
+    ``(h, w, c)``."""
+    b = bytes(payload)
+    if b[:8] == PNG_SIG:
+        px = decode_png_pixels(b)
+    elif b[:2] == b"BM":
+        import struct
+
+        compression = struct.unpack("<I", b[30:34])[0]
+        px = decode_bmp_rle8(b) if compression == 1 else decode_bmp_pixels(b)
+    else:
+        raise NotImplementedError(
+            "resize_images decodes PNG and BMP containers; other formats "
+            "need a codec library (use resize_stub for planning-only)")
+    return px[:, :, None] if px.ndim == 2 else px
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("in_w", IntegerType()),
+    StructField("in_h", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("px", BinaryType()),
+    StructField("px_sum", LongType()),
+])
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize over decoded pixels — the
+    training-pipeline normalization step (every image to one tensor
+    shape) on the containers this library genuinely decodes (uncompressed
+    24-bpp BMP, BI_RLE8 BMP, PNG at every legal depth). Source index =
+    ``(dst * src) // dst_extent`` (pure integer floor mapping, restatable
+    in SQL — the `resize_px` gate's oracle recomputes the resampled sums
+    closed-form). Emits the resized array bytes (top-down row-major,
+    ``channels`` planes) plus its integer pixel sum; payloads never leave
+    the executors, one narrow mapInPandas, no shuffle."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = _decode_any_pixels(payload)
+                h, w, c = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                r = px[ys][:, xs]
+                rows.append((asset_id, w, h, c, r.tobytes(),
+                             int(r.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "in_w", "in_h", "channels",
+                               "px", "px_sum"])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

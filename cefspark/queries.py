@@ -1316,8 +1316,21 @@ def q_multimodal_features(spark, sf_dir):
         "asset_id", "kind", F.lit("rle_px").alias("variant"),
         F.col("block_idx").cast("long").alias("block_idx"),
         F.col("block_sum").alias("m1"), F.col("block_n").alias("m2"))
+    # resize_px: REAL nearest-neighbor resize over REAL decoded pixels —
+    # every gradient BMP resampled to 8x6; the oracle recomputes the
+    # resampled sum closed-form from the integer floor source mapping
+    # ((dst*src)//dst) INCLUDING the bottom-up -> top-down un-flip, so a
+    # match proves decode orientation and the resampling arithmetic.
+    rsz = multimodal.resize_images(
+        multimodal.synthesize_bmp_assets(spark, n=200), out_w=8, out_h=6
+    ).select(
+        "asset_id", F.lit("image").alias("kind"),
+        F.lit("resize_px").alias("variant"),
+        F.lit(-1).cast("long").alias("block_idx"),
+        F.col("px_sum").alias("m1"),
+        (F.lit(8 * 6) * F.col("channels")).cast("long").alias("m2"))
     return (fake_rows.unionByName(wav).unionByName(bmp).unionByName(gif)
-            .unionByName(png).unionByName(rle))
+            .unionByName(png).unionByName(rle).unionByName(rsz))
 
 
 # np.array_split block index for position j of L items in 16 blocks:
@@ -1410,6 +1423,19 @@ FROM (
   CROSS JOIN generate_series(0, 223) s(p)
   WHERE p < L
 ) r GROUP BY asset_id, b
+UNION ALL
+SELECT asset_id, 'image' AS kind, 'resize_px' AS variant,
+       CAST(-1 AS BIGINT) AS block_idx,
+       CAST(SUM(3 * ((((xo * w) // 8) * 7
+                      + (h - 1 - ((yo * h) // 6)) * 13) % 256)) AS BIGINT)
+         AS m1,
+       CAST(144 AS BIGINT) AS m2
+FROM (SELECT i, 4 + i % 9 AS w, 3 + i % 5 AS h,
+             printf('img-%06d', i) AS asset_id
+      FROM generate_series(0, 199) t(i)) a
+CROSS JOIN generate_series(0, 7) sx(xo)
+CROSS JOIN generate_series(0, 5) sy(yo)
+GROUP BY asset_id
 """
 
 

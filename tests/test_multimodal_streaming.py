@@ -1178,3 +1178,56 @@ def test_bmp_rle8_absolute_mode_hand_built():
     trunc = bytes((0, 4, 1, 2))
     with _pytest.raises(ValueError, match="truncated RLE8 absolute"):
         mm.decode_bmp_rle8(wrap(trunc, 6, 2))
+
+
+def test_resize_images_real_pixels(spark):
+    """Nearest-neighbor resize over REAL decoded pixels: identity resize
+    returns the exact decoded array; up/downscale follow the integer floor
+    mapping for BMP (bottom-up un-flip), PNG, and RLE8 routes; undecodable
+    containers reject typed."""
+    import numpy as np
+
+    from cefspark import multimodal as mm
+
+    bmp = mm.synthesize_bmp_assets(spark, 6)
+    # identity: out dims == in dims for asset 0 (w=4, h=3)
+    one = bmp.where(F.col("asset_id") == "img-000000")
+    row = mm.resize_images(one, out_w=4, out_h=3).collect()[0]
+    direct = mm.decode_bmp_pixels(
+        bytes(one.collect()[0]["payload"]))
+    assert np.frombuffer(row["px"], np.uint8).reshape(3, 4, 3).tolist() \
+        == direct.tolist()
+    assert row["px_sum"] == int(direct.astype(np.int64).sum())
+
+    # downscale + upscale: exact floor-mapped sample, all assets
+    for r in mm.resize_images(bmp, out_w=8, out_h=6).collect():
+        i = int(r["asset_id"].split("-")[1])
+        w, h = 4 + i % 9, 3 + i % 5
+        assert (r["in_w"], r["in_h"], r["channels"]) == (w, h, 3)
+        exp = sum(3 * ((((xo * w) // 8) * 7
+                        + (h - 1 - (yo * h) // 6) * 13) % 256)
+                  for xo in range(8) for yo in range(6))
+        assert r["px_sum"] == exp, r["asset_id"]
+
+    # PNG route: resized sample equals the decoded array's floor sample
+    png = mm.synthesize_png_assets(spark, 3)
+    prow = mm.resize_images(png, out_w=5, out_h=5).collect()[0]
+    src = mm.decode_png_pixels(bytes(png.collect()[0]["payload"]))
+    h, w, c = src.shape
+    ys = (np.arange(5) * h) // 5
+    xs = (np.arange(5) * w) // 5
+    assert np.frombuffer(prow["px"], np.uint8).reshape(5, 5, c).tolist() \
+        == src[ys][:, xs].tolist()
+
+    # RLE8 route: single-channel raster gains a channel axis
+    rle = mm.synthesize_bmp_rle_assets(spark, 2)
+    rrow = mm.resize_images(rle, out_w=4, out_h=4).collect()[0]
+    assert rrow["channels"] == 1 and len(rrow["px"]) == 16
+
+    # typed rejections: unknown container, non-positive dims
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec library|resize_stub"):
+        mm._decode_any_pixels(b"RIFF....WAVE")
+    with _pytest.raises(ValueError, match="positive"):
+        mm.resize_images(bmp, out_w=0, out_h=4)
