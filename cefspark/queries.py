@@ -1329,8 +1329,20 @@ def q_multimodal_features(spark, sf_dir):
         F.lit(-1).cast("long").alias("block_idx"),
         F.col("px_sum").alias("m1"),
         (F.lit(8 * 6) * F.col("channels")).cast("long").alias("m2"))
+    # resample_sum: REAL PCM resample of every sawtooth WAV to 12 kHz —
+    # same integer floor mapping on the time axis; the oracle recomputes
+    # the resampled interleaved-sample sums from the fixture closed form.
+    rsp = multimodal.resample_audio(
+        multimodal.synthesize_wav_assets(spark, n=240), out_rate=12000
+    ).select(
+        "asset_id", F.lit("audio").alias("kind"),
+        F.lit("resample_sum").alias("variant"),
+        F.lit(-1).cast("long").alias("block_idx"),
+        F.col("sample_sum").alias("m1"),
+        (F.col("out_frames") * F.col("channels")).cast("long").alias("m2"))
     return (fake_rows.unionByName(wav).unionByName(bmp).unionByName(gif)
-            .unionByName(png).unionByName(rle).unionByName(rsz))
+            .unionByName(png).unionByName(rle).unionByName(rsz)
+            .unionByName(rsp))
 
 
 # np.array_split block index for position j of L items in 16 blocks:
@@ -1435,6 +1447,20 @@ FROM (SELECT i, 4 + i % 9 AS w, 3 + i % 5 AS h,
       FROM generate_series(0, 199) t(i)) a
 CROSS JOIN generate_series(0, 7) sx(xo)
 CROSS JOIN generate_series(0, 5) sy(yo)
+GROUP BY asset_id
+UNION ALL
+SELECT asset_id, 'audio' AS kind, 'resample_sum' AS variant,
+       CAST(-1 AS BIGINT) AS block_idx,
+       CAST(SUM((((((j * F) // OF) * ch + c) * 257) % 65536) - 32768)
+            AS BIGINT) AS m1,
+       CAST(COUNT(*) AS BIGINT) AS m2
+FROM (SELECT i, 80 + (i % 7) * 40 AS F, 1 + i % 2 AS ch,
+             ((80 + (i % 7) * 40) * 12000) // (8000 * (1 + i % 3)) AS OF,
+             printf('asset-%06d', i) AS asset_id
+      FROM generate_series(0, 239) t(i)) a
+CROSS JOIN generate_series(0, 479) sj(j)
+CROSS JOIN generate_series(0, 1) sc(c)
+WHERE j < OF AND c < ch
 GROUP BY asset_id
 """
 

@@ -1231,3 +1231,33 @@ def test_resize_images_real_pixels(spark):
         mm._decode_any_pixels(b"RIFF....WAVE")
     with _pytest.raises(ValueError, match="positive"):
         mm.resize_images(bmp, out_w=0, out_h=4)
+
+
+def test_resample_audio_real_samples(spark):
+    """PCM resample: identity rate returns the exact decoded samples;
+    downsample follows the floor frame mapping per channel; int32 output
+    is lossless for 16-bit input; non-positive rate rejects."""
+    import numpy as np
+
+    from cefspark import multimodal as mm
+
+    wavs = mm.synthesize_wav_assets(spark, 6)
+    one = wavs.where(F.col("asset_id") == "asset-000000")  # 8kHz mono 80f
+    blob = bytes(one.collect()[0]["payload"])
+    src = mm._wav_samples(blob, 16)
+    ident = mm.resample_audio(one, out_rate=8000).collect()[0]
+    assert ident["out_frames"] == 80
+    assert np.frombuffer(ident["pcm"], "<i4").tolist() == src.tolist()
+
+    for r in mm.resample_audio(wavs, out_rate=12000).collect():
+        i = int(r["asset_id"].split("-")[1])
+        sr, frames, ch = 8000 * (1 + i % 3), 80 + (i % 7) * 40, 1 + i % 2
+        of = (frames * 12000) // sr
+        assert (r["in_rate"], r["in_frames"], r["out_frames"],
+                r["channels"]) == (sr, frames, of, ch)
+        exp = sum((((((j * frames) // of) * ch + c) * 257) % 65536) - 32768
+                  for j in range(of) for c in range(ch))
+        assert r["sample_sum"] == exp, r["asset_id"]
+
+    with pytest.raises(ValueError, match="positive"):
+        mm.resample_audio(wavs, out_rate=0)
