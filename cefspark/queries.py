@@ -2157,15 +2157,85 @@ WHERE (lang = 'en' AND {sampling.split_bucket_sql('doc_id', 11)} < 300)
 
 
 def q_text_token_count(spark, sf_dir):
-    return _documents(spark, sf_dir).select(
+    """Token counting + sequence packing, three merged variants:
+
+    - ``count``: whitespace token count per document (as before);
+      v1 = n_tokens.
+    - ``chunk``: cefspark.packing.pack_chunk — GPT-style concat-and-cut
+      packing into capacity-96 context windows over 16 deterministic hash
+      shards; v1 = shard, info = pack_first/pack_last/pack_off. Pure
+      integer window arithmetic (DIV/%), bit-identical across engines.
+    - ``greedy``: cefspark.packing.pack_greedy — boundary-respecting
+      first-fit-in-order packing (new pack iff acc + n > capacity, so
+      oversize documents are always solo packs); v1 = shard,
+      info = pack_id/pack_pos. The oracle replays the same sequential
+      rule with a recursive CTE walking each shard in key order.
+    """
+    from . import packing
+
+    toks = _documents(spark, sf_dir).select(
         "doc_id", textops.token_count(F.col("text")))
+    count = toks.select(
+        "doc_id", F.lit("count").alias("variant"),
+        F.col("n_tokens").alias("v1"), F.lit("").alias("info"))
+    # shard once: chunk + greedy consume the SAME pre-sharded subtree, so
+    # the per-shard exchange is planned once and AQE-stage-reused
+    toks = packing.with_shard(toks, 16)
+    chunk = packing.pack_chunk(toks, 96, shards=16).select(
+        "doc_id", F.lit("chunk").alias("variant"),
+        F.col("shard").cast("long").alias("v1"),
+        F.concat_ws("/", "pack_first", "pack_last", "pack_off").alias("info"))
+    greedy = packing.pack_greedy(toks, 96, shards=16).select(
+        "doc_id", F.lit("greedy").alias("variant"),
+        F.col("shard").cast("long").alias("v1"),
+        F.concat_ws("/", "pack_id", "pack_pos").alias("info"))
+    return count.unionByName(chunk).unionByName(greedy)
 
 
-O_TEXT_TOKEN_COUNT = """
-SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-FROM documents
+def _o_text_token_count():
+    from . import packing
+
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n,
+         {packing.shard_sql('doc_id', 16)} AS shard
+  FROM documents),
+ord AS (
+  SELECT doc_id, n, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn,
+         COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM toks),
+rec AS (
+  SELECT doc_id, shard, rn, n,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+         CAST(n AS BIGINT) AS acc
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.rn, t.n,
+         CASE WHEN r.acc + t.n > 96 THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.acc + t.n > 96 THEN CAST(0 AS BIGINT)
+              ELSE r.pack_pos + 1 END,
+         CASE WHEN r.acc + t.n > 96 THEN CAST(t.n AS BIGINT)
+              ELSE r.acc + t.n END
+  FROM rec r JOIN ord t ON t.shard = r.shard AND t.rn = r.rn + 1)
+SELECT doc_id, 'count' AS variant, CAST(n AS BIGINT) AS v1, '' AS info
+FROM toks
+UNION ALL
+SELECT doc_id, 'chunk' AS variant, CAST(shard AS BIGINT) AS v1,
+       (cum // 96) || '/' || ((cum + greatest(n, 1) - 1) // 96)
+       || '/' || (cum % 96) AS info
+FROM ord
+UNION ALL
+SELECT doc_id, 'greedy' AS variant, CAST(shard AS BIGINT) AS v1,
+       pack_id || '/' || pack_pos AS info
+FROM rec
 """
+
+
+O_TEXT_TOKEN_COUNT = _o_text_token_count()
 
 
 def q_text_quality(spark, sf_dir):
