@@ -2126,7 +2126,13 @@ def q_sample_split(spark, sf_dir):
     - ``split``: 90/5/5 train/val/test assignment.
     - ``stratified``: engine-exact sampleBy — per-language fractions over
       the documents corpus (en downsampled to 30%, de/es kept at 80%, fr
-      dropped by omission, zh fully kept), label = the stratum."""
+      dropped by omission, zh fully kept), label = the stratum.
+    - ``mixture``: sampling.mixture — deterministic corpus-mixture
+      resampling with fractional epoch weights (en 0.4 = downsample, de
+      2.5 = two epochs plus a hash-chosen half, zh 3.0 = three epochs,
+      es/fr dropped); label = ``lang#epoch``. The oracle replays the same
+      integer repeat rule and joins a tiny epochs relation on
+      ``epoch < repeats``."""
     split_rows = sampling.assign_split(
         _documents(spark, sf_dir).select("doc_id"),
         weights=(0.9, 0.05, 0.05), salt=7).select(
@@ -2137,7 +2143,13 @@ def q_sample_split(spark, sf_dir):
         strata_col="lang", salt=11).select(
         "doc_id", F.lit("stratified").alias("variant"),
         F.col("lang").alias("split"))
-    return split_rows.unionByName(strat_rows)
+    mix_rows = sampling.mixture(
+        _documents(spark, sf_dir).select("doc_id", "lang"),
+        weights={"en": 0.4, "de": 2.5, "zh": 3.0},
+        strata_col="lang", salt=13).select(
+        "doc_id", F.lit("mixture").alias("variant"),
+        F.concat_ws("#", "lang", "epoch").alias("split"))
+    return split_rows.unionByName(strat_rows).unionByName(mix_rows)
 
 
 O_SAMPLE_SPLIT = f"""
@@ -2153,6 +2165,18 @@ WHERE (lang = 'en' AND {sampling.split_bucket_sql('doc_id', 11)} < 300)
    OR (lang = 'de' AND {sampling.split_bucket_sql('doc_id', 11)} < 800)
    OR (lang = 'es' AND {sampling.split_bucket_sql('doc_id', 11)} < 800)
    OR (lang = 'zh' AND {sampling.split_bucket_sql('doc_id', 11)} < 1000)
+UNION ALL
+SELECT doc_id, 'mixture' AS variant, lang || '#' || e.epoch AS split
+FROM (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'zh' THEN 3 END
+         + CASE WHEN lang = 'en'
+                     AND {sampling.split_bucket_sql('doc_id', 13)} < 400 THEN 1
+                WHEN lang = 'de'
+                     AND {sampling.split_bucket_sql('doc_id', 13)} < 500 THEN 1
+                ELSE 0 END AS r
+  FROM documents WHERE lang IN ('en', 'de', 'zh')) mix
+JOIN (SELECT unnest(range(0, 4)) AS epoch) e ON e.epoch < mix.r
 """
 
 

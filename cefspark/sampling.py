@@ -21,7 +21,8 @@ splits.
 
 from __future__ import annotations
 
-from typing import Sequence
+import math
+from typing import Dict, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -127,3 +128,80 @@ def stratified_sample(df: DataFrame, fractions: dict,
         cond = (F.col(strata_col) == F.lit(key)) & (b < F.lit(round(frac * _BUCKETS)))
         expr = cond if expr is None else expr | cond
     return df.where(expr)
+
+
+_MAX_EPOCHS = 100
+
+
+def mixture(df: DataFrame, weights: Dict[str, float],
+            strata_col: str = "lang", id_col: str = "doc_id",
+            salt: int = 0) -> DataFrame:
+    """Deterministic corpus-mixture resampling: replicate each row
+    ``weights[stratum]`` times (fractional weights resolved per row by the
+    engine-exact bucket hash), adding an ``epoch`` column in
+    ``[0, repeats)``. This is the standard training-data mixing step —
+    "CommonCrawl 1.1 epochs, Wikipedia 3 epochs, downsample X to 0.4" —
+    expressed as a pure function of the row key:
+
+    - weight 2.3 → every row appears twice, and the deterministic 30% of
+      rows whose bucket falls under the cutoff appear a third time;
+    - weight 0.4 → the deterministic 40% appear once, the rest vanish;
+    - a stratum absent from ``weights`` is dropped (weight 0).
+
+    Reproducible across runs/engines/cluster sizes — re-running the mix for
+    a resumed or re-sharded training job yields the identical multiset,
+    unlike `df.sample(withReplacement=True)` whose output depends on the
+    partitioning.
+
+    Scale: a narrow projection + ``explode`` — no UDF, no shuffle, and rows
+    with zero repeats are dropped inside the same codegen stage (the
+    explode's input is NULL there, never a descending ``sequence(0,-1)``).
+    Output size is exactly ``sum_s weight_s * |s|`` rows; the ``epoch``
+    column lets the downstream shard/pack step interleave epochs instead of
+    replaying the corpus back-to-back.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    b = split_bucket(F.col(id_col), salt)
+    base = None
+    cut = None
+    for key, w in weights.items():
+        if not 0.0 <= w <= _MAX_EPOCHS:
+            raise ValueError(
+                f"weight for {key!r} must be in [0, {_MAX_EPOCHS}] (got {w})")
+        ib = int(math.floor(w))
+        fc = round((w - ib) * _BUCKETS)
+        if ib == 0 and fc == 0:
+            continue  # weight 0: stratum dropped, same as absent
+        cond = F.col(strata_col) == F.lit(key)
+        base = F.when(cond, ib) if base is None else base.when(cond, ib)
+        cut = F.when(cond, fc) if cut is None else cut.when(cond, fc)
+    if base is None:
+        raise ValueError("all weights are zero — empty mixture")
+    reps = (base.otherwise(F.lit(0))
+            + F.when(b < cut.otherwise(F.lit(0)), 1).otherwise(0))
+    epochs = F.when(reps > 0, F.sequence(F.lit(0), reps - 1))
+    return df.withColumn("epoch", F.explode(epochs))
+
+
+def mixture_weights(token_counts: Dict[str, float], alpha: float = 0.7,
+                    target_epochs_max: float = 4.0) -> Dict[str, float]:
+    """Derive per-stratum epoch weights from corpus sizes with temperature
+    sampling (Gopher / multilingual-LM style): sampling probability
+    ``p_s ∝ n_s^alpha`` flattens the size distribution (alpha=1 natural,
+    alpha→0 uniform), then weights are scaled so the most-upsampled stratum
+    runs ``target_epochs_max`` epochs — small corpora repeat, the dominant
+    corpus is (usually) downsampled. Driver-side arithmetic over the tiny
+    per-stratum size dict; feed the result to :func:`mixture`."""
+    if not token_counts or any(n <= 0 for n in token_counts.values()):
+        raise ValueError("token_counts must be non-empty and positive")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1] (got {alpha})")
+    total = sum(token_counts.values())
+    probs = {s: (n / total) ** alpha for s, n in token_counts.items()}
+    z = sum(probs.values())
+    # epochs_s ∝ p_s / share_s; normalize so max(epochs) == target_epochs_max
+    raw = {s: (probs[s] / z) / (token_counts[s] / total)
+           for s in token_counts}
+    scale = target_epochs_max / max(raw.values())
+    return {s: min(r * scale, _MAX_EPOCHS) for s, r in raw.items()}

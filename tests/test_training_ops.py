@@ -360,6 +360,87 @@ def test_stratified_sample_is_deterministic_and_pushable(spark):
         sampling.stratified_sample(docs, {"en": 1.5})
 
 
+def _py_split_bucket(key, salt=0):
+    """Python replica of sampling.split_bucket (engine-exact contract)."""
+    half, m1, fold, m2, mod = 1 << 31, 2654435761, 40503, 69069, 1 << 32
+    h1 = ((key % half) * m1 + (key >> 31) * fold + fold + salt) % mod
+    return ((h1 * m2) % mod >> 16) % 1000
+
+
+def test_mixture_epoch_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from cefspark import sampling
+
+    docs = spark.range(900).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("lang"))
+    out = sampling.mixture(docs, {"en": 0.4, "de": 2.5}, salt=5)
+    pdf = out.toPandas()
+    assert "fr" not in set(pdf["lang"])  # absent stratum dropped
+    langs = ["en", "de", "fr"]
+    for doc_id, grp in pdf.groupby("doc_id"):
+        lang = langs[doc_id % 3]
+        w = {"en": 0.4, "de": 2.5}[lang]
+        want = int(w) + (1 if _py_split_bucket(doc_id, 5) < round(
+            (w - int(w)) * 1000) else 0)
+        assert sorted(grp["epoch"]) == list(range(want)), doc_id
+    # docs with zero repeats are absent entirely
+    present = set(pdf["doc_id"])
+    for doc_id in range(0, 900, 3):  # the en rows
+        want = 1 if _py_split_bucket(doc_id, 5) < 400 else 0
+        assert (doc_id in present) == (want == 1)
+    # deterministic under different partitioning
+    again = sampling.mixture(docs.repartition(13), {"en": 0.4, "de": 2.5},
+                             salt=5).toPandas()
+    assert (again.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+            .equals(pdf.sort_values(["doc_id", "epoch"])
+                    .reset_index(drop=True)))
+    # narrow plan: no shuffle, no python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_mixture_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cefspark import sampling
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"),
+                                  F.lit("en").alias("lang"))
+    with _pytest.raises(ValueError):
+        sampling.mixture(docs, {})
+    with _pytest.raises(ValueError):
+        sampling.mixture(docs, {"en": -0.1})
+    with _pytest.raises(ValueError):
+        sampling.mixture(docs, {"en": 101})
+    with _pytest.raises(ValueError):
+        sampling.mixture(docs, {"en": 0.0})  # all-zero mixture is empty
+
+
+def test_mixture_weights_temperature():
+    import pytest as _pytest
+
+    from cefspark import sampling
+
+    # alpha=1 is natural sampling: every stratum the same epoch count
+    w = sampling.mixture_weights({"a": 100, "b": 10000}, alpha=1.0,
+                                 target_epochs_max=2.0)
+    assert w == {"a": 2.0, "b": 2.0}
+    # alpha<1 flattens: the small corpus repeats more than the large one
+    w = sampling.mixture_weights({"a": 100, "b": 10000}, alpha=0.5,
+                                 target_epochs_max=4.0)
+    assert w["a"] == 4.0 and 0 < w["b"] < w["a"]
+    # upsample factor follows the temperature math: (n_b/n_a)^(1-alpha)
+    assert abs(w["a"] / w["b"] - (10000 / 100) ** 0.5) < 1e-9
+    with _pytest.raises(ValueError):
+        sampling.mixture_weights({})
+    with _pytest.raises(ValueError):
+        sampling.mixture_weights({"a": 100}, alpha=0.0)
+
+
 def test_tfidf_topk_values_and_selection(spark):
     """Hand-computed TF-IDF on a 3-doc corpus, incl. the integer tie-break
     (tf DESC, df ASC, term ASC) and k-truncation."""
