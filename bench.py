@@ -66,6 +66,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_lang_id",          # round 4: trigram classifier, broadcast-join scoring
     "sample_split",          # round 4: deterministic split + stratified sampleBy
+    "text_token_count",      # round 6: + sequence packing (chunk window / greedy applyInPandas)
     "event_sessions",        # round 4: sessionizer + as-of + interval joins
     "ann_cosine_topk",
     "turn_ordering",
