@@ -920,6 +920,43 @@ def test_dedup_ingest_history_wide(spark, tmp_path):
                              b1.withColumn("_fp", F.lit("x")))
 
 
+def test_grok_library_growth_java_side(spark):
+    """Round-6 library growth under the JVM regex engine: IPv6 (incl.
+    compressed and v4-mapped forms), URI, SYSLOGBASE's optional facility
+    block, and EMAILADDRESS — the pure-`re` conformance suite is
+    tests/test_grok_library.py; this pins that java.util.regex agrees on
+    the same inputs through grok_parse."""
+    from cefspark import grok
+
+    df = spark.createDataFrame(
+        [(1, "::ffff:10.0.0.7 https://bob@api.example.com:8443/v1/q?x=1"
+             " ops@mail.example.com"),
+         (2, "2001:db8::8a2e:192.168.1.1 ftp://10.1.2.3/f.bin x@localhost"),
+         (3, "not-an-ip http//bad not-an-email")],
+        "id long, text string")
+    out = {r["id"]: r for r in grok.grok_parse(
+        df, "%{IPV6:addr} %{URI:uri} %{EMAILADDRESS:email}").collect()}
+    assert out[1]["addr"] == "::ffff:10.0.0.7"
+    assert out[1]["uri"].endswith("/v1/q?x=1")
+    assert out[1]["email"] == "ops@mail.example.com"
+    assert out[2]["addr"] == "2001:db8::8a2e:192.168.1.1"
+    assert all(out[3][c] is None for c in ("addr", "uri", "email"))
+
+    sy = spark.createDataFrame(
+        [(1, "Oct 11 22:14:15 <13.6> web-1.example.com sshd[4123]: denied"),
+         (2, "Oct 11 22:14:15 10.0.0.9 cron: wake")],
+        "id long, text string")
+    got = {r["id"]: r for r in grok.grok_parse(
+        sy, "%{SYSLOGBASE} %{GREEDYDATA:msg}").collect()}
+    assert got[1]["facility"] == "13" and got[1]["priority"] == "6"
+    assert got[1]["program"] == "sshd" and got[1]["pid"] == "4123"
+    assert got[1]["msg"] == "denied"
+    # optional facility/pid yield '' (group in a matched row that did not
+    # participate), never NULL — NULL means the row didn't match at all
+    assert got[2]["facility"] == "" and got[2]["pid"] == ""
+    assert got[2]["logsource"] == "10.0.0.9" and got[2]["msg"] == "wake"
+
+
 def test_grok_combined_apache_log(spark):
     """COMBINEDAPACHELOG: nested composite expansion (references
     COMMONAPACHELOG) keeps positional group numbering; referrer/agent
