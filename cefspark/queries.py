@@ -919,7 +919,58 @@ def q_cef_raw_lines(spark, sf_dir):
               F.concat(F.col("status").cast("string"), F.lit("+"),
                        (F.col("lat") * 4).cast("bigint").cast("string")))
         .alias("s2"))
-    return cef.unionByName(gk).unionByName(ga)
+
+    # dissect variant (round 6): the positional tokenizer on a fixed-layout
+    # space-padded line — `service` is rpad'ed to 12 so `%{service->}` must
+    # swallow the pad run (s1 proves the unpadded value comes back), `id`
+    # is a TYPED capture (s2 does id*3 integer arithmetic on the BIGINT),
+    # every 11th row is garbage and must yield NULLs. Oracle restates the
+    # pre-format closed forms; it never runs the tokenizer.
+    from . import dissect as _dissect
+
+    level = F.element_at(F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR")),
+                         (eid % 3).cast("int") + 1)
+    fixed_line = F.concat(
+        F.rpad(F.concat(F.lit("svc-"), (eid % 20).cast("string")), 12, " "),
+        F.lit(" "), eid.cast("string"), F.lit(" "), level,
+        F.lit(" op "), (eid * 7 % 1000).cast("string"))
+    dis_df = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(eid % 11 == 0, F.lit("x")).otherwise(fixed_line).alias("text"))
+    parsed_dis = _dissect.dissect_parse(
+        dis_df, "%{service->} %{id:int} %{level} %{verb} %{+verb}")
+    di = parsed_dis.select(
+        F.lit("dissect").alias("variant"), "event_id",
+        F.col("service").alias("s1"),
+        F.when(F.col("service").isNotNull(),
+               F.concat(F.col("level"), F.lit("/"),
+                        (F.col("id") * 3).cast("string"), F.lit("/"),
+                        F.col("verb"))).alias("s2"))
+
+    # kv variant (round 6): generic key=value extraction — first-occurrence
+    # wins (`src` appears twice on every 5th row), `dport` is typed (s2
+    # doubles it as BIGINT), `zone` is absent on every 7th row and must
+    # come back NULL there (not '').
+    kv_line = F.concat(
+        F.lit("src=10.0."), (eid % 200).cast("string"), F.lit(".9"),
+        F.when(eid % 5 == 0, F.lit(" src=9.9.9.9")).otherwise(F.lit("")),
+        F.lit(" dport="), (eid % 65536).cast("string"),
+        F.when(eid % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" zone=z"), (eid % 4).cast("string"))),
+        F.lit(" msg=ok"))
+    from . import kv as _kv
+
+    kv_df = _events(spark, sf_dir).select("event_id", kv_line.alias("text"))
+    parsed_kv = _kv.kv_extract(
+        kv_df, {"src": None, "dport": "int", "zone": None})
+    kvv = parsed_kv.select(
+        F.lit("kv").alias("variant"), "event_id",
+        F.col("src").alias("s1"),
+        F.concat(F.coalesce(F.col("zone"), F.lit("-")), F.lit("/"),
+                 (F.col("dport") * 2).cast("string")).alias("s2"))
+
+    return (cef.unionByName(gk).unionByName(ga)
+            .unionByName(di).unionByName(kvv))
 
 
 O_CEF_RAW_LINES = """
@@ -947,6 +998,23 @@ SELECT 'grok_any' AS variant, event_id,
             WHEN event_id % 3 = 0 THEN CAST(event_id % 30000 + 1 AS VARCHAR)
             ELSE CAST(200 + (event_id % 4) * 100 AS VARCHAR) || '+'
                  || CAST(event_id % 4 AS VARCHAR) END AS s2
+FROM events
+UNION ALL
+SELECT 'dissect' AS variant, event_id,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE 'svc-' || CAST(event_id % 20 AS VARCHAR) END AS s1,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE (CASE event_id % 3 WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN'
+                  ELSE 'ERROR' END)
+                 || '/' || CAST(event_id * 3 AS VARCHAR)
+                 || '/op ' || CAST(event_id * 7 % 1000 AS VARCHAR) END AS s2
+FROM events
+UNION ALL
+SELECT 'kv' AS variant, event_id,
+       '10.0.' || CAST(event_id % 200 AS VARCHAR) || '.9' AS s1,
+       (CASE WHEN event_id % 7 = 0 THEN '-'
+             ELSE 'z' || CAST(event_id % 4 AS VARCHAR) END)
+       || '/' || CAST((event_id % 65536) * 2 AS VARCHAR) AS s2
 FROM events
 """
 

@@ -957,6 +957,65 @@ def test_grok_library_growth_java_side(spark):
     assert got[2]["logsource"] == "10.0.0.9" and got[2]["msg"] == "wake"
 
 
+def test_dissect_parse_spark(spark):
+    """dissect on the JVM: typed capture, right-pad swallow, append join,
+    NULLs on non-fitting rows, collision rejection, and the plan staying
+    UDF-free (same expression family as grok — one rlike + extracts)."""
+    from cefspark import dissect
+
+    df = spark.createDataFrame(
+        [(1, "svc-a        7 WARN op 35"),
+         (2, "junk")], "id long, text string")
+    out = {r["id"]: r for r in dissect.dissect_parse(
+        df, "%{service->} %{n:int} %{level} %{verb} %{+verb}").collect()}
+    assert out[1]["service"] == "svc-a" and out[1]["n"] == 7
+    assert out[1]["verb"] == "op 35"
+    assert all(out[2][c] is None for c in ("service", "n", "level", "verb"))
+    sch = dict(dissect.dissect_parse(
+        df, "%{service->} %{n:int} %{level} %{verb} %{+verb}").dtypes)
+    assert sch["n"] == "bigint" and sch["service"] == "string"
+
+    dropped = dissect.dissect_parse(df, "%{a} %{b}", keep_unmatched=False)
+    assert dropped.count() == 1
+
+    with pytest.raises(ValueError, match="collide"):
+        dissect.dissect_parse(df.withColumn("level", F.lit("x")),
+                              "%{level} %{b}")
+    plan = dissect.dissect_parse(
+        df, "%{a} %{b}")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_kv_extract_and_map_spark(spark):
+    """kv on the JVM: first-occurrence-wins, typed values, absent key ->
+    NULL, prefix namespacing, and kv_map building a clean map (pairs
+    without '=' dropped, empty line -> empty map)."""
+    from cefspark import kv
+
+    df = spark.createDataFrame(
+        [(1, "src=10.0.0.1 src=9.9.9.9 dport=443 zone=z1 msg=ok"),
+         (2, "dport=80 msg=hi"),
+         (3, "")], "id long, text string")
+    out = {r["id"]: r for r in kv.kv_extract(
+        df, {"src": None, "dport": "int", "zone": None}).collect()}
+    assert out[1]["src"] == "10.0.0.1"          # first occurrence wins
+    assert out[1]["dport"] == 443 and out[1]["zone"] == "z1"
+    assert out[2]["src"] is None and out[2]["dport"] == 80
+    assert out[3]["dport"] is None
+
+    pref = kv.kv_extract(df, ["msg"], prefix="kv_")
+    assert "kv_msg" in pref.columns
+    with pytest.raises(ValueError, match="collide"):
+        kv.kv_extract(df, ["text"])
+
+    m = {r["id"]: r["kv"] for r in kv.kv_map(
+        df.select("id", F.regexp_replace("text", "src=9.9.9.9 ", "")
+                  .alias("text"))).collect()}
+    assert m[1] == {"src": "10.0.0.1", "dport": "443",
+                    "zone": "z1", "msg": "ok"}
+    assert m[3] == {}
+
+
 def test_grok_combined_apache_log(spark):
     """COMBINEDAPACHELOG: nested composite expansion (references
     COMMONAPACHELOG) keeps positional group numbering; referrer/agent
