@@ -1766,17 +1766,71 @@ WHERE n_events > 2 * med
 
 
 def q_cef_enrich_tiers(spark, sf_dir):
-    """Broadcast-join enrichment: vendor tier + severity band per event."""
-    return _routed(spark, sf_dir).select("event_id", "vendor_tier", "severity_band")
+    """Broadcast-join enrichment, two merged variants:
+
+    - ``tiers``: vendor tier + severity band per event (the original
+      small-dim broadcast enrich).
+    - ``cidr`` (round 6): GeoIP-style subnet lookup — `cefspark/cidr.py`
+      expands a 201-block CIDR dim (200 nested /24s under a /8 fallback)
+      into /20 prefix buckets with longest-prefix-match resolved DIM-SIDE,
+      then a broadcast hash EQUI-join on the bucket (range check as join
+      filter) — never a nested-loop range join, and no event-side
+      aggregation (each event matches at most one disjoint interval).
+      Events carry four ip shapes: /24-covered (LPM must beat the /8),
+      /8-only, unmatched, and malformed (NULL attrs, error-as-data). The
+      oracle replays the closed-form residue-class mapping; asn proves
+      the attrs ride the innermost block (integer arithmetic per class).
+    """
+    tiers = _routed(spark, sf_dir).select(
+        F.lit("tiers").alias("variant"), "event_id",
+        F.col("vendor_tier").alias("s1"), F.col("severity_band").alias("s2"))
+
+    from . import cidr as _cidr
+
+    eid = F.col("event_id")
+    t = F.col("id").cast("string")
+    dim = (spark.range(200).select(
+        F.concat(F.lit("10.0."), t, F.lit(".0/24")).alias("cidr"),
+        F.concat(F.lit("net-"), (F.col("id") % 7).cast("string")).alias("zone"),
+        (F.col("id") + 64500).alias("asn"))
+        .unionByName(spark.range(1).select(
+            F.lit("10.0.0.0/8").alias("cidr"), F.lit("core").alias("zone"),
+            F.lit(64000).alias("asn"))))
+    ip = (F.when(eid % 4 == 0,
+                 F.concat(F.lit("10.0."), (eid % 200).cast("string"),
+                          F.lit(".9")))
+          .when(eid % 4 == 1,
+                F.concat(F.lit("10."), (eid % 150 + 1).cast("string"),
+                         F.lit(".3.9")))
+          .when(eid % 4 == 2,
+                F.concat(F.lit("172.16."), (eid % 50).cast("string"),
+                         F.lit(".9")))
+          .otherwise(F.lit("not-an-ip")))
+    events_ip = _events(spark, sf_dir).select("event_id", ip.alias("ip"))
+    looked = _cidr.enrich_cidr(events_ip, dim, "ip", prefix_bits=20)
+    cid = looked.select(
+        F.lit("cidr").alias("variant"), "event_id",
+        F.coalesce("zone", F.lit("none")).alias("s1"),
+        F.coalesce(F.col("asn").cast("string"), F.lit("-")).alias("s2"))
+    return tiers.unionByName(cid)
 
 
 O_CEF_ENRICH_TIERS = f"""
-SELECT event_id,
+SELECT 'tiers' AS variant, event_id,
        CASE WHEN event_id % 13 = 0 THEN 'unknown'
             WHEN event_id % 10 <= 5 THEN 'tier1'
             WHEN event_id % 10 IN (6, 7) THEN 'tier2'
-            ELSE 'tier3' END AS vendor_tier,
-       CASE WHEN event_id % 13 = 0 THEN 'unknown' ELSE {_BAND_SQL} END AS severity_band
+            ELSE 'tier3' END AS s1,
+       CASE WHEN event_id % 13 = 0 THEN 'unknown' ELSE {_BAND_SQL} END AS s2
+FROM events
+UNION ALL
+SELECT 'cidr' AS variant, event_id,
+       CASE WHEN event_id % 4 = 0 THEN 'net-' || CAST(event_id % 200 % 7 AS VARCHAR)
+            WHEN event_id % 4 = 1 THEN 'core'
+            ELSE 'none' END AS s1,
+       CASE WHEN event_id % 4 = 0 THEN CAST(event_id % 200 + 64500 AS VARCHAR)
+            WHEN event_id % 4 = 1 THEN '64000'
+            ELSE '-' END AS s2
 FROM events
 """
 

@@ -843,3 +843,90 @@ def test_remove_boilerplate_threshold_is_float_dust_free(spark):
     # 'shared line' is in exactly 20 = ceil(0.05*400) docs -> removed
     assert out[0]["text_clean"] == "u0" and out[0]["n_removed"] == 1
     assert out[399]["n_removed"] == 0
+
+
+def test_cidr_ipv4_to_long_and_bounds(spark):
+    """ipv4_to_long: exact arithmetic + NULL on every malformed shape;
+    cidr_bounds masks host bits off the base address."""
+    from cefspark import cidr
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.9"), (2, "255.255.255.255"), (3, "0.0.0.0"),
+         (4, "1.2.3"), (5, "1.2.3.4.5"), (6, "256.1.1.1"),
+         (7, "a.b.c.d"), (8, ""), (9, "1.2.3.04")],
+        "id long, ip string")
+    got = {r["id"]: r["v"] for r in df.select(
+        "id", cidr.ipv4_to_long(F.col("ip")).alias("v")).collect()}
+    assert got[1] == 10 * 16777216 + 9
+    assert got[2] == 2**32 - 1 and got[3] == 0
+    assert all(got[i] is None for i in (4, 5, 6, 7, 8))
+    assert got[9] is None  # leading-zero octets rejected (ambiguous octal)
+
+    s, e, p = cidr.cidr_bounds(F.col("c"))
+    b = spark.createDataFrame(
+        [(1, "10.0.3.9/8"), (2, "10.0.3.0/24"), (3, "1.2.3.4"),
+         (4, "10.0.0.0/33"), (5, "bad/8")], "id long, c string"
+    ).select("id", s.alias("s"), e.alias("e"), p.alias("p"))
+    rows = {r["id"]: r for r in b.collect()}
+    assert rows[1]["s"] == 10 * 16777216 and rows[1]["e"] == 11 * 16777216 - 1
+    assert rows[2]["s"] == 10 * 16777216 + 3 * 256
+    assert rows[2]["e"] == rows[2]["s"] + 255
+    assert rows[3]["p"] == 32 and rows[3]["s"] == rows[3]["e"]
+    assert rows[4]["p"] is None and rows[5]["s"] is None
+
+
+def test_cidr_enrich_lpm_and_plan(spark):
+    """enrich_cidr: longest-prefix-match resolved dim-side (nested /24
+    beats the /8 fallback without any event-side aggregation), unmatched
+    and malformed ips keep NULL attrs, and the physical plan is a
+    BroadcastHashJoin on the bucket — never a nested-loop range join."""
+    from cefspark import cidr
+
+    dim = spark.createDataFrame(
+        [("10.0.0.0/8", "core", 64000),
+         ("10.0.5.0/24", "edge", 64505),
+         ("10.0.5.128/25", "pop", 64999)],  # nested 3 deep
+        "cidr string, zone string, asn long")
+    df = spark.createDataFrame(
+        [(1, "10.0.5.200"),   # in the /25 -> pop wins over edge over core
+         (2, "10.0.5.9"),     # /24 wins over /8
+         (3, "10.77.1.1"),    # /8 only
+         (4, "11.0.0.1"),     # unmatched
+         (5, "garbage")],     # malformed
+        "id long, ip string")
+    out = {r["id"]: r for r in
+           cidr.enrich_cidr(df, dim, "ip", prefix_bits=20).collect()}
+    assert (out[1]["zone"], out[1]["asn"]) == ("pop", 64999)
+    assert (out[2]["zone"], out[2]["asn"]) == ("edge", 64505)
+    assert out[3]["zone"] == "core"
+    assert out[4]["zone"] is None and out[5]["zone"] is None
+    # exactly one output row per input row: disjoint intervals by design
+    assert cidr.enrich_cidr(df, dim, "ip", prefix_bits=20).count() == 5
+
+    plan = (cidr.enrich_cidr(df, dim, "ip", prefix_bits=20)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # pre-expanded dim reuse path + collision rejection
+    exp = cidr.expand_cidr_dim(dim, prefix_bits=20)
+    assert {r["zone"] for r in exp.collect()} == {"core", "edge", "pop"}
+    out2 = cidr.enrich_cidr(df, exp, "ip", prefix_bits=20)
+    assert out2.where(F.col("zone").isNotNull()).count() == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collide"):
+        cidr.enrich_cidr(df.withColumn("zone", F.lit("x")), dim, "ip")
+
+
+def test_cidr_expand_disjoint_mode_and_wide_block(spark):
+    """lpm=False skips the sweep (disjoint dims); a block wider than the
+    bucket explodes once per covered bucket, clipped to bucket bounds."""
+    from cefspark import cidr
+
+    dim = spark.createDataFrame([("10.0.0.0/8", "core")],
+                                "cidr string, zone string")
+    exp = cidr.expand_cidr_dim(dim, prefix_bits=16, lpm=False)
+    assert exp.count() == 256  # /8 at /16 buckets
+    row = exp.orderBy("_bucket").first()
+    assert row["_bucket"] == 10 * 256
+    assert row["_end"] - row["_start"] == 65535  # clipped to one bucket
