@@ -346,6 +346,61 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
             .agg(F.count_distinct("_k").alias("n_hits")))
 
 
+def positional_shingles(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) with one row per POSITION (no dedup) — the multiset
+    :func:`word_shingles` collapses; needed when overlap is measured as a
+    fraction of the document's n-grams rather than set membership."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    shingles = F.transform(F.sequence(F.lit(1), count),
+                           lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def decontaminate_overlap(docs: DataFrame, benchmark: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 13, threshold: float = 0.0,
+                          hashed: bool = True,
+                          broadcast_hits: bool = True) -> DataFrame:
+    """Fractional benchmark decontamination — the published n-gram-overlap
+    rule (13-gram in the GPT-3/PaLM data notes; the gate exercises n=3
+    where the synthetic corpus overlaps): a document is contaminated when
+    MORE THAN ``threshold`` of its n-gram POSITIONS also occur in the
+    benchmark. Returns ``(id, n_gram_hits, n_grams, overlap_frac)`` for
+    flagged docs; :func:`decontaminate` stays the any-hit boolean form.
+
+    Scale shape: the denominator (n-gram count) is NARROW arithmetic on
+    the token count — no shuffle; the numerator inner-joins the exploded
+    positions against the BROADCAST benchmark shingle set, so only
+    matching positions reach the per-doc count shuffle. The hit relation
+    is then joined back to the denominators broadcast (contaminated docs
+    are rare by construction in production — pass
+    ``broadcast_hits=False`` under heavy contamination and AQE picks the
+    join side). ``hashed`` as in :func:`decontaminate`."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    totals = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)).alias("n_grams"))
+    d = positional_shingles(docs, text_col, id_col, n)
+    b = word_shingles(benchmark, text_col, id_col, n).select("shingle")
+    if hashed:
+        d = d.select(id_col, F.xxhash64("shingle").alias("_k"))
+        b = b.select(F.xxhash64("shingle").alias("_k"))
+    else:
+        d = d.select(id_col, F.col("shingle").alias("_k"))
+        b = b.select(F.col("shingle").alias("_k"))
+    hits = (d.join(F.broadcast(b.distinct()), "_k")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_gram_hits")))
+    hits = F.broadcast(hits) if broadcast_hits else hits
+    return (totals.join(hits, id_col)
+            .withColumn("overlap_frac",
+                        F.col("n_gram_hits") / F.col("n_grams"))
+            .where(F.col("overlap_frac") > threshold)
+            .select(id_col, "n_gram_hits", "n_grams", "overlap_frac"))
+
+
 def remove_boilerplate(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_doc_frac: float = 0.05,
                        min_docs: int = 2) -> DataFrame:

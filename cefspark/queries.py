@@ -2487,7 +2487,7 @@ FROM documents
 
 
 def q_text_vocab(spark, sf_dir):
-    """Corpus-level term statistics, three merged variants:
+    """Corpus-level term statistics, four merged variants:
 
     - ``vocab``: corpus vocabulary size — explode tokens -> distinct count
       (map-side partial distinct; shuffle volume O(unique tokens), not
@@ -2516,7 +2516,16 @@ def q_text_vocab(spark, sf_dir):
         docs.where(F.col("doc_id") % 97 == 0), n=3).select(
         F.lit("contam").alias("variant"), F.col("doc_id"),
         F.lit("").alias("term"), F.col("n_hits").cast("double").alias("val"))
-    return vocab.unionByName(tfidf).unionByName(contam)
+    # contam_frac (round 6): the fractional n-gram-overlap rule — val is
+    # the POSITION-level overlap fraction (hits / (tokens-n+1)); both
+    # engines divide the same two integers as doubles, so the correctly
+    # rounded quotient is bit-identical and needs no tolerance.
+    frac = dedup.decontaminate_overlap(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0), n=3).select(
+        F.lit("contam_frac").alias("variant"), F.col("doc_id"),
+        F.lit("").alias("term"), F.col("overlap_frac").alias("val"))
+    return vocab.unionByName(tfidf).unionByName(contam).unionByName(frac)
 
 
 O_TEXT_VOCAB = r"""
@@ -2547,6 +2556,21 @@ UNION ALL
 SELECT 'contam' AS variant, sh.doc_id, '' AS term,
        CAST(COUNT(DISTINCT sh.s) AS DOUBLE) AS val
 FROM (SELECT DISTINCT doc_id, array_to_string(t[j:j+2], ' ') AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents) toks,
+           LATERAL unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(j)) sh
+JOIN (SELECT DISTINCT array_to_string(t[j:j+2], ' ') AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE doc_id % 97 = 0) toks,
+           LATERAL unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(j)) bench
+  USING (s)
+WHERE sh.doc_id % 97 <> 0
+GROUP BY sh.doc_id
+UNION ALL
+SELECT 'contam_frac' AS variant, sh.doc_id, '' AS term,
+       CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(sh.n_grams) AS val
+FROM (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS s,
+             greatest(len(t) - 2, 1) AS n_grams
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
             FROM documents) toks,
            LATERAL unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(j)) sh

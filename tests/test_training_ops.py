@@ -930,3 +930,33 @@ def test_cidr_expand_disjoint_mode_and_wide_block(spark):
     row = exp.orderBy("_bucket").first()
     assert row["_bucket"] == 10 * 256
     assert row["_end"] - row["_start"] == 65535  # clipped to one bucket
+
+
+def test_decontaminate_overlap_fraction(spark):
+    """Fractional rule: position-level hits over (tokens-n+1); threshold
+    excludes docs at-or-below; denominator needs no shuffle (narrow)."""
+    from cefspark import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),        # 4 trigram positions, hits: 'a b c','b c d' -> 0.5
+         (2, "x y z w"),            # no overlap
+         (3, "a b c a b c a b c")], # 7 positions, 'a b c' x3 + 'b c a' 0 + 'c a b' 0 -> 3/7
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string")  # shingles: 'a b c','b c d'
+    out = {r["doc_id"]: r for r in dedup.decontaminate_overlap(
+        docs, bench, n=3).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_gram_hits"] == 2 and out[1]["n_grams"] == 4
+    assert out[1]["overlap_frac"] == 0.5
+    assert out[3]["n_gram_hits"] == 3 and out[3]["n_grams"] == 7
+    assert abs(out[3]["overlap_frac"] - 3 / 7) < 1e-15
+
+    kept = dedup.decontaminate_overlap(docs, bench, n=3, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == set()  # 0.5 is NOT > 0.5
+
+    # hashed and exact paths agree (differential)
+    exact = {(r["doc_id"], r["n_gram_hits"]) for r in
+             dedup.decontaminate_overlap(docs, bench, n=3,
+                                         hashed=False).collect()}
+    assert exact == {(1, 2), (3, 3)}
