@@ -818,6 +818,40 @@ def test_grok_parse_works_on_streams(spark, tmp_path):
     assert got == exp and len(got) == 40
 
 
+def test_dissect_kv_cidr_work_on_streams(spark, tmp_path):
+    """dissect/kv are pure projections and cidr is a stream-static
+    broadcast join — all three compose with Structured Streaming
+    unchanged: an availableNow drain equals the batch result row-for-row."""
+    from cefspark import cidr, dissect, kv
+
+    rows = [(i, f"svc-{i % 4} {i} INFO", f"dport={i % 100} src=10.0.{i % 8}.1")
+            for i in range(30)]
+    src = str(tmp_path / "dkcsrc")
+    batch_df = spark.createDataFrame(rows, "id long, text string, kvline string")
+    batch_df.coalesce(2).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("10.0.0.0/22", "lo"), ("10.0.4.0/22", "hi")], "cidr string, zone string")
+
+    def xform(df):
+        d = dissect.dissect_parse(df, "%{service} %{n:int} %{level}")
+        k = kv.kv_extract(d, {"dport": "int"}, text_col="kvline")
+        c = cidr.enrich_cidr(
+            kv.kv_extract(k, ["src"], text_col="kvline"), dim, "src")
+        return c.select("id", "service", "n", "dport", "zone")
+
+    exp = {r["id"]: (r["service"], r["n"], r["dport"], r["zone"])
+           for r in xform(batch_df).collect()}
+    stream = (spark.readStream.schema("id long, text string, kvline string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (xform(stream).writeStream.format("memory").queryName("dkcstream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: (r["service"], r["n"], r["dport"], r["zone"])
+           for r in spark.sql("select * from dkcstream").collect()}
+    assert got == exp and len(got) == 30
+    assert exp[1] == ("svc-1", 1, 1, "lo") and exp[5][3] == "hi"
+
+
 def test_grok_typed_coercion(spark):
     """%{PAT:field:type} coerces JVM-side via try_cast: int/long -> BIGINT,
     float/double -> DOUBLE; unparseable or empty captures land NULL
