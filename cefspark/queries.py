@@ -2316,6 +2316,12 @@ def q_text_token_count(spark, sf_dir):
       oversize documents are always solo packs); v1 = shard,
       info = pack_id/pack_pos. The oracle replays the same sequential
       rule with a recursive CTE walking each shard in key order.
+    - ``window``: cefspark.textops.chunk_windows — RAG-style overlapping
+      sliding-window chunking (size 24, stride 16); v1 = chunk_idx,
+      info = start/chunk_len/md5(chunk_text), so a hash match proves the
+      exact token content of every chunk incl. the short tail window.
+      The oracle replays the window arithmetic over generate_series +
+      list_slice.
     """
     from . import packing
 
@@ -2335,7 +2341,13 @@ def q_text_token_count(spark, sf_dir):
         "doc_id", F.lit("greedy").alias("variant"),
         F.col("shard").cast("long").alias("v1"),
         F.concat_ws("/", "pack_id", "pack_pos").alias("info"))
-    return count.unionByName(chunk).unionByName(greedy)
+    window = textops.chunk_windows(
+        _documents(spark, sf_dir), 24, 16).select(
+        "doc_id", F.lit("window").alias("variant"),
+        F.col("chunk_idx").alias("v1"),
+        F.concat_ws("/", "start", "chunk_len",
+                    F.md5(F.col("chunk_text"))).alias("info"))
+    return count.unionByName(chunk).unionByName(greedy).unionByName(window)
 
 
 def _o_text_token_count():
@@ -2378,6 +2390,21 @@ UNION ALL
 SELECT doc_id, 'greedy' AS variant, CAST(shard AS BIGINT) AS v1,
        pack_id || '/' || pack_pos AS info
 FROM rec
+UNION ALL
+SELECT doc_id, 'window' AS variant, CAST(i AS BIGINT) AS v1,
+       (i * 16) || '/' || least(24, wn - i * 16) || '/'
+       || md5(array_to_string(list_slice(wt, i * 16 + 1, i * 16 + 24), ' '))
+       AS info
+FROM (
+  SELECT doc_id, wt, wn,
+         unnest(range(0, CASE WHEN wn = 0 THEN 0
+                        ELSE 1 + greatest(0, (wn - 24 + 15) // 16) END)) AS i
+  FROM (SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS wt,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wn
+        FROM documents))
 """
 
 

@@ -199,3 +199,53 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select(F.col(id_col), F.col("term"), F.col("tfidf")))
+
+
+def chunk_windows(df: DataFrame, size: int, stride: int,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """RAG-style sliding-window document chunking: split each document's
+    whitespace tokens into overlapping windows of ``size`` tokens advancing
+    by ``stride`` (``stride < size`` ⇒ ``size - stride`` tokens of overlap —
+    the retrieval-context / embedding-input chunker).
+
+    Output ``(id_col, chunk_idx, start, chunk_len, chunk_text)``, one row per
+    chunk. Window starts are ``0, stride, 2·stride, …``; the chunk count is
+    ``1 + ceil(max(0, n_tokens - size) / stride)`` so the final (possibly
+    short) tail window always lands and no start ever points past the text.
+    Empty/blank documents yield ZERO chunks (the start sequence is NULL and
+    explode drops the row — never a descending ``sequence(0,-1)``).
+
+    Determinism contract: chunk membership is a pure function of the
+    document text — never of partitioning or arrival order — so a resumed
+    or re-sharded indexing job re-derives identical chunk ids.
+
+    Scale shape: a narrow explode in one whole-stage-codegen stage — no
+    UDF, no shuffle, no skew surface; the explode fan-out is bounded by
+    n_tokens/stride per document. Tokens are materialized once behind the
+    Generate node (slice/array_join reference the generated attribute, not
+    a re-split)."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0,
+                  F.array().cast("array<string>")).otherwise(toks)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # ceil((n-size)/stride) via clamped integer div: both engines' division
+    # semantics (Spark truncates toward zero, SQL floor-div) agree once
+    # greatest(0, ·) clamps the negative n<=size branch.
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        ((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int"))
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1))
+    exploded = base.select(
+        F.col(id_col), F.col("_toks"),
+        F.explode(F.transform(starts, lambda i: i * stride)).alias("start"))
+    return exploded.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(size), F.size(F.col("_toks")) - F.col("start"))
+        .cast("long").alias("chunk_len"),
+        F.array_join(F.slice(F.col("_toks"), F.col("start") + 1, size), " ")
+        .alias("chunk_text"))

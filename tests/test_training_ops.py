@@ -960,3 +960,42 @@ def test_decontaminate_overlap_fraction(spark):
              dedup.decontaminate_overlap(docs, bench, n=3,
                                          hashed=False).collect()}
     assert exact == {(1, 2), (3, 3)}
+
+
+def test_chunk_windows_edges_and_plan(spark):
+    """Sliding-window chunker: tail window lands, exact-fit produces no
+    phantom chunk, empty docs vanish, overlap = size - stride; the whole
+    thing is one narrow codegen stage (no shuffle, no Python)."""
+    from cefspark import textops
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "solo"),
+         (3, " ".join(f"t{i}" for i in range(24))),   # exact fit -> 1 chunk
+         (4, " ".join(f"t{i}" for i in range(40))),   # 2 chunks, no tail
+         (5, " ".join(f"t{i}" for i in range(41)))],  # 3 chunks, 9-token tail
+        "doc_id long, text string")
+    out = textops.chunk_windows(docs, 24, 16)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert {d for d, _ in rows} == {2, 3, 4, 5}          # empty docs dropped
+    assert rows[(2, 0)]["chunk_len"] == 1
+    assert len([k for k in rows if k[0] == 3]) == 1      # exact fit
+    assert len([k for k in rows if k[0] == 4]) == 2
+    assert rows[(4, 1)]["start"] == 16 and rows[(4, 1)]["chunk_len"] == 24
+    assert len([k for k in rows if k[0] == 5]) == 3
+    assert rows[(5, 2)]["chunk_len"] == 9
+    # overlap contract: consecutive chunks share size - stride tokens
+    a = rows[(5, 0)]["chunk_text"].split()
+    b = rows[(5, 1)]["chunk_text"].split()
+    assert a[16:] == b[:8]
+    # chunk membership is a pure function of the text, not partitioning
+    again = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+             for r in textops.chunk_windows(docs.repartition(7), 24, 16).collect()}
+    assert again == {k: v["chunk_text"] for k, v in rows.items()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textops.chunk_windows(docs, 0, 16)
+    with _pytest.raises(ValueError):
+        textops.chunk_windows(docs, 24, -1)
