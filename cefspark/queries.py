@@ -2528,7 +2528,11 @@ def q_text_vocab(spark, sf_dir):
       the benchmark slice (doc_id % 97 == 0), with distinct-leaked-shingle
       counts; exercised on the hashed (xxhash64-key) scale path while the
       oracle computes exact string-shingle intersection, so a match also
-      differentially validates the hashed join against the exact one."""
+      differentially validates the hashed join against the exact one.
+    - ``domains``: C4-style per-registered-domain link census
+      (cefspark.textops.domain_doc_counts) over the planted-URL fixture;
+      val packs both counts as n_docs + n_urls/1000; the oracle restates
+      the residue-class counts closed-form (never re-running the regex)."""
     docs = _documents(spark, sf_dir)
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
@@ -2552,7 +2556,17 @@ def q_text_vocab(spark, sf_dir):
         docs.where(F.col("doc_id") % 97 == 0), n=3).select(
         F.lit("contam_frac").alias("variant"), F.col("doc_id"),
         F.lit("").alias("term"), F.col("overlap_frac").alias("val"))
-    return vocab.unionByName(tfidf).unionByName(contam).unionByName(frac)
+    # domains (round 6): C4-style per-registered-domain link census over
+    # the planted-URL fixture — the oracle restates the residue-class
+    # counts closed-form (never re-running the regex), so a match proves
+    # extraction caught exactly the planted links and none of the
+    # scheme-less / wrong-scheme / dotless distractors.
+    domains = textops.domain_doc_counts(textops.url_docs(spark, 420)).select(
+        F.lit("domains").alias("variant"), F.lit(-1).cast("long").alias("doc_id"),
+        F.col("domain").alias("term"),
+        (F.col("n_docs") + F.col("n_urls") / F.lit(1000.0)).alias("val"))
+    return (vocab.unionByName(tfidf).unionByName(contam)
+            .unionByName(frac).unionByName(domains))
 
 
 O_TEXT_VOCAB = r"""
@@ -2608,6 +2622,15 @@ JOIN (SELECT DISTINCT array_to_string(t[j:j+2], ' ') AS s
   USING (s)
 WHERE sh.doc_id % 97 <> 0
 GROUP BY sh.doc_id
+UNION ALL
+SELECT 'domains' AS variant, CAST(-1 AS BIGINT) AS doc_id, term,
+       n + n / 1000.0 AS val
+FROM (
+  SELECT 'example' || k || '.com' AS term, 60 AS n FROM generate_series(0, 6) t(k)
+  UNION ALL
+  SELECT 'news' || k || '.org' AS term, 140 AS n FROM generate_series(0, 2) t(k)
+  UNION ALL
+  SELECT 'example.net' AS term, 84 AS n)
 """
 
 

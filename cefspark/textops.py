@@ -201,6 +201,69 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select(F.col(id_col), F.col("term"), F.col("tfidf")))
 
 
+#: URL host extraction — scheme-anchored, host requires at least one dot so
+#: bare words after ``https://`` never count. Kept in the java/RE2/`re`
+#: common regex subset (character classes + bounded groups, no backrefs).
+URL_HOST_RE = r"(?i)https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)"
+_REG_DOMAIN_RE = r"([a-z0-9-]+\.[a-z0-9-]+)$"
+
+
+def extract_url_hosts(col: Column) -> Column:
+    """All URL hosts in the text, lowercased, in order of appearance —
+    capture stops naturally at ``/``, ``:port``, whitespace, or a trailing
+    sentence dot (a lone ``.`` can never terminate the label group)."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(URL_HOST_RE), F.lit(1)),
+        lambda h: F.lower(h))
+
+
+def registered_domain(host: Column) -> Column:
+    """Crude eTLD+1: the last two dot-labels of an already-lowercased host
+    (``sub.example.com`` → ``example.com``). A public-suffix list slots in
+    behind the same contract for production TLDs like ``co.uk``."""
+    return F.regexp_extract(host, _REG_DOMAIN_RE, 1)
+
+
+def domain_doc_counts(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-registered-domain corpus statistics — the C4/RefinedWeb-style
+    link-census a web-scale pipeline feeds its domain allow/block lists:
+    ``(domain, n_docs, n_urls)`` where ``n_docs`` counts distinct documents
+    citing the domain and ``n_urls`` counts every occurrence.
+
+    Scale shape: narrow regex extraction + explode map-side, then the
+    standard two-phase distinct aggregation (Catalyst's count_distinct
+    expansion): a first map-side-combined shuffle keyed on
+    (domain, doc_id) and a second, far smaller one on domain — shuffle
+    volume is O(distinct (doc, domain) pairs), never O(bytes)."""
+    hosts = df.select(
+        F.col(id_col),
+        F.explode(extract_url_hosts(F.col(text_col))).alias("host"))
+    return (hosts
+            .select(id_col, registered_domain(F.col("host")).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count_distinct(id_col).cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_urls")))
+
+
+def url_docs(spark, n: int) -> DataFrame:
+    """Deterministic URL fixture: doc i plants ``https://sub.example{i%7}
+    .com/page{i}`` and ``http://WWW.News{i%3}.ORG:8080/x`` (case + port
+    noise), every 5th doc adds ``https://extra.example.net/``, and every doc
+    carries scheme-less / wrong-scheme / dotless distractors that must NOT
+    match. Pure column expressions — the oracle restates the residue-class
+    counts closed-form, never re-running the regex."""
+    i = F.col("id")
+    text = F.concat(
+        F.lit("see https://sub.example"), (i % 7).cast("string"),
+        F.lit(".com/page"), i.cast("string"),
+        F.lit(" and http://WWW.News"), (i % 3).cast("string"),
+        F.lit(".ORG:8080/x"),
+        F.when(i % 5 == 0, F.lit(" https://extra.example.net/")).otherwise(F.lit("")),
+        F.lit(" not-urls: ftp://skip.me example.org https://nodot mailto:a@b.com"))
+    return spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+
+
 def chunk_windows(df: DataFrame, size: int, stride: int,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """RAG-style sliding-window document chunking: split each document's

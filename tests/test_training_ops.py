@@ -999,3 +999,34 @@ def test_chunk_windows_edges_and_plan(spark):
         textops.chunk_windows(docs, 0, 16)
     with _pytest.raises(ValueError):
         textops.chunk_windows(docs, 24, -1)
+
+
+def test_url_host_extraction_and_domain_census(spark):
+    """URL extraction: scheme-anchored, lowercased, port/path/sentence-dot
+    terminated; distractors never match; the census shuffles exactly once."""
+    import re
+    from cefspark import textops
+
+    docs = spark.createDataFrame(
+        [(1, "go to https://Sub.Example.COM:8080/a and http://example.com/b."),
+         (2, "trailing dot https://a.b. end"),
+         (3, "ftp://skip.me https://nodot mailto:x@y.com bare.example.org"),
+         (4, "dup https://x.example.com/1 https://x.example.com/2")],
+        "doc_id long, text string")
+    hosts = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", textops.extract_url_hosts(F.col("text")).alias("h")).collect()}
+    assert hosts[1] == ["sub.example.com", "example.com"]
+    assert hosts[2] == ["a.b"]               # lone sentence dot not consumed
+    assert hosts[3] == []                    # every distractor rejected
+    assert hosts[4] == ["x.example.com", "x.example.com"]
+
+    census = {r["domain"]: (r["n_docs"], r["n_urls"])
+              for r in textops.domain_doc_counts(docs).collect()}
+    assert census["example.com"] == (2, 4)   # doc1 x2 + doc4 x2 (distinct docs 1,4)
+    assert census["a.b"] == (1, 1)
+    out = textops.domain_doc_counts(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two-phase distinct agg: (domain, doc_id) partial shuffle + final on
+    # domain — Catalyst's count_distinct expansion, both map-side combined
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "EvalPython" not in plan
