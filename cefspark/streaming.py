@@ -282,6 +282,52 @@ def asof_enrich(stream: DataFrame, states: DataFrame, key: str,
                            value_cols=value_cols)
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       lag: str = "1 hour",
+                       watermark: str = "10 minutes",
+                       right_prefix: str = "r_",
+                       how: str = "inner") -> DataFrame:
+    """Watermarked STREAM-STREAM join: correlate two live streams on a key
+    within a bounded event-time window — the attribution/correlation shape
+    (alert ↔ triggering event, click ↔ impression). A right row matches a
+    left row when keys are equal and ``right_ts`` lies in
+    ``[left_ts, left_ts + lag]``.
+
+    Both sides carry event-time watermarks and the join condition carries
+    the explicit time bound — together they let Spark GC buffered rows once
+    the watermark passes ``left_ts + lag`` (left) / ``right_ts`` (right),
+    so join state is bounded by (arrival skew + lag + watermark) per key,
+    never by stream length. Without the time bound Spark would buffer both
+    streams forever — this operator makes the bound non-optional.
+
+    ``how='leftOuter'`` emits left rows with NULL right columns once the
+    watermark proves no match can arrive (outer results are therefore
+    watermark-delayed by design). Right columns are prefixed with
+    ``right_prefix`` to keep the joined schema collision-free.
+
+    Scale shape: one hash shuffle per side on the join key into the
+    symmetric stateful join; state bytes ∝ key-rate × (lag + watermark).
+    Hot keys salt exactly like the batch sinks (route with a salt column
+    folded into the key upstream)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
+    lcols = set(left.columns)
+    clash = [f"{right_prefix}{c}" for c in right.columns
+             if f"{right_prefix}{c}" in lcols]
+    if clash:
+        raise ValueError(
+            f"left columns collide with prefixed right columns: {clash}")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    rk, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = ((F.col(key) == F.col(rk))
+            & (F.col(rts) >= F.col(left_ts))
+            & (F.col(rts) <= F.col(left_ts) + F.expr(f"interval {lag}")))
+    return l.join(r, cond, how)
+
+
 def conversation_stats_tws(decoded_stream: DataFrame) -> DataFrame:
     """EXPERIMENTAL. Per-conversation running stats on Spark 4's
     ``transformWithState`` API — the successor to

@@ -1261,3 +1261,83 @@ def test_resample_audio_real_samples(spark):
 
     with pytest.raises(ValueError, match="positive"):
         mm.resample_audio(wavs, out_rate=0)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join == the batch join with the same
+    time-range condition, single-batch AND multi-batch (time-split files)
+    drains; leftOuter validates and emits every inner match."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = events.where(F.col("event_id") % 3 == 0).select(
+        "event_id", "user_id", "ts")
+    right = events.where(F.col("event_id") % 3 != 0).select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"), F.col("event_type"))
+
+    lsrc, rsrc = str(tmp_path / "ss_l"), str(tmp_path / "ss_r")
+    left.coalesce(1).write.parquet(lsrc)
+    right.coalesce(1).write.parquet(rsrc)
+
+    def drain(lpath, rpath, name, mft=16):
+        ls = (spark.readStream.schema("event_id long, user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", mft).parquet(lpath))
+        rs = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", mft).parquet(rpath))
+        j = streaming.stream_stream_join(ls, rs, key="user_id",
+                                         lag="30 minutes")
+        q = (j.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return {(r["event_id"], r["r_event_id"])
+                for r in spark.sql(f"select * from {name}").collect()}
+
+    batch = {(r["event_id"], r["r_event_id"])
+             for r in streaming.stream_stream_join(
+                 left, right, key="user_id", lag="30 minutes").collect()}
+    assert batch  # fixture actually produces matches
+
+    got1 = drain(lsrc, rsrc, "ss_one")
+    assert got1 == batch
+
+    # multi-batch: time-split each side at the median ts (later files carry
+    # strictly later event times, so nothing is ever late vs the watermark)
+    all_ts = sorted(r["ts"] for r in events.select("ts").collect())
+    med = all_ts[len(all_ts) // 2]   # driver-side median: test fixture only
+    l2, r2 = str(tmp_path / "ss_l2"), str(tmp_path / "ss_r2")
+    for src, df in ((l2, left), (r2, right)):
+        df.where(F.col("ts") < F.lit(med)).coalesce(1).write.parquet(src)
+    import time
+    time.sleep(1.1)  # distinct mtimes: early file must be discovered first
+    for src, df in ((l2, left), (r2, right)):
+        (df.where(F.col("ts") >= F.lit(med)).coalesce(1)
+         .write.mode("append").parquet(src))
+    got2 = drain(l2, r2, "ss_two", mft=1)
+    assert got2 == batch
+
+    # leftOuter: every inner match present; NULL-match rows only for left
+    # rows the final watermark has proven unmatched (outer emission is
+    # watermark-delayed by design, so it's a subset relation, not equality)
+    ls = (spark.readStream.schema("event_id long, user_id long, ts timestamp")
+          .parquet(lsrc))
+    rs = (spark.readStream
+          .schema("event_id long, user_id long, ts timestamp, event_type string")
+          .parquet(rsrc))
+    jo = streaming.stream_stream_join(ls, rs, key="user_id",
+                                      lag="30 minutes", how="leftOuter")
+    q = (jo.writeStream.format("memory").queryName("ss_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    outer = spark.sql("select * from ss_outer").collect()
+    inner_pairs = {(r["event_id"], r["r_event_id"]) for r in outer
+                   if r["r_event_id"] is not None}
+    assert inner_pairs == batch
+    matched_left = {l for l, _ in batch}
+    assert all(r["event_id"] not in matched_left
+               for r in outer if r["r_event_id"] is None)
+
+    with pytest.raises(ValueError, match="unsupported"):
+        streaming.stream_stream_join(ls, rs, key="user_id", how="fullOuter")
+    with pytest.raises(ValueError, match="collide"):
+        streaming.stream_stream_join(
+            ls.withColumnRenamed("event_id", "r_event_id"), rs,
+            key="user_id")
