@@ -282,6 +282,46 @@ def asof_enrich(stream: DataFrame, states: DataFrame, key: str,
                            value_cols=value_cols)
 
 
+def exactly_once_sink(stream: DataFrame, table, query_name: str,
+                      checkpoint: str, partition_by: list[str] | None = None,
+                      source_tag: str | None = None,
+                      available_now: bool = True):
+    """Stream → snapshot-table sink with END-TO-END exactly-once semantics
+    via ``foreachBatch`` + a batch-id-idempotent ManifestTable commit.
+
+    Spark's checkpoint guarantees each micro-batch is replayed
+    AT-LEAST-once after a crash/restart with deterministic content (the WAL
+    pins the batch's source offsets); the manifest chain's consumed-inputs
+    ledger turns that into exactly-once: every commit records the synthetic
+    input token ``stream://<tag>/batch/<id>``, and a replayed batch whose
+    token is already in the chain is skipped before any write. The commit
+    itself is atomic (manifest publish + pointer flip under the commit
+    lock), so a crash in the foreachBatch body either committed the batch
+    (replay skips) or left only an unreferenced data dir for
+    ``expire_snapshots`` to sweep — never a partial or double append.
+
+    ``checkpoint`` and ``source_tag`` must travel together: resuming with a
+    fresh checkpoint against the same tag would renumber batches from 0 and
+    silently skip them against the old ledger.
+
+    Scale shape: one snapshot per micro-batch (compact() folds them);
+    the ledger check reads only manifest JSONs, never data files."""
+    tag = source_tag or query_name
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        token = f"stream://{tag}/batch/{batch_id}"
+        if token in table.consumed_inputs():
+            return  # checkpoint replay after restart: already committed
+        table.commit(batch_df, inputs=[token], partition_by=partition_by)
+
+    w = (stream.writeStream.foreachBatch(_write)
+         .queryName(query_name)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                        left_ts: str = "ts", right_ts: str = "ts",
                        lag: str = "1 hour",
