@@ -73,3 +73,59 @@ def hll_rollup(sketches: DataFrame) -> int:
     # an empty sketch relation unions to NULL; 0 distinct is the honest
     # answer (and matches approx_distinct on an empty frame)
     return row["n"] if row["n"] is not None else 0
+
+
+def heavy_hitters(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy hitters: the frequent items of ``value_col`` from
+    one pass in O(k) memory per partition, with a CERTIFIED error bound —
+    the bounded-memory sibling of exact groupBy-count for columns whose
+    cardinality (hot URLs, user ids, vendor strings at 100 TB) makes the
+    exact shuffle the bottleneck.
+
+    Returns ``(item, est_count, err_bound)`` where every reported item
+    satisfies ``est_count <= true_count <= est_count + err_bound`` and —
+    the presence guarantee — ANY item with ``true_count > err_bound``
+    is guaranteed to be reported. NULLs are ignored.
+
+    Shape: each partition folds its Arrow batches into a capacity-``k``
+    summary — carried state is O(k) between batches (transiently
+    O(k + batch cardinality) while a batch's value_counts merges in; when
+    the merged dict overflows,
+    the (k+1)-th largest count m is subtracted from every counter and
+    zeros dropped — the classic mergeable-summaries trim, adding m to that
+    partition's certified undercount). Partitions then emit <= k candidate
+    rows + one error row, and a single tiny shuffle sums candidates and
+    errors. Driver/exchange traffic is O(k x partitions), never O(rows).
+
+    Determinism caveat: ``est_count`` (not the guarantee) depends on the
+    partitioning and arrival order, like any MG sketch — consumers needing
+    run-identical numbers use the exact groupBy path; this is the audited
+    approximation for when that path can't fit."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import pandas as pd
+
+    def summarize(batches):
+        counts: dict = {}
+        dec = 0
+        for pdf in batches:
+            for item, c in pdf[value_col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                m = sorted(counts.values(), reverse=True)[k]
+                counts = {i: c - m for i, c in counts.items() if c > m}
+                dec += m
+        yield pd.DataFrame({
+            "item": list(counts.keys()) + [None],
+            "cnt": list(counts.values()) + [0],
+            "dec": [0] * len(counts) + [dec]})
+
+    summaries = df.select(
+        F.col(value_col).cast("string").alias(value_col)) \
+        .where(F.col(value_col).isNotNull()) \
+        .mapInPandas(summarize, "item string, cnt long, dec long")
+    err = summaries.agg(F.sum("dec").alias("err_bound"))
+    return (summaries.where(F.col("item").isNotNull())
+            .groupBy("item").agg(F.sum("cnt").alias("est_count"))
+            .crossJoin(F.broadcast(err))
+            .select("item", "est_count", "err_bound"))

@@ -1030,3 +1030,52 @@ def test_url_host_extraction_and_domain_census(spark):
     # domain — Catalyst's count_distinct expansion, both map-side combined
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "EvalPython" not in plan
+
+
+def test_misra_gries_heavy_hitters_guarantees(spark):
+    """MG sketch contract on a skewed corpus under forced multi-partition
+    execution: (a) est <= true <= est + err_bound for every reported item,
+    (b) any item with true > err_bound is present, (c) the clear heavy
+    hitters (gap > err_bound) rank exactly as the exact counts rank."""
+    from cefspark import sketches
+
+    # zipf-ish: item i repeated 3000 // (i + 1) times, i in [0, 200)
+    base = spark.range(200).select(
+        F.concat(F.lit("item"), F.lpad(F.col("id").cast("string"), 3, "0"))
+        .alias("v"),
+        F.explode(F.sequence(F.lit(1), (F.lit(3000) / (F.col("id") + 1))
+                             .cast("int"))).alias("_i")).drop("_i")
+    base = base.repartition(8)  # multiple independent partition summaries
+
+    exact = {r["v"]: r["n"] for r in
+             base.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    got = sketches.heavy_hitters(base, "v", k=32).collect()
+    assert got, "summary must not be empty"
+    err = got[0]["err_bound"]
+    assert all(r["err_bound"] == err for r in got)
+    n_total = sum(exact.values())
+    assert 0 <= err <= n_total // 33  # classic MG bound: N/(k+1)
+
+    reported = {r["item"]: r["est_count"] for r in got}
+    for item, est in reported.items():
+        assert est <= exact[item] <= est + err, item
+    for item, true in exact.items():
+        if true > err:
+            assert item in reported, (item, true, err)
+    # clear heavy hitters order preserved when gaps exceed the bound
+    top_exact = sorted(exact, key=lambda i: -exact[i])[:5]
+    top_est = sorted(reported, key=lambda i: -reported[i])[:5]
+    assert top_exact == top_est
+
+    # NULLs ignored; empty frame -> empty summary
+    with_null = base.unionByName(
+        spark.createDataFrame([(None,)], "v string"))
+    got2 = sketches.heavy_hitters(with_null, "v", k=32).collect()
+    assert sum(r["est_count"] for r in got2) <= n_total
+    empty = sketches.heavy_hitters(
+        spark.createDataFrame([], "v string"), "v", k=4).collect()
+    assert empty == []
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketches.heavy_hitters(base, "v", k=0)
