@@ -252,7 +252,7 @@ class ManifestTable:
             sid = snap.parent_id
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        return _read_snapshot_dirs(spark, dirs)
 
     def snapshot_as_of(self, ts: float) -> Optional[Snapshot]:
         """Time travel: the chain's newest snapshot committed at or before
@@ -283,7 +283,7 @@ class ManifestTable:
             s = self.snapshot(sid)
             dirs.append(s.data_dir)
             sid = s.parent_id
-        return spark.read.parquet(*dirs)
+        return _read_snapshot_dirs(spark, dirs)
 
     # -- resume -----------------------------------------------------------------
 
@@ -505,6 +505,21 @@ class ManifestTable:
                       on=F.col("_f") == F.col("_consumed_file"),
                       how="left_anti")
                 .drop("_f"))
+
+
+def _read_snapshot_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Union the data of several snapshot dirs. Each dir is scanned
+    SEPARATELY and unioned by name: a single multi-path ``parquet()`` call
+    would run partition discovery across unrelated snapshot roots and
+    reject partitioned snapshots with CONFLICTING_DIRECTORY_STRUCTURES
+    (there is no common base to infer from). Per-dir scans also tolerate
+    benign schema evolution between commits (missing columns read as
+    NULL). The union is a metadata-only plan node — no extra shuffle."""
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d),
+                              allowMissingColumns=True)
+    return out
 
 
 def _norm_file_uri(col):

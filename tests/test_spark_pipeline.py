@@ -1066,3 +1066,53 @@ def test_grok_combined_apache_log(spark):
     assert out[1]["referrer"] == '"http://ref.example/page"'
     assert out[1]["agent"] == '"Mozilla/5.0 (X11)"'
     assert out[2]["agent"] is None
+
+
+def test_stream_pipeline_job_smoke_and_resume(spark, tmp_path):
+    """jobs/stream_pipeline.py in subprocesses: first run drains every file
+    into the ManifestTable exactly once (one snapshot per micro-batch);
+    a resumed run over the same checkpoint commits exactly the new file's
+    delta and never re-reads consumed batches."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from cefspark import fixtures
+
+    src = str(tmp_path / "turns")
+    t = fixtures.transcripts_df(spark, 600)
+    t.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(src)
+    t.where(F.col("turn_idx") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    table, ckpt = str(tmp_path / "routed"), str(tmp_path / "ckpt")
+    env = dict(os.environ)
+
+    def run():
+        r = subprocess.run(
+            [sys.executable, "jobs/stream_pipeline.py", "--cpus", "4",
+             "--input", src, "--table", table, "--checkpoint", ckpt,
+             "--max-files-per-trigger", "1"],
+            capture_output=True, text=True, timeout=420, env=env,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    m1 = run()
+    assert m1["n_batches"] == 2 and m1["snapshots_after"] == 2
+    assert m1["n_input_rows"] == 600
+
+    from cefspark.storage import ManifestTable
+    mt = ManifestTable(table)
+    assert mt.read_union(spark).count() == 600
+    # routed rows carry the sink routing key
+    assert "sink_id" in mt.read_union(spark).columns
+
+    # delta arrives -> resumed run ingests exactly the new file
+    t2 = fixtures.transcripts_df(spark, 100)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    m2 = run()
+    assert m2["snapshots_before"] == 2 and m2["snapshots_after"] == 3
+    assert m2["n_input_rows"] == 100
+    assert mt.read_union(spark).count() == 700
