@@ -2502,14 +2502,43 @@ SELECT doc_id, MIN(h) AS fp_rolling FROM w GROUP BY doc_id
 
 
 def q_text_bpe_tokens(spark, sf_dir):
-    """Sub-word-ish token counting via the BPE-like regex (word runs +
-    single punctuation marks)."""
-    return _documents(spark, sf_dir).select("doc_id", textops.bpe_token_count(F.col("text")))
+    """Sub-word tokenization, two merged variants:
+
+    - ``regex``: the BPE-like regex count (word runs + single punctuation)
+      over the documents table, as before; v1 = n_bpe_tokens.
+    - ``merges``: REAL byte-pair encoding (cefspark.bpe.apply_bpe, greedy
+      lowest-rank segmentation with the fixed GATE_MERGES table) over the
+      closed-form fixture; v1 = n_bpe_tokens, info = the full token
+      sequence. The oracle restates every segmentation arithmetically
+      (repeat/CASE over the residues) — it never re-runs the merge loop,
+      so a hash match proves the greedy rank loop merged exactly
+      ab→(a,b), abc→(ab,c), de→(d,e) and nothing else."""
+    from . import bpe as bpemod
+
+    regex = _documents(spark, sf_dir).select(
+        "doc_id", F.lit("regex").alias("variant"),
+        textops.bpe_token_count(F.col("text")).alias("v1"),
+        F.lit("").alias("info"))
+    merges = bpemod.apply_bpe(
+        bpemod.bpe_gate_docs(spark, 400), bpemod.GATE_MERGES).select(
+        "doc_id", F.lit("merges").alias("variant"),
+        F.col("n_bpe_tokens").alias("v1"),
+        F.array_join("bpe_tokens", " ").alias("info"))
+    return regex.unionByName(merges)
 
 
 O_TEXT_BPE_TOKENS = r"""
-SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+SELECT doc_id, 'regex' AS variant,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS v1,
+       '' AS info
 FROM documents
+UNION ALL
+SELECT i AS doc_id, 'merges' AS variant,
+       CAST((i % 3 + 1) + (CASE WHEN i % 2 = 0 THEN 2 ELSE 3 END) + 1 AS BIGINT) AS v1,
+       trim(repeat('abc ', CAST(i % 3 + 1 AS INT)))
+       || CASE WHEN i % 2 = 0 THEN ' abc abc' ELSE ' x y z' END
+       || ' de' AS info
+FROM generate_series(0, 399) t(i)
 """
 
 

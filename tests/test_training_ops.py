@@ -1079,3 +1079,56 @@ def test_misra_gries_heavy_hitters_guarantees(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sketches.heavy_hitters(base, "v", k=0)
+
+
+def test_bpe_learn_and_apply(spark):
+    """BPE: learned merges match the hand-derived classic result; greedy
+    lowest-rank segmentation == sequential merge-list replay (the textbook
+    equivalence) on adversarial words; learning is partitioning-invariant;
+    the end-of-word marker distinguishes final from internal contexts."""
+    from cefspark import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ac")], "doc_id long, text string")
+    merges = bpe.learn_bpe(docs, n_merges=2)
+    assert merges == [("a", "b"), ("a", "c")]
+    # partitioning-invariant
+    big = spark.createDataFrame(
+        [(i, "low low lower lowest newest newest") for i in range(40)],
+        "doc_id long, text string")
+    m1 = bpe.learn_bpe(big, n_merges=8)
+    m2 = bpe.learn_bpe(big.repartition(7), n_merges=8)
+    assert m1 == m2 and len(m1) == 8
+
+    # greedy-by-rank == replay-in-order (independent reference impl)
+    def replay(word, ms):
+        syms = tuple(word)
+        for m in ms:
+            syms = bpe._merge_word(syms, m)
+        return list(syms)
+
+    ranks = {m: i for i, m in enumerate(m1)}
+    for w in ["low", "lowest", "newest", "blowing", "stew", "neew",
+              "www", "lolow", "x", ""]:
+        assert bpe.segment_word(w, ranks) == replay(w, m1) or w == "", w
+
+    out = {r["doc_id"]: r for r in bpe.apply_bpe(
+        spark.createDataFrame([(0, "abac abab"), (1, None), (2, "")],
+                              "doc_id long, text string"),
+        [("a", "b"), ("a", "c")]).collect()}
+    assert out[0]["bpe_tokens"] == ["ab", "ac", "ab", "ab"]
+    assert out[0]["n_bpe_tokens"] == 4
+    assert out[1]["bpe_tokens"] == [] and out[1]["n_bpe_tokens"] == 0
+    assert out[2]["n_bpe_tokens"] == 0
+
+    # marker variant: word-final 's</w>' merges without touching internal s
+    suffix_corpus = spark.createDataFrame(
+        [(0, "cats dogs pigs")], "doc_id long, text string")
+    marked = bpe.learn_bpe(suffix_corpus, n_merges=1, end_of_word="</w>")
+    assert marked == [("s", "</w>")]          # the plural-suffix context wins
+    unmarked = bpe.learn_bpe(suffix_corpus, n_merges=1)
+    assert unmarked == [("g", "s")]           # without the marker it can't
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bpe.learn_bpe(docs, n_merges=-1)
