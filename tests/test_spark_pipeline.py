@@ -1116,3 +1116,48 @@ def test_stream_pipeline_job_smoke_and_resume(spark, tmp_path):
     assert m2["snapshots_before"] == 2 and m2["snapshots_after"] == 3
     assert m2["n_input_rows"] == 100
     assert mt.read_union(spark).count() == 700
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Materialized-count maintenance over a snapshot chain: after any
+    interleaving of appends and maintenance runs, the rollup equals the
+    full recompute; a run with no new snapshots is a no-op; only delta
+    snapshot tokens join the ledger."""
+    from cefspark.storage import ManifestTable, incremental_rollup
+
+    src = ManifestTable(str(tmp_path / "facts"))
+    roll = ManifestTable(str(tmp_path / "rollup"))
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 5).cast("string").alias("sink_id"))
+
+    def rollup_dict():
+        return {r["sink_id"]: r["n_events"]
+                for r in roll.read(spark).collect()}
+
+    def exact_dict():
+        return {r["sink_id"]: r["n"] for r in
+                src.read_union(spark).groupBy("sink_id")
+                .agg(F.count("*").alias("n")).collect()}
+
+    src.commit(facts(0, 100))
+    src.commit(facts(100, 250))
+    m1 = incremental_rollup(spark, src, roll, ["sink_id"])
+    assert m1["n_new_snapshots"] == 2 and m1["n_groups"] == 5
+    assert rollup_dict() == exact_dict()
+
+    # no new data -> no-op, chain unchanged
+    m2 = incremental_rollup(spark, src, roll, ["sink_id"])
+    assert m2["n_new_snapshots"] == 0
+    assert m2["snapshot_id"] == m1["snapshot_id"]
+
+    # two more appends, one maintenance run folds exactly those two
+    src.commit(facts(250, 260))
+    src.commit(facts(260, 400))
+    m3 = incremental_rollup(spark, src, roll, ["sink_id"])
+    assert m3["n_new_snapshots"] == 2
+    assert rollup_dict() == exact_dict()
+    toks = {t for t in roll.consumed_inputs() if t.startswith("snapshot://")}
+    assert len(toks) == 4
