@@ -1132,3 +1132,88 @@ def test_bpe_learn_and_apply(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bpe.learn_bpe(docs, n_merges=-1)
+
+
+def test_conversation_level_neardup_composition(spark):
+    """The operators compose at conversation granularity: render turns ->
+    one doc per conversation -> MinHash near-dup over the rendered dialogs
+    finds the lightly-edited duplicate conversation and nothing else."""
+    from cefspark import dedup, transcripts
+
+    def conv(cid, texts):
+        return [(cid, i, "user" if i % 2 == 0 else "assistant", t)
+                for i, t in enumerate(texts)]
+
+    base = ["please summarize the quarterly report for the board meeting",
+            "the quarterly report shows revenue up twelve percent overall",
+            "what were the main cost drivers this quarter then",
+            "cloud spend and hiring were the main cost drivers this quarter"]
+    edited = list(base)
+    edited[2] = "what were the main cost drivers this quarter instead"
+    rows = (conv("c1", base) + conv("c2", edited)
+            + conv("c3", ["totally different words about gardening tips",
+                          "tomatoes need full sun and regular deep watering",
+                          "how often should i water them in summer heat",
+                          "every two days unless the soil is still moist"]))
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+    docs = transcripts.render_conversations(turns)
+    pairs = dedup.minhash_dedup(docs, text_col="dialog", id_col="conv_id",
+                                threshold=0.5).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {("c1", "c2")}
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_int8_quantization_roundtrip_and_topk_agreement(spark):
+    """Symmetric int8 quantization: values stay in [-127,127] with the max
+    element pinned at ±127, dequantization error <= scale/2 per element,
+    scales cancel in cosine (error < 0.01 on the real embeddings), and
+    quantized top-k agrees with exact top-k on clear neighbors."""
+    from cefspark import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = similarity.quantize_int8(emb)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for vid, r in list(rows.items())[:50]:
+        xs, qs, s = orig[vid], r["q"], r["scale"]
+        assert len(qs) == len(xs)
+        assert max(abs(v) for v in qs) == 127 or s == 0
+        for x, qv in zip(xs, qs):
+            assert abs(qv * s - float(x)) <= s / 2 + 1e-12
+
+    # cosine with scales cancelled stays within the rounding budget
+    joined = (q.alias("a").join(q.alias("b"),
+                                F.col("a.vec_id") < F.col("b.vec_id"))
+              .limit(300)
+              .select(F.col("a.vec_id").alias("ia"),
+                      F.col("b.vec_id").alias("ib"),
+                      similarity.cosine_int8(F.col("a.q"), F.col("b.q"))
+                      .alias("cq")))
+    exact = (emb.alias("a").join(emb.alias("b"),
+                                 F.col("a.vec_id") < F.col("b.vec_id"))
+             .limit(300)
+             .select(F.col("a.vec_id").alias("ia"),
+                     F.col("b.vec_id").alias("ib"),
+                     similarity.cosine(F.col("a.embedding"),
+                                       F.col("b.embedding")).alias("ce")))
+    both = {(r["ia"], r["ib"]): r["cq"] for r in joined.collect()}
+    for r in exact.collect():
+        key = (r["ia"], r["ib"])
+        if key in both:
+            assert abs(both[key] - r["ce"]) < 0.01, key
+
+    # top-k agreement on a real query vector
+    query = orig[0]
+    exact_top = [r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, query, k=5).collect()]
+    quant_top = [r["vec_id"] for r in
+                 similarity.quantized_topk(q, query, k=5).collect()]
+    assert exact_top[0] == quant_top[0] == 0      # self-match survives
+    assert len(set(exact_top) & set(quant_top)) >= 4
+
+    # zero vector: scale 0, all-zero q
+    z = similarity.quantize_int8(spark.createDataFrame(
+        [(99, [0.0] * 4)], "vec_id long, embedding array<float>")).first()
+    assert z["scale"] == 0.0 and list(z["q"]) == [0, 0, 0, 0]
