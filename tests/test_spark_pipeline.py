@@ -1161,3 +1161,23 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     assert rollup_dict() == exact_dict()
     toks = {t for t in roll.consumed_inputs() if t.startswith("snapshot://")}
     assert len(toks) == 4
+
+
+def test_read_union_tolerates_schema_evolution_and_partitioned_snapshots(spark, tmp_path):
+    """Per-dir snapshot reads: a later commit may add a column (earlier
+    rows read as NULL) and snapshots may be partitioned — both shapes a
+    single multi-path parquet() call would reject or mis-infer."""
+    from cefspark.storage import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "evo"))
+    t.commit(spark.range(3).select(F.col("id").alias("event_id"),
+                                   (F.col("id") % 2).cast("string").alias("sink_id")),
+             partition_by=["sink_id"])
+    t.commit(spark.range(3, 5).select(F.col("id").alias("event_id"),
+                                      (F.col("id") % 2).cast("string").alias("sink_id"),
+                                      F.lit("enriched").alias("tier")),
+             partition_by=["sink_id"])
+    out = t.read_union(spark)
+    assert set(out.columns) == {"event_id", "sink_id", "tier"}
+    rows = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "enriched", 4: "enriched"}
