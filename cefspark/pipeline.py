@@ -302,3 +302,46 @@ def value_percentiles(df: DataFrame, group_col: str, value_col: str,
     return (wide.select(group_col, F.explode(pairs).alias("pv"))
             .select(group_col, F.col("pv.pct").alias("pct"),
                     F.col("pv.val").alias("val")))
+
+
+def throttle(df: DataFrame, key_cols: list[str], max_per_window: int,
+             window_ms: int = 3_600_000, ts_col: str = "ts",
+             tie_cols: tuple = ("event_id",),
+             mark_only: bool = False) -> DataFrame:
+    """Per-key event-time rate limiting — the logstash ``throttle`` filter
+    re-expressed relationally: keep at most ``max_per_window`` events per
+    key per fixed event-time window of ``window_ms``, deterministically
+    (earliest by ``(ts, *tie_cols)`` win — never arrival order, so any
+    partitioning/replay yields the identical survivor set).
+
+    ``mark_only=True`` annotates instead of dropping: adds
+    ``throttle_rank`` (1-based within the (key, window) bucket) and
+    ``throttle_kept`` — the audit shape (count what WOULD drop before
+    enabling). NULL timestamps share one bucket per key (rate-limited
+    like any other, tie-broken deterministically) rather than passing
+    uncounted.
+
+    Scale shape: ONE hash shuffle on (keys, time-bucket) for the
+    row_number window — the time bucket in the partition key means a hot
+    key's history spreads across window buckets instead of serializing
+    into one task (the same chunking idea as asof's chunk_ms)."""
+    from pyspark.sql.window import Window
+
+    if max_per_window < 1:
+        raise ValueError("max_per_window must be >= 1")
+    for c in ("__throttle_bucket", "throttle_rank", "throttle_kept"):
+        if c in df.columns:
+            raise ValueError(f"input collides with reserved column {c!r}")
+    bucket = F.floor(F.unix_millis(F.col(ts_col).cast("timestamp"))
+                     / F.lit(window_ms))
+    w = (Window.partitionBy(*key_cols, F.col("__throttle_bucket"))
+         .orderBy(F.col(ts_col).asc_nulls_first(),
+                  *[F.col(c) for c in tie_cols]))
+    out = (df.withColumn("__throttle_bucket", bucket)
+           .withColumn("throttle_rank", F.row_number().over(w))
+           .drop("__throttle_bucket"))
+    if mark_only:
+        return out.withColumn(
+            "throttle_kept", F.col("throttle_rank") <= max_per_window)
+    return (out.where(F.col("throttle_rank") <= max_per_window)
+            .drop("throttle_rank"))

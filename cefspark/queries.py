@@ -1915,7 +1915,12 @@ def q_event_sessions(spark, sf_dir):
       a validity gap report -1 (cefspark.asof.interval_join: the as-of
       shuffle plus a row-local expiry check — no inequality-join
       explosion; the oracle is the literal inequality LEFT JOIN, safe at
-      oracle scale)."""
+      oracle scale).
+    - ``throttle``: per-user per-hour rate limit (pipeline.throttle,
+      mark_only) — val is the deterministic in-bucket rank for kept
+      events (cap 3, earliest by (ts, event_id) win) and 0 for throttled
+      ones; the oracle replays the row_number-over-(user, hour-bucket)
+      rule verbatim."""
     from pyspark.sql.window import Window
 
     from .asof import asof_join, interval_join
@@ -1953,7 +1958,15 @@ def q_event_sessions(spark, sf_dir):
     rng = ranged.select(
         "event_id", F.lit("range").alias("variant"),
         F.coalesce(F.col("state_event_id"), F.lit(-1)).cast("long").alias("val"))
-    return sess.unionByName(asof).unionByName(rng)
+    # throttle (round 6): per-user per-hour rate limit, mark_only so every
+    # event reports its deterministic in-bucket rank (kept ? rank : 0) —
+    # the oracle replays the row_number rule verbatim
+    thr = pipeline.throttle(ev.select("event_id", "user_id", "ts"),
+                            ["user_id"], 3, mark_only=True).select(
+        "event_id", F.lit("throttle").alias("variant"),
+        F.when(F.col("throttle_kept"), F.col("throttle_rank"))
+        .otherwise(F.lit(0)).cast("long").alias("val"))
+    return sess.unionByName(asof).unionByName(rng).unionByName(thr)
 
 
 O_EVENT_SESSIONS = """
@@ -1982,6 +1995,13 @@ FROM events e LEFT JOIN (
   FROM (SELECT user_id, ts AS valid_from, MAX(event_id) AS state_event_id
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) st
 ) s ON e.user_id = s.user_id AND e.ts >= s.valid_from AND e.ts < s.valid_to
+UNION ALL
+SELECT event_id, 'throttle' AS variant,
+       CAST(CASE WHEN rn <= 3 THEN rn ELSE 0 END AS BIGINT) AS val
+FROM (SELECT event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts) // 3600000
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
 """
 
 

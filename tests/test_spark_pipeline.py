@@ -1181,3 +1181,40 @@ def test_read_union_tolerates_schema_evolution_and_partitioned_snapshots(spark, 
     assert set(out.columns) == {"event_id", "sink_id", "tier"}
     rows = {r["event_id"]: r["tier"] for r in out.collect()}
     assert rows == {0: None, 1: None, 2: None, 3: "enriched", 4: "enriched"}
+
+
+def test_throttle_rate_limits_per_key_window(spark):
+    """Throttle: cap 2 per (key, hour) keeps the earliest two by
+    (ts, event_id); NULL ts shares one rate-limited bucket; mark_only
+    annotates without dropping; survivors are partitioning-invariant."""
+    from cefspark import pipeline as pl
+
+    rows = [
+        (1, "a", "2026-01-01 10:00:05"), (2, "a", "2026-01-01 10:10:00"),
+        (3, "a", "2026-01-01 10:20:00"),  # third in the 10:00 hour -> dropped
+        (4, "a", "2026-01-01 11:01:00"),  # next hour resets the quota
+        (5, "b", "2026-01-01 10:30:00"),
+        (6, "a", None), (7, "a", None), (8, "a", None),  # NULL bucket capped too
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, k string, sec string") \
+        .select("event_id", "k", F.to_timestamp("sec").alias("ts"))
+
+    kept = {r["event_id"] for r in
+            pl.throttle(ev, ["k"], 2, ts_col="ts").collect()}
+    assert kept == {1, 2, 4, 5, 6, 7}
+
+    marked = {r["event_id"]: (r["throttle_rank"], r["throttle_kept"])
+              for r in pl.throttle(ev, ["k"], 2, mark_only=True).collect()}
+    assert marked[3] == (3, False) and marked[8] == (3, False)
+    assert marked[1] == (1, True) and marked[4] == (1, True)
+    assert len(marked) == len(rows)  # mark_only never drops
+
+    again = {r["event_id"] for r in
+             pl.throttle(ev.repartition(5), ["k"], 2).collect()}
+    assert again == kept
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pl.throttle(ev, ["k"], 0)
+    with _pytest.raises(ValueError, match="reserved"):
+        pl.throttle(ev.withColumn("throttle_rank", F.lit(1)), ["k"], 2)
