@@ -255,18 +255,34 @@ class ManifestTable:
         return _read_snapshot_dirs(spark, dirs)
 
     def snapshot_as_of(self, ts: float) -> Optional[Snapshot]:
-        """Time travel: the chain's newest snapshot committed at or before
-        epoch-seconds ``ts`` (None if the table didn't exist yet). Walks the
-        LATEST chain driver-side — bounded by commit count; snapshots
-        expired by maintenance are genuinely gone, same as any table
-        format's retention horizon."""
-        sid = self.latest_snapshot_id()
-        while sid:
-            snap = self.snapshot(sid)
-            if snap.committed_at <= ts:
-                return snap
-            sid = snap.parent_id
-        return None
+        """Time travel: the snapshot that WAS the table's latest at
+        epoch-seconds ``ts`` (None if the table didn't exist yet) — the
+        max ``committed_at <= ts`` over ALL retained manifests, not just
+        the current chain. Every commit became LATEST at its commit
+        instant (publishes serialize under the commit lock), so this rule
+        reproduces history exactly even ACROSS whole-table rewrites
+        (compact / upsert / delete_where re-root the chain and orphan
+        their ancestors — a chain-only walk would lose those pre-rewrite
+        views while they are still retained). Driver-side listing bounded
+        by commit count; snapshots expired by maintenance are genuinely
+        gone, same as any table format's retention horizon."""
+        best: Optional[Snapshot] = None
+        try:
+            names = os.listdir(self._manifests)
+        except FileNotFoundError:
+            return None
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._manifests, name)) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                continue  # torn concurrent write: .tmp rename not yet done
+            if data.get("committed_at", float("inf")) <= ts and (
+                    best is None or data["committed_at"] > best.committed_at):
+                best = Snapshot(**data)
+        return best
 
     def read_union_as_of(self, spark: SparkSession,
                          ts: float) -> Optional[DataFrame]:
@@ -460,7 +476,7 @@ class ManifestTable:
         if partition_by and cluster_by:
             raise ValueError("partition_by and cluster_by are mutually exclusive")
         n_files = max(1, -(-total // target_file_bytes))  # ceil
-        df = spark.read.parquet(*[s.data_dir for s in chain])
+        df = _read_snapshot_dirs(spark, [s.data_dir for s in chain])
         if cluster_by:
             cols = [F.col(c) for c in cluster_by]
             out = (df.repartitionByRange(n_files, *cols)
@@ -478,6 +494,13 @@ class ManifestTable:
         # double-count every pre-compact row, and a second compact would
         # bake the duplicates in permanently. The superseded snapshots
         # become orphans for expire_snapshots to reclaim.
+        return self._reroot(snap)
+
+    def _reroot(self, snap: Snapshot) -> Snapshot:
+        """Republish ``snap`` with no parent: it IS the full table (used by
+        every whole-table rewrite — compact/upsert/delete_where — whose
+        output already contains the surviving history; leaving the chain
+        intact would double-count through read_union)."""
         snap.parent_id = None
         mpath = os.path.join(self._manifests, f"{snap.snapshot_id}.json")
         tmp = mpath + ".tmp"
@@ -485,6 +508,74 @@ class ManifestTable:
             json.dump(snap.__dict__, f, indent=1)
         os.rename(tmp, mpath)
         return snap
+
+    def _chain_inputs(self) -> list[str]:
+        """Union of every chain snapshot's consumed-input tokens — carried
+        through whole-table rewrites so checkpoint-resume and streaming
+        batch ledgers survive them."""
+        inputs: set[str] = set()
+        sid = self.latest_snapshot_id()
+        while sid:
+            s = self.snapshot(sid)
+            inputs.update(s.inputs)
+            sid = s.parent_id
+        return sorted(inputs)
+
+    def upsert(self, spark: SparkSession, updates: DataFrame,
+               key_cols: list[str],
+               partition_by: Optional[list[str]] = None,
+               lock_timeout: float = 120.0) -> Snapshot:
+        """Copy-on-write MERGE: rows whose ``key_cols`` match a row of
+        ``updates`` are REPLACED by it, unmatched existing rows are kept,
+        and new keys insert — Delta/Iceberg ``MERGE INTO`` semantics on the
+        manifest layout. The rewrite anti-joins the current table against
+        the distinct update keys and unions the updates: one shuffle-join
+        sized by the table (CoW — the honest cost without deletion
+        vectors; AQE broadcasts the key side while it fits).
+
+        Like :meth:`compact`, this is a whole-table rewrite that re-roots
+        the chain; run it in the table's single-writer maintenance window —
+        an append committed between the read and the rewrite's publish
+        would be silently dropped (the commit lock serializes publishes,
+        not read-rewrite spans). Consumed-input tokens are carried, so
+        resume ledgers survive. Time travel to pre-upsert snapshots keeps
+        working until ``expire_snapshots`` reclaims them."""
+        current = self.read_union(spark)
+        if current is None:
+            merged = updates
+        else:
+            keys = updates.select(*key_cols).distinct()
+            merged = (current.join(keys, on=key_cols, how="left_anti")
+                      .unionByName(updates))
+        snap = self.commit(merged, inputs=self._chain_inputs(),
+                           partition_by=partition_by,
+                           lock_timeout=lock_timeout)
+        return self._reroot(snap)
+
+    def delete_where(self, spark: SparkSession, condition,
+                     partition_by: Optional[list[str]] = None,
+                     lock_timeout: float = 120.0) -> tuple[Snapshot, int]:
+        """Row-level DELETE (GDPR / right-to-be-forgotten over a training
+        corpus): copy-on-write rewrite keeping only rows where
+        ``condition`` (a Column or SQL string) is FALSE or NULL — SQL
+        DELETE semantics: a row is removed only when the predicate is
+        definitely true. Returns ``(snapshot, n_deleted)``.
+
+        Same single-writer caveat and input-token carry as
+        :meth:`upsert`. NOTE deleted bytes persist in superseded snapshots
+        until ``expire_snapshots(keep_last=1)`` runs — a complete erasure
+        requires both steps (documented, not hidden)."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        current = self.read_union(spark)
+        if current is None:
+            raise ValueError("delete_where on an empty table")
+        n_before = current.count()
+        kept = current.where(~F.coalesce(condition, F.lit(False)))
+        snap = self.commit(kept, inputs=self._chain_inputs(),
+                           partition_by=partition_by,
+                           lock_timeout=lock_timeout)
+        return self._reroot(snap), n_before - snap.n_rows
 
     def filter_new_inputs(self, df: DataFrame) -> DataFrame:
         """Drop rows from input files already consumed (checkpoint resume).

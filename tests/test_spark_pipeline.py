@@ -1218,3 +1218,48 @@ def test_throttle_rate_limits_per_key_window(spark):
         pl.throttle(ev, ["k"], 0)
     with _pytest.raises(ValueError, match="reserved"):
         pl.throttle(ev.withColumn("throttle_rank", F.lit(1)), ["k"], 2)
+
+
+def test_upsert_and_delete_where_cow_semantics(spark, tmp_path):
+    """Copy-on-write row-level ops: upsert replaces matched keys, keeps
+    unmatched, inserts new; delete_where removes exactly the
+    definitely-true rows (NULL predicate keeps); both re-root the chain
+    (no double counting), carry resume tokens, and leave pre-rewrite
+    snapshots time-travelable until expiry."""
+    import time as _time
+
+    from cefspark.storage import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "cow"))
+    t.commit(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, sink string, v long"), inputs=["file:///in1"])
+    t.commit(spark.createDataFrame(
+        [(4, "d", 40)], "k long, sink string, v long"),
+        inputs=["file:///in2"])
+    t_before = _time.time()
+
+    up = spark.createDataFrame(
+        [(2, "b", 99), (5, "e", 50)], "k long, sink string, v long")
+    snap = t.upsert(spark, up, ["k"])
+    got = {r["k"]: r["v"] for r in t.read_union(spark).collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 4: 40, 5: 50}
+    assert snap.parent_id is None          # re-rooted: no double count
+    assert t._chain_inputs() == ["file:///in1", "file:///in2"]
+
+    # pre-upsert state still time-travelable
+    old = {r["k"]: r["v"]
+           for r in t.read_union_as_of(spark, t_before).collect()}
+    assert old == {1: 10, 2: 20, 3: 30, 4: 40}
+
+    # delete: NULL predicate must KEEP the row (SQL DELETE semantics)
+    t.upsert(spark, spark.createDataFrame(
+        [(6, None, 60)], "k long, sink string, v long"), ["k"])
+    snap2, n_deleted = t.delete_where(spark, "sink = 'b' OR v = 30")
+    assert n_deleted == 2
+    kept = {r["k"] for r in t.read_union(spark).collect()}
+    assert kept == {1, 4, 5, 6}            # k=6 (NULL sink) survives
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ManifestTable(str(tmp_path / "empty")).delete_where(spark, "v = 1")
