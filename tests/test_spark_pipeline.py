@@ -1213,6 +1213,12 @@ def test_throttle_rate_limits_per_key_window(spark):
              pl.throttle(ev.repartition(5), ["k"], 2).collect()}
     assert again == kept
 
+    # one shuffle, on (key, time-bucket) — and no Python in the plan
+    import re as _re
+    plan = pl.throttle(ev, ["k"], 2)._jdf.queryExecution()         .executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "EvalPython" not in plan
+
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pl.throttle(ev, ["k"], 0)
