@@ -1780,6 +1780,11 @@ def q_cef_enrich_tiers(spark, sf_dir):
       /8-only, unmatched, and malformed (NULL attrs, error-as-data). The
       oracle replays the closed-form residue-class mapping; asn proves
       the attrs ride the innermost block (integer arithmetic per class).
+    - ``ua`` (round 6): logstash-useragent-style browser/OS classification
+      (cefspark/useragent.py) — ordered specific-before-generic first
+      match over the planted fixture whose Edge/Opera strings carry
+      Chrome+Safari tokens and whose iPad carries "Mac OS X"; s1 =
+      family/major, s2 = os, restated closed-form by the oracle.
     """
     tiers = _routed(spark, sf_dir).select(
         F.lit("tiers").alias("variant"), "event_id",
@@ -1812,7 +1817,22 @@ def q_cef_enrich_tiers(spark, sf_dir):
         F.lit("cidr").alias("variant"), "event_id",
         F.coalesce("zone", F.lit("none")).alias("s1"),
         F.coalesce(F.col("asn").cast("string"), F.lit("-")).alias("s2"))
-    return tiers.unionByName(cid)
+
+    # ua (round 6): logstash-useragent-style classification — the fixture
+    # plants the ordering traps (Edge/Opera strings carry Chrome+Safari
+    # tokens, iPad carries "Mac OS X"); the oracle restates the expected
+    # classes closed-form, so a match proves the specific-before-generic
+    # first-match chain, never the regexes re-run
+    from . import useragent as _ua
+
+    events_ua = _events(spark, sf_dir).select(
+        "event_id", _ua.ua_fixture(eid).alias("user_agent"))
+    parsed = _ua.parse_user_agent(events_ua)
+    ua = parsed.select(
+        F.lit("ua").alias("variant"), "event_id",
+        F.concat_ws("/", "ua_family", "ua_major").alias("s1"),
+        F.col("ua_os").alias("s2"))
+    return tiers.unionByName(cid).unionByName(ua)
 
 
 O_CEF_ENRICH_TIERS = f"""
@@ -1831,6 +1851,20 @@ SELECT 'cidr' AS variant, event_id,
        CASE WHEN event_id % 4 = 0 THEN CAST(event_id % 200 + 64500 AS VARCHAR)
             WHEN event_id % 4 = 1 THEN '64000'
             ELSE '-' END AS s2
+FROM events
+UNION ALL
+SELECT 'ua' AS variant, event_id,
+       CASE event_id % 6
+         WHEN 0 THEN 'Edge/1' || CAST(event_id % 9 AS VARCHAR)
+         WHEN 1 THEN 'Chrome/12' || CAST(event_id % 7 AS VARCHAR)
+         WHEN 2 THEN 'Firefox/1' || CAST(event_id % 8 AS VARCHAR)
+         WHEN 3 THEN 'Safari/1' || CAST(event_id % 5 AS VARCHAR)
+         WHEN 4 THEN 'Opera/8' || CAST(event_id % 5 AS VARCHAR)
+         ELSE 'Bot/' END AS s1,
+       CASE event_id % 6
+         WHEN 0 THEN 'Windows' WHEN 1 THEN 'Linux' WHEN 2 THEN 'macOS'
+         WHEN 3 THEN 'iOS' WHEN 4 THEN 'Android'
+         ELSE 'Other' END AS s2
 FROM events
 """
 

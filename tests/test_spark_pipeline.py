@@ -1269,3 +1269,37 @@ def test_upsert_and_delete_where_cow_semantics(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ManifestTable(str(tmp_path / "empty")).delete_where(spark, "v = 1")
+
+
+def test_useragent_ordering_and_nulls(spark):
+    """UA classification: specific-before-generic ordering (Edge/Opera over
+    the Chrome token they contain, Chrome over its Safari token, iPad's
+    'Mac OS X' loses to iOS), version extraction follows the matched
+    family, NULL propagates, unknowns classify 'Other'; pure codegen."""
+    from cefspark import useragent as ua
+
+    rows = [
+        (1, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36 Edg/119.0"),
+        (2, "Mozilla/5.0 (X11; Linux x86_64) Chrome/121.0.0.0 Safari/537.36"),
+        (3, "Mozilla/5.0 (iPad; CPU OS 17_4 like Mac OS X) Version/17.4 Safari/604.1"),
+        (4, "Mozilla/5.0 (Linux; Android 14) Chrome/120.0 Safari/537.36 OPR/85.0"),
+        (5, "Mozilla/5.0 (Macintosh; Intel Mac OS X) Gecko/20100101 Firefox/124.0"),
+        (6, "Googlebot/2.1 (+http://www.google.com/bot.html)"),
+        (7, "weird client nobody knows"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_agent string")
+    out = {r["event_id"]: (r["ua_family"], r["ua_major"], r["ua_os"])
+           for r in ua.parse_user_agent(df).collect()}
+    assert out[1] == ("Edge", "119", "Windows")
+    assert out[2] == ("Chrome", "121", "Linux")
+    assert out[3] == ("Safari", "17", "iOS")      # not macOS, not Chrome
+    assert out[4] == ("Opera", "85", "Android")   # not Chrome, not Linux
+    assert out[5] == ("Firefox", "124", "macOS")
+    assert out[6] == ("Bot", "", "Other")
+    assert out[7] == ("Other", "", "Other")
+    assert out[8] == (None, None, None)
+
+    plan = ua.parse_user_agent(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
