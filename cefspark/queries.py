@@ -2735,7 +2735,11 @@ def q_text_fingerprint(spark, sf_dir):
       the 10-doc section headings must SURVIVE (below the 20-doc
       threshold), and surviving lines keep original form and order.
       h1 = md5(cleaned text restated closed-form by the oracle — the
-      oracle never runs the removal), h2 = n_lines/n_removed."""
+      oracle never runs the removal), h2 = n_lines/n_removed.
+    - ``pseudo``: keyed pseudonymization (cefspark.redact.pseudonymize) of
+      the events user/event ids — 16-hex sha256(salt || id) tokens DuckDB
+      recomputes independently; repeated user ids prove referential
+      integrity (one pseudonym per user)."""
     from . import redact
 
     fp = textops.fingerprint(_documents(spark, sf_dir)).select(
@@ -2751,7 +2755,18 @@ def q_text_fingerprint(spark, sf_dir):
         "doc_id", F.lit("boiler").alias("variant"),
         F.md5(F.col("text_clean")).alias("h1"),
         F.concat_ws("/", F.col("n_lines"), F.col("n_removed")).alias("h2"))
-    return fp.unionByName(pii).unionByName(boiler)
+    # pseudo (round 6): keyed pseudonymization over the events ids — both
+    # tokens are 16-hex sha256(salt || id) digests that DuckDB recomputes
+    # independently (a full cross-engine keyed-hash differential); the
+    # repeated user ids in events prove referential integrity (one
+    # pseudonym per user) because every repeat must hash identically
+    pseudo = redact.pseudonymize(
+        _events(spark, sf_dir).select("event_id", "user_id"),
+        ["user_id", "event_id"], salt="gate-salt-7").select(
+        F.col("event_id").alias("doc_id"), F.lit("pseudo").alias("variant"),
+        F.col("user_id_pseudo").alias("h1"),
+        F.col("event_id_pseudo").alias("h2"))
+    return fp.unionByName(pii).unionByName(boiler).unionByName(pseudo)
 
 
 O_TEXT_FINGERPRINT = """
@@ -2773,6 +2788,11 @@ SELECT i AS doc_id, 'boiler' AS variant,
            || CAST(i * 13 % 991 AS VARCHAR)) AS h1,
        CASE WHEN i % 3 = 0 THEN '5/2' ELSE '4/1' END AS h2
 FROM generate_series(0, 399) t(i)
+UNION ALL
+SELECT event_id AS doc_id, 'pseudo' AS variant,
+       substring(sha256('gate-salt-7' || CAST(user_id AS VARCHAR)), 1, 16) AS h1,
+       substring(sha256('gate-salt-7' || CAST(event_id AS VARCHAR)), 1, 16) AS h2
+FROM events
 """
 
 

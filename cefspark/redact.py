@@ -107,3 +107,38 @@ def pii_docs(spark, n: int) -> DataFrame:
         F.lit(" call +1-555-01"), F.lpad((i % 100).cast("string"), 2, "0"),
         F.lit(" not-pii: a@b 123456789012345 ver 10.20"))
     return spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+
+
+def pseudonymize(df: DataFrame, cols: list[str], salt: str,
+                 length: int = 16, suffix: str = "_pseudo") -> DataFrame:
+    """Keyed pseudonymization of identifier columns: each value is replaced
+    by the first ``length`` hex chars of ``sha256(salt || value)`` in a new
+    ``<col><suffix>`` column — the privacy-preserving transform that keeps
+    REFERENTIAL INTEGRITY (the same user id always maps to the same token,
+    so joins/sessionization/dedup still work on the pseudonymized corpus)
+    while the original ids never leave the cluster. NULL stays NULL.
+
+    The salt is the secret: without it the mapping is not practically
+    invertible for high-entropy ids, and rotating it produces an unlinkable
+    new pseudonym universe (the GDPR re-keying story). Low-entropy id
+    spaces (sequential integers) remain enumerable by anyone HOLDING the
+    salt — pseudonymization is reversible-by-design for the key holder,
+    unlike :func:`redact_text` masking.
+
+    Pure JVM projection (sha2 + substring per column): no UDF, no shuffle;
+    16 hex chars = 64 bits — collision odds ~2e-8 at 10^6 distinct ids,
+    raise ``length`` toward 64 for 10^12-id corpora."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not 1 <= length <= 64:
+        raise ValueError("length must be in [1, 64]")
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
+            1, length)
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+            .otherwise(tok))
+    return out

@@ -1217,3 +1217,31 @@ def test_int8_quantization_roundtrip_and_topk_agreement(spark):
     z = similarity.quantize_int8(spark.createDataFrame(
         [(99, [0.0] * 4)], "vec_id long, embedding array<float>")).first()
     assert z["scale"] == 0.0 and list(z["q"]) == [0, 0, 0, 0]
+
+
+def test_pseudonymize_referential_integrity_and_rekeying(spark):
+    """Keyed pseudonymization: same id ⇒ same token (joins survive),
+    different salt ⇒ unlinkable tokens, NULL stays NULL, length clamps
+    enforced; pure codegen."""
+    from cefspark import redact
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9), (4, None)], "event_id long, user_id long")
+    a = {r["event_id"]: r["user_id_pseudo"] for r in
+         redact.pseudonymize(df, ["user_id"], "s1").collect()}
+    assert a[1] == a[2] and a[1] != a[3]          # referential integrity
+    assert a[4] is None
+    assert len(a[1]) == 16 and all(c in "0123456789abcdef" for c in a[1])
+    b = {r["event_id"]: r["user_id_pseudo"] for r in
+         redact.pseudonymize(df, ["user_id"], "s2").collect()}
+    assert b[1] != a[1]                           # re-keying unlinks
+
+    out = redact.pseudonymize(df, ["user_id"], "s1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        redact.pseudonymize(df, [], "s")
+    with _pytest.raises(ValueError):
+        redact.pseudonymize(df, ["user_id"], "s", length=65)
