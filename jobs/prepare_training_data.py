@@ -13,6 +13,9 @@ operator; this file is the composition surface, not new logic:
     4. DECONTAM  drop docs sharing n-gram shingles with a benchmark corpus
     5. SPLIT     deterministic train/val/test (engine-exact integer hash)
     6. WRITE     per-split parquet + a JSON line of per-stage survivor counts
+    7. PACK      opt-in (--pack-capacity > 0): greedy-pack the training
+                 split into context windows (hash-sharded, key-order
+                 deterministic); writes <out>/packs
 
 Usage (local example):
 
@@ -62,6 +65,13 @@ def main() -> None:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=100_000)
     p.add_argument("--splits", default="train:0.98,val:0.01,test:0.01")
+    p.add_argument("--pack-capacity", type=int, default=0,
+                   help="7. opt-in: greedy-pack the FIRST split's documents "
+                        "into context windows of this many tokens "
+                        "(0 = stage disabled); writes <out>/packs")
+    p.add_argument("--pack-shards", type=int, default=64,
+                   help="hash shards for packing (determinism unit; each "
+                        "shard packs independently in doc-key order)")
     p.add_argument("--cpus", type=int, default=0)
     args = p.parse_args()
 
@@ -157,6 +167,24 @@ def main() -> None:
     split_counts = {r["split"]: r["n"] for r in
                     final.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
                     .collect()}
+    # 7. opt-in sequence packing of the training split: token counts ->
+    # hash shards -> greedy first-fit in key order (cefspark.packing).
+    # The pack assignment is a pure function of doc keys, so a resumed or
+    # re-sharded run re-derives the identical packs.
+    n_packs = None
+    if args.pack_capacity > 0:
+        from cefspark import packing
+
+        train = final.where(F.col("split") == names[0])
+        toks = packing.with_shard(
+            train.select("doc_id", textops.token_count(F.col("text"))),
+            args.pack_shards)
+        packed = packing.pack_greedy(toks, args.pack_capacity,
+                                     shards=args.pack_shards)
+        packed.write.mode("overwrite").parquet(os.path.join(out, "packs"))
+        n_packs = (spark.read.parquet(os.path.join(out, "packs"))
+                   .select("shard", "pack_id").distinct().count())
+
     # n_final = n_deduped - n_contaminated by construction (one row per
     # contaminated doc), so the drop count derives without re-running the
     # decontamination join
@@ -170,6 +198,7 @@ def main() -> None:
         "n_contaminated_dropped": n_contaminated,
         "n_final": sum(split_counts.values()),
         "splits": split_counts,
+        **({"n_packs": n_packs} if n_packs is not None else {}),
         "out": os.path.join(out, "corpus"),
         "wall_sec": round(time.time() - t0, 2),
     }))

@@ -660,7 +660,10 @@ def test_prepare_training_data_job_smoke(tmp_path):
          # exercise the opt-in boilerplate stage; at 0.5 no single-line
          # word-soup doc recurs in half the corpus, so counts are unchanged
          # while the stage's shuffles + Observation actually run
-         "--boilerplate-frac", "0.5"],
+         "--boilerplate-frac", "0.5",
+         # exercise the opt-in packing stage: capacity 96 over ~54-token
+         # docs -> mostly 1-2 docs per pack
+         "--pack-capacity", "96", "--pack-shards", "8"],
         capture_output=True, text=True, timeout=420, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
@@ -675,6 +678,20 @@ def test_prepare_training_data_job_smoke(tmp_path):
     assert tbl.num_rows == m["n_final"]
     texts = tbl.column("text").to_pylist()
     assert all("@" not in t or "<EMAIL>" in t or "a@b" in t for t in texts)
+    # packing stage: one pack row per train doc, pack totals within
+    # capacity except solo oversize docs, pack count coherent
+    import os as _os
+    packs = ds.dataset(_os.path.join(out, "packs")).to_table().to_pydict()
+    assert len(packs["doc_id"]) == m["splits"].get("train", 0)
+    assert m["n_packs"] >= 1
+    import collections
+    tot = collections.Counter()
+    for sh, pid, n in zip(packs["shard"], packs["pack_id"], packs["n_tokens"]):
+        tot[(sh, pid)] += n
+    for (sh, pid), n in tot.items():
+        solo = sum(1 for a, b in zip(packs["shard"], packs["pack_id"])
+                   if (a, b) == (sh, pid))
+        assert n <= 96 or solo == 1
 
 
 def test_grok_compile_and_parse(spark):
