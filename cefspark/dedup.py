@@ -477,3 +477,30 @@ def boiler_docs(spark, n: int) -> DataFrame:
         F.when(i % 3 == 0, F.lit("  Subscribe to our newsletter!  ")))
     return (spark.range(0, n, 1, min(16, max(1, n // 25)))
             .select(i.alias("doc_id"), text.alias("text")))
+
+
+def drop_near_dups(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_perm: int = 64,
+                   shingle_n: int = 3, bands: int = 16,
+                   threshold: float = 0.5,
+                   max_bucket_size: Optional[int] = None) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the one-call form of the
+    standard pipeline: MinHash+LSH candidate pairs → exact-Jaccard verify →
+    connected components → keep each cluster's MINIMUM-id representative,
+    pass every unclustered document through untouched.
+
+    Returns the surviving rows of ``df`` (all columns). Deterministic: the
+    representative choice is the component label itself (min reachable id),
+    a pure function of the pair graph — never of partitioning.
+
+    Scale shape: inherits minhash_dedup's single shingle-volume shuffle and
+    components' per-iteration edge-sized joins; the final filter is a LEFT
+    ANTI join against the loser set — O(clustered docs), which near-dup
+    practice makes a small fraction of the corpus. AQE broadcasts it while
+    it fits."""
+    pairs = minhash_dedup(df, text_col, id_col, num_perm, shingle_n,
+                          bands, threshold, max_bucket_size)
+    comp = components(pairs.select("a", "b"))
+    losers = comp.where(F.col("id") != F.col("comp")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

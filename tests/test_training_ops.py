@@ -1245,3 +1245,30 @@ def test_pseudonymize_referential_integrity_and_rekeying(spark):
         redact.pseudonymize(df, [], "s")
     with _pytest.raises(ValueError):
         redact.pseudonymize(df, ["user_id"], "s", length=65)
+
+
+def test_drop_near_dups_keeps_representatives(spark):
+    """One-call near-dup removal: each near-dup cluster keeps exactly its
+    min-id representative, distinct docs all survive, all columns ride
+    through, and the survivor set is partitioning-invariant."""
+    from cefspark import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before the sun rises fully")
+    v2 = base.replace("morning", "evening")
+    v3 = base.replace("quick", "swift")
+    other = ("completely unrelated text about database query planning and "
+             "shuffle partitioning strategies for large clusters today")
+    docs = spark.createDataFrame(
+        [(10, base, "a"), (11, v2, "b"), (12, v3, "c"),
+         (20, other, "d"), (21, other + " extended with more words", "e")],
+        "doc_id long, text string, tag string")
+    kept = dedup.drop_near_dups(docs, threshold=0.5)
+    rows = {r["doc_id"]: r["tag"] for r in kept.collect()}
+    assert 10 in rows and 11 not in rows and 12 not in rows
+    assert 20 in rows          # cluster 20/21 keeps its min id
+    assert rows[10] == "a"     # extra columns survive
+
+    again = {r["doc_id"] for r in
+             dedup.drop_near_dups(docs.repartition(7), threshold=0.5).collect()}
+    assert again == set(rows)
