@@ -102,7 +102,12 @@ def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
 def segment_word(word: str, ranks: dict[tuple[str, str], int],
                  end_of_word: Optional[str] = None) -> list[str]:
     """Segment ONE word with learned merges by the standard greedy
-    lowest-rank rule (equivalent to replaying the merge list in order)."""
+    lowest-rank rule — equivalent to replaying the merge list in order for
+    any list :func:`learn_bpe` can produce (hypothesis-pinned). The
+    equivalence is NOT universal: a hand-ordered list whose earlier merge
+    consumes a symbol only a LATER merge creates (e.g. ``[("dd","d"),
+    ("d","d")]``) diverges — but such a list is unlearnable, since a
+    merged symbol cannot pre-exist its own creating merge."""
     syms = list(word) + ([end_of_word] if end_of_word else [])
     while len(syms) > 1:
         best_rank, best_i = None, -1

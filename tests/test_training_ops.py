@@ -1272,3 +1272,73 @@ def test_drop_near_dups_keeps_representatives(spark):
     again = {r["doc_id"] for r in
              dedup.drop_near_dups(docs.repartition(7), threshold=0.5).collect()}
     assert again == set(rows)
+
+
+def test_percentile_approx_swap_holds_rank_error_bound(spark):
+    """The documented unbounded-group swap for value_percentiles: Spark's
+    percentile_approx returns an OBSERVED value whose rank error is within
+    the n/accuracy contract for every group — pinned so the swap is a
+    tested path, not a docstring promise."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    acc = 100
+    approx = {(r["event_type"], r["p"]): r["v"] for r in
+              ev.groupBy("event_type").agg(
+                  F.percentile_approx("value", 0.5, acc).alias("m"),
+                  F.percentile_approx("value", 0.95, acc).alias("h"))
+              .selectExpr("event_type",
+                          "stack(2, cast(0.5 as double), m, "
+                          "cast(0.95 as double), h) as (p, v)").collect()}
+    groups = {}
+    for r in ev.select("event_type", "value").collect():
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    for (et, p), v in approx.items():
+        vals = sorted(groups[et])
+        n = len(vals)
+        assert v in groups[et]                 # observed value, not interpolated
+        rank = vals.index(v)
+        assert abs(rank - p * (n - 1)) <= n / acc + 1, (et, p)
+
+
+def test_bpe_segmentation_properties_hypothesis():
+    """Property over merge lists LEARNED from random corpora (the only
+    lists the library ever produces — a hand-ordered list like
+    [("dd","d"), ("d","d")] is unlearnable since "dd" cannot pre-exist its
+    own creating merge, and greedy-vs-replay genuinely diverges on such
+    lists): greedy-rank segmentation (a) loses no characters and (b)
+    equals sequential merge-list replay, on arbitrary unseen words."""
+    from hypothesis import given, settings, strategies as st
+
+    from cefspark import bpe
+
+    alphabet = "abcd"
+    corpora = st.dictionaries(
+        st.text(alphabet=alphabet, min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=5), min_size=1, max_size=8)
+    words = st.text(alphabet=alphabet, min_size=0, max_size=14)
+
+    def learn(wc, k):
+        vocab = {tuple(w): c for w, c in wc.items()}
+        merges = []
+        for _ in range(k):
+            stats = bpe._pair_stats(vocab)
+            if not stats:
+                break
+            best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            vocab = {bpe._merge_word(s, best): n for s, n in vocab.items()}
+        return merges
+
+    @settings(max_examples=200, deadline=None)
+    @given(wc=corpora, k=st.integers(min_value=0, max_value=8), w=words)
+    def check(wc, k, w):
+        ms = learn(wc, k)
+        ranks = {m: i for i, m in enumerate(ms)}
+        segs = bpe.segment_word(w, ranks)
+        assert "".join(segs) == w
+        syms = tuple(w)
+        for m in ms:
+            syms = bpe._merge_word(syms, m)
+        if w:
+            assert segs == list(syms)
+
+    check()
