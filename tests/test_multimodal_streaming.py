@@ -1406,3 +1406,51 @@ def test_exactly_once_sink_idempotent_under_replay(spark, tmp_path):
     assert got3 == {r["event_id"] for r in events.where(
         F.col("event_id") % 4 <= 2).collect()}
     assert len(table._chain_manifest_paths()) == n_snaps + 1
+
+
+def _sine_wav(sr, n, freqs_amps, channels=1):
+    """Minimal PCM16 RIFF blob carrying a sum of sines (test-local)."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n) / sr
+    sig = sum(a * np.sin(2 * np.pi * f * t) for f, a in freqs_amps)
+    mono = np.clip(sig, -32767, 32767).astype("<i2")
+    frames = np.repeat(mono[:, None], channels, axis=1).reshape(-1)
+    data = frames.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * 2 * channels,
+                      2 * channels, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_spectral_features_closed_form(spark):
+    """FFT features over genuinely decoded samples: a sine laid exactly on
+    an FFT bin reports that frequency with no leakage, the centroid of a
+    pure tone equals the tone, a louder second tone wins dominance, and
+    stereo averages to mono."""
+    from cefspark import multimodal
+
+    sr, n = 8000, 2048                      # bin width 3.90625 Hz
+    pure = _sine_wav(sr, n, [(1000, 20000)])           # 1000 = bin 256 exactly
+    duo = _sine_wav(sr, n, [(500, 8000), (2000, 25000)])
+    stereo = _sine_wav(sr, n, [(1000, 20000)], channels=2)
+    df = spark.createDataFrame(
+        [("pure", bytearray(pure)), ("duo", bytearray(duo)),
+         ("stereo", bytearray(stereo))],
+        "asset_id string, payload binary")
+    out = {r["asset_id"]: r for r in
+           multimodal.audio_spectral_features(df).collect()}
+    assert abs(out["pure"]["dominant_hz"] - 1000) < 1e-9
+    assert abs(out["pure"]["centroid_hz"] - 1000) < 1.0   # leakage-free tone
+    assert abs(out["duo"]["dominant_hz"] - 2000) < 1e-9   # louder tone wins
+    assert 500 < out["duo"]["centroid_hz"] < 2000
+    assert abs(out["stereo"]["dominant_hz"] - 1000) < 1e-9
+    assert len(out["pure"]["bands"]) == multimodal.FEATURE_DIM
+    # band profile: the 1 kHz band of the pure tone carries the most power
+    # (1025 rfft bins array_split 16 -> chunk sizes [65, 64x15]; bin 256
+    # = 1 kHz falls in chunk 3: 193..256)
+    bands = out["pure"]["bands"]
+    assert max(range(len(bands)), key=lambda i: bands[i]) == 3
