@@ -1454,3 +1454,43 @@ def test_audio_spectral_features_closed_form(spark):
     # = 1 kHz falls in chunk 3: 193..256)
     bands = out["pure"]["bands"]
     assert max(range(len(bands)), key=lambda i: bands[i]) == 3
+
+
+def test_video_motion_features_closed_form(spark):
+    """Frame-motion over composited decode: uniform full-screen frames give
+    the exact index delta; a sub-rectangle frame only changes its own
+    region (disposal-none compositing); single-frame clips report 0."""
+    import struct
+
+    from cefspark import multimodal
+
+    def gif(frames):
+        """Hand-built GIF89a: frames = [(left, top, w, h, fill_index)]."""
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 4, 4, 0x80 | 0x10 | 0x01, 0, 0)
+        for i in range(4):
+            out += bytes((i, i, i))
+        for (left, top, w, h, fill) in frames:
+            out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+            lzw = multimodal._gif_lzw_encode([fill] * (w * h))
+            out.append(2)
+            for off in range(0, len(lzw), 255):
+                chunk = lzw[off:off + 255]
+                out.append(len(chunk))
+                out += chunk
+            out.append(0)
+        out.append(0x3B)
+        return bytes(out)
+
+    full_swap = gif([(0, 0, 4, 4, 1), (0, 0, 4, 4, 3)])   # |3-1| everywhere
+    subrect = gif([(0, 0, 4, 4, 2), (1, 1, 2, 2, 0)])     # 4 px change by 2
+    still = gif([(0, 0, 4, 4, 1)])
+    df = spark.createDataFrame(
+        [("swap", bytearray(full_swap)), ("sub", bytearray(subrect)),
+         ("still", bytearray(still))], "asset_id string, payload binary")
+    out = {r["asset_id"]: r for r in
+           multimodal.video_motion_features(df).collect()}
+    assert out["swap"]["motion"] == [2.0]
+    assert out["sub"]["motion"] == [2.0 * 4 / 16]         # 0.5 exactly
+    assert out["still"]["motion"] == [] and out["still"]["mean_motion"] == 0.0
+    assert out["swap"]["n_frames"] == 2
