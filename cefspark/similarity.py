@@ -383,3 +383,49 @@ def quantized_topk(df: DataFrame, query: Sequence[float], k: int = 5,
                       .alias("cos"))
             .orderBy(F.desc("cos"), F.col(id_col))
             .limit(k))
+
+
+def hash_embed(df: DataFrame, dim: int = 64, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic feature-hashing embeddings (the hashing trick): each
+    whitespace token lands in bucket ``xxhash64(token) mod dim`` with a
+    second independent hash choosing its sign (the standard variance
+    reduction — collisions cancel instead of compounding), then the
+    per-document bucket counts L2-normalize into a dense
+    ``array<double>`` ready for every ANN operator in this module
+    (cosine/LSH/IVF). No model, no Python: a pure function of the text, so
+    embeddings are reproducible across runs/engines/partitionings and a
+    query string embeds identically at search time.
+
+    Returns ``(id_col, embedding)``; empty/blank documents embed as the
+    zero vector. Scale shape: explode map-side, ONE (doc, bucket) shuffle
+    with map-side combine, then the per-doc regroup assembles the dense
+    array via map_from_entries + transform — whole-stage codegen, no
+    UDF."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+    toks = toks.where(F.length("tok") > 0)
+    b = F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("b")
+    sign = F.when(F.pmod(F.xxhash64("tok", F.lit(1)), F.lit(2)) == 0,
+                  F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s")
+    counts = (toks.select(id_col, b, sign)
+              .groupBy(id_col, "b").agg(F.sum("s").alias("v")))
+    dense = (counts.groupBy(id_col)
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("b", "v"))).alias("m")))
+    arr = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                      lambda i: F.coalesce(
+                          F.element_at(F.col("m"), i), F.lit(0.0)))
+    nrm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(nrm == 0.0, arr).otherwise(
+        F.transform(arr, lambda x: x / nrm))
+    embedded = dense.select(F.col(id_col), unit.alias("embedding"))
+    # empty docs produce no token rows — restore them as zero vectors so
+    # the output has one row per input document
+    zeros = (df.select(id_col).join(dense.select(id_col), id_col, "left_anti")
+             .withColumn("embedding",
+                         F.array_repeat(F.lit(0.0), dim)))
+    return embedded.unionByName(zeros)

@@ -1320,3 +1320,38 @@ def test_useragent_ordering_and_nulls(spark):
     plan = ua.parse_user_agent(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_build_rag_index_job_smoke_and_retrieval(tmp_path, spark):
+    """jobs/build_rag_index.py in a subprocess: chunk -> hash-embed ->
+    IVF index -> query; the planted on-topic document's chunk is the top
+    hit and the index layout carries the list_id partitions."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(30)]
+        + [(99, "catalyst shuffle optimizer partition skew salting "
+                "broadcast join exchange codegen " * 4)],
+        "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "rag")
+
+    r = subprocess.run(
+        [sys.executable, "jobs/build_rag_index.py", "--cpus", "4",
+         "--input", src, "--out", out, "--chunk-size", "24",
+         "--chunk-stride", "16", "--dim", "64", "--n-lists", "4",
+         "--query", "optimizer shuffle skew broadcast"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_docs"] == 31 and m["n_chunks"] >= 31
+    assert m["hits"], "query returned no hits"
+    assert m["hits"][0]["doc_id"] == 99        # on-topic doc wins
+    # physical layout: probing == partition pruning on list_id dirs
+    lists_dir = os.path.join(out, "lists")
+    assert any(d.startswith("list_id=") for d in os.listdir(lists_dir))
+    assert os.path.exists(os.path.join(out, "centroids.json"))

@@ -1342,3 +1342,46 @@ def test_bpe_segmentation_properties_hypothesis():
             assert segs == list(syms)
 
     check()
+
+
+def test_hash_embed_determinism_and_retrieval(spark):
+    """Feature-hashing embeddings: unit-norm dense vectors, identical
+    across partitionings, a repeated-content doc embeds identically, empty
+    docs embed as zero vectors, and cosine retrieval finds the on-topic
+    document end-to-end."""
+    import math
+
+    from cefspark import similarity
+
+    docs = spark.createDataFrame(
+        [(1, "database shuffle partition join optimizer spark catalyst"),
+         (2, "tomato garden watering sunlight soil compost seedling"),
+         (3, "database shuffle partition join optimizer spark catalyst"),
+         (4, "")],
+        "doc_id long, text string")
+    emb = {r["doc_id"]: r["embedding"]
+           for r in similarity.hash_embed(docs, dim=32).collect()}
+    assert len(emb) == 4 and len(emb[1]) == 32
+    assert emb[1] == emb[3]                       # pure function of text
+    assert emb[4] == [0.0] * 32
+    assert abs(math.sqrt(sum(x * x for x in emb[1])) - 1.0) < 1e-12
+    again = {r["doc_id"]: r["embedding"]
+             for r in similarity.hash_embed(docs.repartition(7),
+                                            dim=32).collect()}
+    assert again == emb
+
+    # retrieval: embed a query string through the same op, cosine top-1
+    q = spark.createDataFrame([(0, "spark shuffle join database")],
+                              "doc_id long, text string")
+    qv = similarity.hash_embed(q, dim=32).first()["embedding"]
+    vecs = similarity.hash_embed(docs.where("doc_id < 3"), dim=32) \
+        .withColumnRenamed("doc_id", "vec_id")
+    top = similarity.brute_force_topk(vecs, qv, k=1).first()
+    assert top["vec_id"] == 1 and top["cos"] > 0.3
+
+    plan = similarity.hash_embed(docs, dim=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.hash_embed(docs, dim=0)
