@@ -439,3 +439,28 @@ def conversation_stats_tws(decoded_stream: DataFrame) -> DataFrame:
     return (decoded_stream.groupBy("conv_id")
             .transformWithStateInPandas(Proc(), CONV_STATS_SCHEMA,
                                         "Update", "None"))
+
+
+def run_counts_to_table(spark: SparkSession, input_path: str, table,
+                        checkpoint: str, query_name: str = "counts_to_table",
+                        config: Optional[DecodeConfig] = None,
+                        watermark: str = "10 minutes",
+                        window: str = "1 hour",
+                        max_files_per_trigger: int = 16):
+    """The COMPLETE streaming production loop in one call: transcript
+    stream → decode → enrich → route → watermarked windowed per-sink
+    counts (APPEND mode: a window emits exactly once, when the watermark
+    closes it) → exactly-once ManifestTable commit per micro-batch.
+
+    Append mode + the batch-token ledger compose into an end-to-end
+    exactly-once COUNTS table: every closed (sink, window) row is
+    committed exactly once across any number of restarts — the streaming
+    twin of jobs/run_pipeline.py's batch counts commit, resumable from
+    ``checkpoint``. Windows still open at drain end (those newer than
+    ``max(ts) - watermark``) are NOT emitted — they commit when later data
+    (or a later run) closes them; consumers read the table as
+    append-only history."""
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    counts = windowed_sink_counts(routed_stream(stream, spark, config),
+                                  watermark, window)
+    return exactly_once_sink(counts, table, query_name, checkpoint)

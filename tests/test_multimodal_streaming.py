@@ -1494,3 +1494,86 @@ def test_video_motion_features_closed_form(spark):
     assert out["sub"]["motion"] == [2.0 * 4 / 16]         # 0.5 exactly
     assert out["still"]["motion"] == [] and out["still"]["mean_motion"] == 0.0
     assert out["swap"]["n_frames"] == 2
+
+
+def test_run_counts_to_table_streaming_loop(spark, tmp_path):
+    """The full streaming production loop: decode -> route -> watermarked
+    windowed counts (append) -> exactly-once ManifestTable. Closed windows
+    commit exactly once with complete counts; a resumed run over later
+    data commits only newly-closed windows.
+
+    Append-mode mechanics make the expected set deterministic: after the
+    last data batch an availableNow drain runs a final no-data batch with
+    the advanced watermark, so each phase commits exactly the windows with
+    window_end + watermark_delay <= max(ts drained so far). The fixture
+    spans 1200 s, so the gate's production 1h/10min defaults never close
+    a window in-test; we shrink to 2min windows / 1min watermark (the
+    function's parameters exist precisely for this) and pick split points
+    where end + delay == cutoff ties are impossible."""
+    import datetime
+    import time as _time
+
+    from cefspark import fixtures, pipeline
+    from cefspark.storage import ManifestTable
+    from cefspark.udfs import decode_dataframe
+
+    t = fixtures.transcripts_df(spark, 1200).cache()
+    all_ts = sorted(r["ts"] for r in t.select("ts").collect())
+    med = all_ts[len(all_ts) // 2]
+    early_ts = [x for x in all_ts if x < med]
+    e1 = early_ts[len(early_ts) // 3]
+    e2 = early_ts[2 * len(early_ts) // 3]
+    late_ts = [x for x in all_ts if x >= med]
+    lm = late_ts[len(late_ts) // 2]
+
+    src = str(tmp_path / "ctt_in")
+    table = ManifestTable(str(tmp_path / "ctt_table"))
+    ckpt = str(tmp_path / "ctt_ckpt")
+
+    def write_slice(lo, hi, mode):
+        (t.where((F.col("ts") >= F.lit(lo)) if lo else F.lit(True))
+         .where(F.col("ts") < F.lit(hi))
+         .coalesce(1).write.mode(mode).parquet(src))
+        _time.sleep(1.1)   # distinct mtimes: files must drain in time order
+
+    write_slice(None, e1, "overwrite")
+    write_slice(e1, e2, "append")
+    write_slice(e2, med, "append")
+
+    def drain():
+        q = streaming.run_counts_to_table(spark, src, table, ckpt,
+                                          watermark="1 minute",
+                                          window="2 minutes",
+                                          max_files_per_trigger=1)
+        q.awaitTermination(240)
+
+    def expected_closed(cutoff):
+        routed = pipeline.route(pipeline.enrich(decode_dataframe(t), spark))
+        counts = (routed.groupBy("sink_id",
+                                 F.window("ts", "2 minutes").alias("w"))
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select("sink_id", F.col("w.start").alias("ws"),
+                          F.col("w.end").alias("we"), "n"))
+        return {(r["sink_id"], r["ws"]): r["n"] for r in counts.collect()
+                if r["we"] + datetime.timedelta(minutes=1) <= cutoff}
+
+    drain()
+    got1 = {(r["sink_id"], r["window_start"]): r["n_events"]
+            for r in table.read_union(spark).collect()}
+    cutoff1 = max(x for x in early_ts)             # max ts drained, phase 1
+    assert got1 == expected_closed(cutoff1)
+    assert got1, "no closed windows in phase 1"
+
+    # later data arrives as two more time-ordered files; the resumed run
+    # commits ONLY the newly-closed windows, with complete counts
+    write_slice(med, lm, "append")
+    (t.where(F.col("ts") >= F.lit(lm)).coalesce(1)
+     .write.mode("append").parquet(src))
+    drain()
+    rows = table.read_union(spark).collect()
+    got2 = {(r["sink_id"], r["window_start"]): r["n_events"] for r in rows}
+    assert len(rows) == len(got2), "a (sink, window) committed twice"
+    cutoff2 = max(all_ts)                          # max ts drained, phase 2
+    assert got2 == expected_closed(cutoff2)
+    assert len(got2) > len(got1)
+    t.unpersist()
