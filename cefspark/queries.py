@@ -969,8 +969,37 @@ def q_cef_raw_lines(spark, sf_dir):
         F.concat(F.coalesce(F.col("zone"), F.lit("-")), F.lit("/"),
                  (F.col("dport") * 2).cast("string")).alias("s2"))
 
+    # multiline variant (round 6): the logstash multiline codec's event
+    # assembly — every event renders as a head line plus event_id%3 indented
+    # continuation lines across 8 source shards; assemble_multiline must
+    # re-group them by the '^\s'-joins-previous rule and reassemble the text
+    # in line order. The oracle restates the pre-split closed form — it
+    # never runs the window/boundary logic.
+    from . import multiline as _ml
+
+    head = F.concat(F.lit("E"), eid.cast("string"),
+                    F.lit(" start op"), (eid % 10).cast("string"))
+
+    def cont(j):
+        return F.concat(F.lit(f"  at frame{j}-"), (eid % 7).cast("string"))
+
+    ml_lines = (_events(spark, sf_dir)
+                .select("event_id",
+                        F.posexplode(F.slice(
+                            F.array(head, cont(0), cont(1)),
+                            F.lit(1), (eid % 3 + 1).cast("int"))))
+                .select((F.col("event_id") % 8).alias("source"),
+                        (F.col("event_id") * 4 + F.col("pos")).alias("line_no"),
+                        F.col("col").alias("line")))
+    asm = _ml.assemble_multiline(ml_lines, r"^\s")
+    mlv = asm.select(
+        F.lit("multiline").alias("variant"),
+        (F.col("first_line_no") / 4).cast("long").alias("event_id"),
+        F.col("n_lines").cast("string").alias("s1"),
+        F.col("text").alias("s2"))
+
     return (cef.unionByName(gk).unionByName(ga)
-            .unionByName(di).unionByName(kvv))
+            .unionByName(di).unionByName(kvv).unionByName(mlv))
 
 
 O_CEF_RAW_LINES = """
@@ -1015,6 +1044,18 @@ SELECT 'kv' AS variant, event_id,
        (CASE WHEN event_id % 7 = 0 THEN '-'
              ELSE 'z' || CAST(event_id % 4 AS VARCHAR) END)
        || '/' || CAST((event_id % 65536) * 2 AS VARCHAR) AS s2
+FROM events
+UNION ALL
+SELECT 'multiline' AS variant, event_id,
+       CAST(1 + event_id % 3 AS VARCHAR) AS s1,
+       'E' || CAST(event_id AS VARCHAR) || ' start op'
+       || CAST(event_id % 10 AS VARCHAR)
+       || CASE WHEN event_id % 3 >= 1
+               THEN chr(10) || '  at frame0-' || CAST(event_id % 7 AS VARCHAR)
+               ELSE '' END
+       || CASE WHEN event_id % 3 >= 2
+               THEN chr(10) || '  at frame1-' || CAST(event_id % 7 AS VARCHAR)
+               ELSE '' END AS s2
 FROM events
 """
 

@@ -119,3 +119,120 @@ def test_jsonl_and_csv_transcript_sources_roundtrip(spark, tmp_path):
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert gotc == ref_counts  # CSV quoting survives commas/quotes in payloads
     jdf.unpersist()
+
+
+# ==============================================================================
+# Multiline event assembly (logstash multiline codec semantics)
+# ==============================================================================
+
+def _lines_df(spark, rows):
+    return spark.createDataFrame(
+        [(s, i, t) for (s, i, t) in rows], "source string, line_no long, line string")
+
+
+def test_multiline_previous_stack_traces(spark):
+    """what=previous, pattern='^\\s': indented lines join the previous
+    event — the canonical stack-trace shape, hand-computed."""
+    from cefspark.multiline import assemble_multiline
+
+    rows = [
+        ("a", 10, "ERROR boom"),
+        ("a", 11, "  at Foo.bar"),
+        ("a", 12, "\tat Baz.qux"),
+        ("a", 13, "INFO fine"),
+        ("a", 14, "WARN hmm"),
+        ("a", 15, "  detail"),
+        ("b", 1, "  orphan continuation"),   # source starts mid-event
+        ("b", 2, "OK line"),
+    ]
+    out = assemble_multiline(_lines_df(spark, rows), r"^\s")
+    got = {(r["source"], r["first_line_no"]): (r["n_lines"], r["text"])
+           for r in out.collect()}
+    assert got == {
+        ("a", 10): (3, "ERROR boom\n  at Foo.bar\n\tat Baz.qux"),
+        ("a", 13): (1, "INFO fine"),
+        ("a", 14): (2, "WARN hmm\n  detail"),
+        ("b", 1): (1, "  orphan continuation"),
+        ("b", 2): (1, "OK line"),
+    }
+
+
+def test_multiline_next_backslash_continuation(spark):
+    """what=next, pattern='\\\\$': a line ending in backslash joins the
+    FOLLOWING line's event."""
+    from cefspark.multiline import assemble_multiline
+
+    rows = [
+        ("a", 1, "cmd one \\"),
+        ("a", 2, "--flag \\"),
+        ("a", 3, "tail"),
+        ("a", 4, "solo"),
+        ("a", 5, "dangling \\"),   # joins forward but no successor: own event
+    ]
+    out = assemble_multiline(_lines_df(spark, rows), r"\\$", what="next")
+    got = {r["first_line_no"]: r["text"] for r in out.collect()}
+    assert got == {1: "cmd one \\\n--flag \\\ntail", 4: "solo",
+                   5: "dangling \\"}
+
+
+def test_multiline_negate_timestamp_starts(spark):
+    """negate=true + what=previous: lines NOT matching the start pattern
+    join backward — the 'every event starts with a timestamp' shape."""
+    from cefspark.multiline import assemble_multiline
+
+    rows = [
+        ("a", 1, "2026-01-01 ok"),
+        ("a", 2, "continuation"),
+        ("a", 3, "more"),
+        ("a", 4, "2026-01-02 next"),
+    ]
+    out = assemble_multiline(_lines_df(spark, rows), r"^\d{4}-", negate=True)
+    got = {r["first_line_no"]: (r["n_lines"], r["text"]) for r in out.collect()}
+    assert got == {1: (3, "2026-01-01 ok\ncontinuation\nmore"),
+                   4: (1, "2026-01-02 next")}
+
+
+def test_multiline_max_lines_chunking_and_tag(spark):
+    """max_lines: an oversized logical event flushes in max_lines-sized
+    chunks; full chunks are tagged, the final partial chunk is not."""
+    from cefspark.multiline import MAX_LINES_TAG, assemble_multiline
+
+    rows = [("a", 0, "START")] + [("a", i, f"  c{i}") for i in range(1, 8)] \
+        + [("a", 100, "NEXT")]
+    out = assemble_multiline(_lines_df(spark, rows), r"^\s", max_lines=3)
+    got = sorted((r["first_line_no"], r["n_lines"], tuple(r["tags"]), r["text"])
+                 for r in out.collect())
+    assert got == [
+        (0, 3, (MAX_LINES_TAG,), "START\n  c1\n  c2"),
+        (3, 3, (MAX_LINES_TAG,), "  c3\n  c4\n  c5"),
+        (6, 2, (), "  c6\n  c7"),
+        (100, 1, (), "NEXT"),
+    ]
+
+
+def test_multiline_framing_composition(spark, tmp_path):
+    """End-to-end: raw byte stream -> read_raw_lines framing ->
+    assemble_multiline -> decode_dataframe. Continuation lines carry the
+    extension block of a CEF event split across physical lines."""
+    from cefspark.multiline import assemble_multiline
+
+    payload = ("CEF:0|v|p|1|sig|name|5|src=10.0.0.1\n"
+               " spt=1232\n"
+               "CEF:0|v|p|1|sig|name|3|src=10.0.0.2\n"
+               "garbage standalone\n")
+    p = tmp_path / "stream.log"
+    p.write_text(payload)
+    lines = sources.read_raw_lines(spark, str(p)).select(
+        F.lit("s").alias("source"),
+        F.monotonically_increasing_id().alias("line_no"),
+        F.col("text").alias("line"))
+    # single input file => one partition => monotonic ids follow file order
+    events = assemble_multiline(lines, r"^\s", sep=" ")
+    dec = decode_dataframe(events)
+    got = {r["first_line_no"]: (r["severity"], r["extensions"], r["error"] is None)
+           for r in dec.select("first_line_no", "severity", "extensions",
+                               "error").collect()}
+    assert got[0] == ("5", {"sourceAddress": "10.0.0.1", "sourcePort": "1232"},
+                      True)
+    assert got[2] == ("3", {"sourceAddress": "10.0.0.2"}, True)
+    assert got[3][2] is False  # garbage still fails downstream, per-event
