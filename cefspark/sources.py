@@ -149,3 +149,21 @@ def read_transcripts_csv(spark: SparkSession, path: str, header: bool = True,
     if permissive_col:
         reader = reader.option("columnNameOfCorruptRecord", permissive_col)
     return reader.csv(path)
+
+
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Transcript table from ORC files with the pinned schema enforced at
+    scan time. ORC is the other columnar interchange format large estates
+    actually hold (Hive/Trino warehouses); Spark's native vectorized ORC
+    reader gives the same pushdown/pruning behavior as parquet, so the
+    engine accepts it as a first-class source. The explicit schema makes
+    column order/extra columns irrelevant and missing columns an analysis
+    error instead of silent nulls downstream."""
+    return spark.read.schema(TRANSCRIPT_SCHEMA_DDL).orc(path)
+
+
+def write_transcripts_orc(df: DataFrame, path: str, mode: str = "overwrite",
+                          compression: str = "zstd") -> None:
+    """ORC sink for interchange with Hive/Trino consumers. zstd default —
+    ORC's best size/speed trade at rest (matches the parquet sinks)."""
+    df.write.mode(mode).option("compression", compression).orc(path)

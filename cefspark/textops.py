@@ -12,6 +12,7 @@ aggregate and say so in their own docstrings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -312,3 +313,39 @@ def chunk_windows(df: DataFrame, size: int, stride: int,
         .cast("long").alias("chunk_len"),
         F.array_join(F.slice(F.col("_toks"), F.col("start") + 1, size), " ")
         .alias("chunk_text"))
+
+
+def compressed_size(col: Column, level: int = 6) -> Column:
+    """zlib-compressed byte length of a text column (Arrow-batched pandas
+    UDF — compression is genuinely non-JVM work, the one place Python
+    belongs; per-row cost is O(bytes) with no shuffle)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None
+                     else len(zlib.compress(t.encode("utf-8"), level)))
+
+    return _zlen(col)
+
+
+def compression_metrics(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Compression-ratio quality signal (the RefinedWeb/CCNet-family
+    repetition detector): highly repetitive boilerplate compresses far
+    below natural prose, so ``compression_ratio`` = raw bytes / deflated
+    bytes separates template spam from real text with one scan.
+
+    Deterministic for a fixed zlib level (the test pins exact equality
+    against local ``zlib.compress``); NOT oracle-gated — DuckDB has no
+    deflate, and restating deflate closed-form is the codec's job, not a
+    SQL oracle's."""
+    raw = F.octet_length(F.col(text_col))
+    z = compressed_size(F.col(text_col), level)
+    return df.select(
+        F.col(id_col),
+        raw.alias("byte_len"),
+        z.alias("zlib_len"),
+        (raw.cast("double") / z).alias("compression_ratio"))

@@ -1577,3 +1577,35 @@ def test_run_counts_to_table_streaming_loop(spark, tmp_path):
     assert got2 == expected_closed(cutoff2)
     assert len(got2) > len(got1)
     t.unpersist()
+
+
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
+    """Streaming exact dedup over an at-least-once file source: the input
+    is delivered twice (full re-send in a later file, plus intra-file
+    duplication) and dedup_stream must emit each (conv_id, turn_idx)
+    exactly once — equal to batch distinct — with watermark-bounded state."""
+    import time as _time
+
+    from cefspark import fixtures
+
+    t = fixtures.transcripts_df(spark, 600).cache()
+    src = str(tmp_path / "dd_in")
+    # first delivery duplicates every row in-file; second file re-sends all
+    t.unionByName(t).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    t.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(streaming.TRANSCRIPT_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # fixture spans 600 s; a 30-minute delay covers the whole replay window
+    deduped = streaming.dedup_stream(stream, ["conv_id", "turn_idx"],
+                                     delay="30 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    got = spark.sql("SELECT conv_id, turn_idx FROM dd_out").collect()
+    assert len(got) == 600, "each key must be emitted exactly once"
+    assert {(r["conv_id"], r["turn_idx"]) for r in got} == \
+        {(r["conv_id"], r["turn_idx"]) for r in t.collect()}
+    t.unpersist()

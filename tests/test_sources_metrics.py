@@ -236,3 +236,25 @@ def test_multiline_framing_composition(spark, tmp_path):
                       True)
     assert got[2] == ("3", {"sourceAddress": "10.0.0.2"}, True)
     assert got[3][2] is False  # garbage still fails downstream, per-event
+
+
+def test_orc_source_sink_roundtrip(spark, tmp_path):
+    """ORC interchange: write_transcripts_orc -> read_transcripts_orc is
+    lossless (schema pinned, zstd at rest), and a reordered/extra-column
+    ORC file still reads back in the pinned shape."""
+    t = fixtures.transcripts_df(spark, 300)
+    p = str(tmp_path / "orc")
+    sources.write_transcripts_orc(t, p)
+    back = sources.read_transcripts_orc(spark, p)
+    assert back.schema == t.schema
+    key = ["conv_id", "turn_idx"]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, t.collect()))
+
+    # reordered columns + an extra column: explicit schema projects by name
+    p2 = str(tmp_path / "orc2")
+    (t.select("ts", "text", F.lit("x").alias("extra"), "tool", "role",
+              "turn_idx", "conv_id").write.orc(p2))
+    back2 = sources.read_transcripts_orc(spark, p2)
+    assert back2.columns == t.columns
+    assert back2.count() == 300
+    assert back2.where(F.col("conv_id").isNull()).count() == 0

@@ -1385,3 +1385,29 @@ def test_hash_embed_determinism_and_retrieval(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         similarity.hash_embed(docs, dim=0)
+
+
+def test_compression_metrics_exact_and_discriminative(spark):
+    """zlib_len matches local zlib.compress byte-for-byte; repetitive
+    boilerplate shows a far higher compression ratio than high-entropy
+    text; nulls stay null."""
+    import random
+    import zlib
+
+    from cefspark import textops
+
+    rnd = random.Random(7)
+    noisy = "".join(chr(rnd.randint(33, 126)) for _ in range(4000))
+    rep = "click here to subscribe now! " * 140
+    rows = [("rep", rep), ("noisy", noisy), ("empty", ""), ("none", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           textops.compression_metrics(df).collect()}
+
+    for key, text in [("rep", rep), ("noisy", noisy), ("empty", "")]:
+        assert got[key]["zlib_len"] == len(zlib.compress(text.encode(), 6))
+        assert got[key]["byte_len"] == len(text.encode())
+    assert got["rep"]["compression_ratio"] > 20
+    assert got["noisy"]["compression_ratio"] < 1.2
+    assert got["none"]["zlib_len"] is None
+    assert got["none"]["compression_ratio"] is None
