@@ -787,9 +787,33 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     w.format("parquet").saveAsTable(table)
 
 
+def write_range_sorted(df: DataFrame, path: str, sort_cols: list[str],
+                       n_files: int = 32, mode: str = "overwrite") -> None:
+    """Persist ``df`` as parquet in GLOBAL RANGE layout on ``sort_cols``:
+    ``repartitionByRange`` gives each output file a disjoint key range and
+    ``sortWithinPartitions`` orders rows inside it, so every file's (and
+    row group's) min/max footer stats form non-overlapping intervals. A
+    range predicate on the sort key then skips all but the touched files
+    at scan time via parquet stats pushdown — the poor-man's Z-order, and
+    the single highest-leverage at-rest layout for time-keyed 100-TB
+    tables (every ``ts BETWEEN`` query reads O(selectivity) bytes instead
+    of O(table)).
+
+    Cost: one range-exchange (samples the key distribution, so skewed
+    keys still split evenly) + a per-partition sort. Pick ``n_files`` so
+    files land near the FS block size at the target scale.
+    ``test_plans.py`` pins footer-disjointness via pyarrow and the pushed
+    filter on the read side."""
+    (df.repartitionByRange(n_files, *sort_cols)
+     .sortWithinPartitions(*sort_cols)
+     .write.mode(mode).parquet(path))
+
+
 def incremental_rollup(spark: SparkSession, source: "ManifestTable",
                        rollup: "ManifestTable", group_cols: list[str],
                        count_col: str = "n_events",
+                       distinct_col: Optional[str] = None,
+                       sketch_lgk: int = 12,
                        lock_timeout: float = 30.0) -> dict:
     """Incrementally maintain a materialized COUNT aggregate over a
     snapshot chain — the warehouse pattern that keeps a 100-TB fact
@@ -801,15 +825,21 @@ def incremental_rollup(spark: SparkSession, source: "ManifestTable",
 
     Counts are decomposable (sum of partial sums), so
     ``rollup == full recompute`` holds exactly after any interleaving of
-    appends and maintenance runs (pytest-pinned). The same shape extends
-    to any commutative-monoid aggregate (sum/min/max/HLL sketches);
-    non-decomposable aggregates (exact medians) need the raw scan and are
-    deliberately out of scope.
+    appends and maintenance runs (pytest-pinned). ``distinct_col``
+    demonstrates the commutative-monoid extension the same shape buys:
+    the rollup then also carries a Datasketches HLL sketch column
+    ``<distinct_col>_hll`` (merged with ``hll_union_agg`` — sketch union
+    is the monoid op, so incremental == full recompute by algebra, and
+    per-group approx-distinct stays fresh without rescanning history;
+    read the estimate with ``F.hll_sketch_estimate``). Non-decomposable
+    aggregates (exact medians) need the raw scan and are deliberately out
+    of scope.
 
     Returns ``{"n_new_snapshots", "n_groups", "snapshot_id"}`` (scalars
     only). Idempotent: a run with no new snapshots commits nothing."""
     from pyspark.sql import functions as F
 
+    sk_col = f"{distinct_col}_hll" if distinct_col else None
     done = {t for t in rollup.consumed_inputs()
             if t.startswith("snapshot://")}
     chain: list[Snapshot] = []
@@ -824,13 +854,19 @@ def incremental_rollup(spark: SparkSession, source: "ManifestTable",
                 "snapshot_id": rollup.latest_snapshot_id()}
 
     delta = _read_snapshot_dirs(spark, [s.data_dir for s in chain])
-    agg = (delta.groupBy(*group_cols)
-           .agg(F.count(F.lit(1)).alias(count_col)))
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    if distinct_col:
+        aggs.append(F.hll_sketch_agg(distinct_col, F.lit(sketch_lgk))
+                    .alias(sk_col))
+    agg = delta.groupBy(*group_cols).agg(*aggs)
     prev = rollup.read_union(spark)
     if prev is not None:
-        agg = (agg.unionByName(prev.select(*group_cols, count_col))
-               .groupBy(*group_cols)
-               .agg(F.sum(count_col).cast("long").alias(count_col)))
+        carry = [count_col] + ([sk_col] if distinct_col else [])
+        merges = [F.sum(count_col).cast("long").alias(count_col)]
+        if distinct_col:
+            merges.append(F.hll_union_agg(sk_col).alias(sk_col))
+        agg = (agg.unionByName(prev.select(*group_cols, *carry))
+               .groupBy(*group_cols).agg(*merges))
     snap = rollup.commit(
         agg, inputs=[f"snapshot://{s.snapshot_id}" for s in chain],
         lock_timeout=lock_timeout)

@@ -242,3 +242,50 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert j2.count() == 10_000
     for t in ("bkt_docs", "bkt_scores", "bkt_scores4"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_write_range_sorted_disjoint_footers_and_pushdown(spark, tmp_path):
+    """Range layout at rest: after write_range_sorted on event_id, every
+    parquet file's min/max footer interval is disjoint (so a range
+    predicate skips all but the touched files via stats pushdown), while
+    a hash-shuffled write of the same data overlaps everywhere. The read
+    plan must show the filter pushed to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cefspark.storage import write_range_sorted
+
+    df = spark.range(0, 20000).select(
+        F.xxhash64("id").alias("scramble"), F.col("id").alias("event_id"))
+    # scrambled order on input: the range exchange must impose the layout
+    df = df.repartition(8, "scramble").drop("scramble")
+
+    sorted_path = str(tmp_path / "sorted")
+    write_range_sorted(df, sorted_path, ["event_id"], n_files=8)
+    unsorted_path = str(tmp_path / "unsorted")
+    df.repartition(8).write.parquet(unsorted_path)
+
+    def ranges(path):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col = [md.row_group(g).column(0) for g in range(md.num_row_groups)]
+            assert all(c.path_in_schema == "event_id" for c in col)
+            out.append((min(c.statistics.min for c in col),
+                        max(c.statistics.max for c in col)))
+        return sorted(out)
+
+    rs = ranges(sorted_path)
+    assert len(rs) == 8
+    assert all(rs[i][1] < rs[i + 1][0] for i in range(len(rs) - 1)), \
+        f"file ranges must be disjoint: {rs}"
+    ru = ranges(unsorted_path)
+    overlaps = sum(1 for i in range(len(ru) - 1) if ru[i][1] >= ru[i + 1][0])
+    assert overlaps == len(ru) - 1, "hash layout should overlap everywhere"
+
+    back = spark.read.parquet(sorted_path).where(
+        (F.col("event_id") >= 5000) & (F.col("event_id") < 5100))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,5000)" in plan
+    assert back.count() == 100

@@ -1355,3 +1355,39 @@ def test_build_rag_index_job_smoke_and_retrieval(tmp_path, spark):
     lists_dir = os.path.join(out, "lists")
     assert any(d.startswith("list_id=") for d in os.listdir(lists_dir))
     assert os.path.exists(os.path.join(out, "centroids.json"))
+
+
+def test_incremental_rollup_hll_distinct_matches_exact(spark, tmp_path):
+    """The monoid extension: with distinct_col set, the rollup carries a
+    per-group HLL sketch merged across maintenance runs; at this
+    cardinality the sketch is in exact (sparse) range, so the estimate
+    must EQUAL the true per-group distinct after incremental folds."""
+    from cefspark.storage import ManifestTable, incremental_rollup
+
+    src = ManifestTable(str(tmp_path / "facts"))
+    roll = ManifestTable(str(tmp_path / "rollup"))
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 3).cast("string").alias("sink_id"),
+            # conv repeats across batches: distinct != count
+            F.concat(F.lit("c"), (F.col("id") % 40).cast("string"))
+            .alias("conv_id"))
+
+    src.commit(facts(0, 120))
+    src.commit(facts(120, 200))
+    incremental_rollup(spark, src, roll, ["sink_id"], distinct_col="conv_id")
+    src.commit(facts(200, 500))
+    incremental_rollup(spark, src, roll, ["sink_id"], distinct_col="conv_id")
+
+    got = {r["sink_id"]: (r["n_events"], r["approx"]) for r in
+           roll.read(spark).select(
+               "sink_id", "n_events",
+               F.round(F.hll_sketch_estimate("conv_id_hll")).cast("long")
+               .alias("approx")).collect()}
+    exact = {r["sink_id"]: (r["n"], r["d"]) for r in
+             src.read_union(spark).groupBy("sink_id")
+             .agg(F.count("*").alias("n"),
+                  F.count_distinct("conv_id").alias("d")).collect()}
+    assert got == exact and len(got) == 3
