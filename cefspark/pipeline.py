@@ -345,3 +345,61 @@ def throttle(df: DataFrame, key_cols: list[str], max_per_window: int,
             "throttle_kept", F.col("throttle_rank") <= max_per_window)
     return (out.where(F.col("throttle_rank") <= max_per_window)
             .drop("throttle_rank"))
+
+
+def elapsed(df: DataFrame, id_col: str, start_pred, end_pred,
+            ts_col: str = "ts", timeout_s: Optional[float] = None
+            ) -> DataFrame:
+    """Start/end event pairing — the logstash ``elapsed`` filter
+    re-expressed relationally: events sharing ``id_col`` are paired as
+    (first start, first end at-or-after it) and the pair's duration
+    reported.
+
+    Returns one row per id that has at least one start or end event:
+    ``(id_col, start_ts, end_ts, elapsed_ms, status)`` with status
+
+    - ``matched``: both found, within ``timeout_s`` when given;
+    - ``end_without_start``: end events but no start (``end_ts`` = first
+      end);
+    - ``expired``: a start whose end never came, or came later than
+      ``timeout_s`` (``elapsed_ms`` still reported when an end exists —
+      batch has the hindsight the streaming filter lacks, and says so);
+    - ``open``: start with no end and no timeout configured.
+
+    Batch simplifications vs the streaming filter, by contract: one pair
+    per id (ids are unique per transaction, as the filter requires), and
+    end events strictly before the first start are ignored when a start
+    exists.
+
+    Shape: filter to tagged rows → per-id min-start window → one hash
+    aggregation. The window and the groupBy share the ``id_col``
+    exchange (AQE reuses it), so the operator costs ONE shuffle keyed by
+    the transaction id — no self-join, no pair explosion, skew-free for
+    unique transaction ids."""
+    from pyspark.sql.window import Window
+
+    ts = F.col(ts_col)
+    w = Window.partitionBy(id_col)
+    x = (df.where(start_pred | end_pred)
+         .withColumn("_s", F.min(F.when(start_pred, ts)).over(w)))
+    agg = x.groupBy(id_col).agg(
+        F.min("_s").alias("start_ts"),
+        F.min(F.when(end_pred & (ts >= F.col("_s")), ts)).alias("end_ts"),
+        F.min(F.when(end_pred, ts)).alias("_end_any"))
+    # cast: events tables carry TIMESTAMP_NTZ; the difference is tz-invariant
+    el = (F.unix_millis(F.col("end_ts").cast("timestamp"))
+          - F.unix_millis(F.col("start_ts").cast("timestamp")))
+    status = (
+        F.when(F.col("start_ts").isNull(), F.lit("end_without_start"))
+        .when(F.col("end_ts").isNull(),
+              F.lit("expired" if timeout_s is not None else "open"))
+        .otherwise(F.when(el > int(timeout_s * 1000), F.lit("expired"))
+                   .otherwise(F.lit("matched"))
+                   if timeout_s is not None else F.lit("matched")))
+    return agg.select(
+        id_col,
+        "start_ts",
+        F.when(F.col("start_ts").isNull(), F.col("_end_any"))
+        .otherwise(F.col("end_ts")).alias("end_ts"),
+        el.cast("long").alias("elapsed_ms"),
+        status.alias("status"))

@@ -1995,7 +1995,15 @@ def q_event_sessions(spark, sf_dir):
       mark_only) — val is the deterministic in-bucket rank for kept
       events (cap 3, earliest by (ts, event_id) win) and 0 for throttled
       ones; the oracle replays the row_number-over-(user, hour-bucket)
-      rule verbatim."""
+      rule verbatim.
+    - ``elapsed``: start/end transaction pairing (pipeline.elapsed, the
+      logstash elapsed filter) over a synthesized pair stream — every
+      event spawns a start (suppressed on the %11 residue) and an end
+      ``event_id%13+1`` minutes later (suppressed on the %5 residue);
+      with a 10-minute timeout, val = elapsed ms for matched pairs, -1
+      for end-without-start, -2 for expired. The oracle restates the
+      residue arithmetic closed-form — it never pairs anything; ids with
+      neither row are absent from both sides."""
     from pyspark.sql.window import Window
 
     from .asof import asof_join, interval_join
@@ -2041,7 +2049,25 @@ def q_event_sessions(spark, sf_dir):
         "event_id", F.lit("throttle").alias("variant"),
         F.when(F.col("throttle_kept"), F.col("throttle_rank"))
         .otherwise(F.lit(0)).cast("long").alias("val"))
-    return sess.unionByName(asof).unionByName(rng).unionByName(thr)
+    starts = ev.where(F.col("event_id") % 11 != 0).select(
+        F.col("event_id").alias("pair_id"), F.lit("S").alias("kind"),
+        F.col("ts"))
+    ends = ev.where(F.col("event_id") % 5 != 0).select(
+        F.col("event_id").alias("pair_id"), F.lit("E").alias("kind"),
+        (F.col("ts") + F.expr(
+            "make_dt_interval(0, 0, CAST(event_id % 13 + 1 AS INT), 0)"))
+        .alias("ts"))
+    pairs = pipeline.elapsed(starts.unionByName(ends), "pair_id",
+                             F.col("kind") == "S", F.col("kind") == "E",
+                             timeout_s=600)
+    elv = pairs.select(
+        F.col("pair_id").alias("event_id"), F.lit("elapsed").alias("variant"),
+        F.when(F.col("status") == "matched", F.col("elapsed_ms"))
+        .when(F.col("status") == "end_without_start", F.lit(-1))
+        .otherwise(F.lit(-2)).cast("long").alias("val"))
+
+    return (sess.unionByName(asof).unionByName(rng).unionByName(thr)
+            .unionByName(elv))
 
 
 O_EVENT_SESSIONS = """
@@ -2077,6 +2103,13 @@ FROM (SELECT event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts) // 3600000
                                 ORDER BY ts, event_id) AS rn
       FROM events) t
+UNION ALL
+SELECT event_id, 'elapsed' AS variant,
+       CAST(CASE WHEN event_id % 11 = 0 THEN -1
+                 WHEN event_id % 5 = 0 OR event_id % 13 > 9 THEN -2
+                 ELSE (event_id % 13 + 1) * 60000 END AS BIGINT) AS val
+FROM events
+WHERE NOT (event_id % 11 = 0 AND event_id % 5 = 0)
 """
 
 

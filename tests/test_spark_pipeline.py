@@ -1391,3 +1391,45 @@ def test_incremental_rollup_hll_distinct_matches_exact(spark, tmp_path):
              .agg(F.count("*").alias("n"),
                   F.count_distinct("conv_id").alias("d")).collect()}
     assert got == exact and len(got) == 3
+
+
+def test_elapsed_pairing_statuses(spark):
+    """The logstash elapsed filter, batch contract: matched pairs report
+    duration; ends without starts, expired starts, and pre-start ends all
+    classify deterministically (hand-computed corpus)."""
+    import datetime as _dt
+
+    from cefspark import pipeline
+
+    t0 = _dt.datetime(2026, 1, 1)
+
+    def at(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    rows = [
+        ("tx1", "S", at(0)), ("tx1", "E", at(5)),          # matched 5 min
+        ("tx2", "E", at(10)),                              # end w/o start
+        ("tx3", "S", at(0)),                               # expired (no end)
+        ("tx4", "S", at(0)), ("tx4", "E", at(60)),         # beyond timeout
+        ("tx5", "E", at(0)), ("tx5", "S", at(10)),         # pre-start end
+        ("tx5", "E", at(20)),                              #   ignored
+        ("tx6", "X", at(0)),                               # untagged: absent
+    ]
+    df = spark.createDataFrame(rows, "id string, kind string, ts timestamp")
+    out = {r["id"]: r for r in pipeline.elapsed(
+        df, "id", F.col("kind") == "S", F.col("kind") == "E",
+        timeout_s=600).collect()}
+
+    assert set(out) == {"tx1", "tx2", "tx3", "tx4", "tx5"}
+    assert (out["tx1"]["status"], out["tx1"]["elapsed_ms"]) == ("matched", 300000)
+    assert (out["tx2"]["status"], out["tx2"]["start_ts"],
+            out["tx2"]["end_ts"]) == ("end_without_start", None, at(10))
+    assert (out["tx3"]["status"], out["tx3"]["end_ts"]) == ("expired", None)
+    assert (out["tx4"]["status"], out["tx4"]["elapsed_ms"]) == ("expired", 3600000)
+    assert (out["tx5"]["status"], out["tx5"]["elapsed_ms"],
+            out["tx5"]["end_ts"]) == ("matched", 600000, at(20))
+
+    # no timeout: an endless start is 'open', late ends match
+    out2 = {r["id"]: r["status"] for r in pipeline.elapsed(
+        df, "id", F.col("kind") == "S", F.col("kind") == "E").collect()}
+    assert out2["tx3"] == "open" and out2["tx4"] == "matched"
