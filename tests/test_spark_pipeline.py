@@ -1433,3 +1433,66 @@ def test_elapsed_pairing_statuses(spark):
     out2 = {r["id"]: r["status"] for r in pipeline.elapsed(
         df, "id", F.col("kind") == "S", F.col("kind") == "E").collect()}
     assert out2["tx3"] == "open" and out2["tx4"] == "matched"
+
+
+def test_mutate_verb_chain(spark):
+    """The logstash mutate filter as one Catalyst projection: every verb
+    on a hand-built row, order-sensitive, try-cast error-as-data."""
+    from cefspark.mutate import mutate
+
+    df = spark.createDataFrame(
+        [("10.0.0.1", "80", "tcp", " host1 ", "a,b,c", "hello 1234-5678-9012-3456",
+          "x", ["t1"], ["t2"])],
+        "src string, spt string, proto string, host string, tags_csv string, "
+        "msg string, tmp string, tags_a array<string>, tags_b array<string>")
+    out = mutate(df, [
+        ("rename", "src", "source_ip"),
+        ("convert", "spt", "integer"),
+        ("gsub", "msg", r"\d{4}-\d{4}-\d{4}-\d{4}", "[card]"),
+        ("uppercase", "proto"),
+        ("split", "tags_csv", ","),
+        ("join", "tags_csv", ";"),
+        ("strip", "host"),
+        ("copy", "msg", "msg_raw"),
+        ("replace", "summary", "%{proto} from %{source_ip} (%{nope})"),
+        ("merge", "tags_all", "tags_a", "tags_b"),
+        ("remove", "tmp"),
+    ]).collect()[0]
+    assert out["source_ip"] == "10.0.0.1" and "src" not in out.asDict()
+    assert out["spt"] == 80 and isinstance(out["spt"], int)
+    assert out["msg"] == "hello [card]" and out["msg_raw"] == "hello [card]"
+    assert out["proto"] == "TCP"
+    assert out["tags_csv"] == "a;b;c"
+    assert out["host"] == "host1"
+    # uppercase ran BEFORE replace: order matters; unknown field verbatim
+    assert out["summary"] == "TCP from 10.0.0.1 (%{nope})"
+    assert out["tags_all"] == ["t1", "t2"]
+    assert "tmp" not in out.asDict()
+
+    # convert failure is error-as-data (NULL), never a thrown cast error
+    bad = mutate(spark.createDataFrame([("x",)], "spt string"),
+                 [("convert", "spt", "integer")]).collect()[0]
+    assert bad["spt"] is None
+
+
+def test_translate_exact_and_regex(spark):
+    """translate: exact map lookup with default; regex mode first-match
+    wins in dictionary order."""
+    from cefspark.mutate import translate
+
+    df = spark.createDataFrame(
+        [("100",), ("200",), ("999",), (None,)], "code string")
+    got = {r["code"]: r["action"] for r in translate(
+        df, "code", {"100": "continue", "200": "ok"}, "action",
+        default="unknown").collect()}
+    assert got == {"100": "continue", "200": "ok", "999": "unknown",
+                   None: "unknown"}
+
+    df2 = spark.createDataFrame(
+        [("GET /api/x",), ("POST /login",), ("PUT /y",)], "line string")
+    got2 = {r["line"]: r["kind"] for r in translate(
+        df2, "line", {"^GET": "read", "login": "auth", "^P": "write"},
+        "kind", regex=True).collect()}
+    # '/login' matches both 'login' and '^P' — dictionary order wins
+    assert got2 == {"GET /api/x": "read", "POST /login": "auth",
+                    "PUT /y": "write"}
