@@ -26,7 +26,9 @@ Spark-first parse -> enrich -> route -> aggregate pipeline:
 * ``cefspark.grok``       — grok-style %{PATTERN:field} parsing + pattern library
 * ``cefspark.streaming``  — Structured Streaming mode (windows, state, dedup,
   SCD-2/as-of enrich, spike alerts)
-* ``cefspark.sources``    — raw-stream framing, binary UTF-8 ingest, JSONL/CSV readers
+* ``cefspark.sources``    — raw-stream framing, binary UTF-8 ingest, JSONL/CSV/ORC readers
+* ``cefspark.multiline``  — logstash multiline-codec event assembly as window arithmetic
+* ``cefspark.mutate``     — logstash mutate verb chains + translate dictionaries as Catalyst projections
 
 Everything here derives only from public knowledge: the Apache Spark / PySpark
 API and the behavior of the public reference repo.
