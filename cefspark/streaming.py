@@ -120,17 +120,26 @@ def run_conversation_stats(spark: SparkSession, input_path: str, query_name: str
 
 
 def dedup_stream(stream: DataFrame, keys: list[str] | None = None,
-                 watermark: str = "10 minutes",
-                 ts_col: str = "ts") -> DataFrame:
+                 watermark: str = "10 minutes", ts_col: str = "ts",
+                 within_watermark: bool = True) -> DataFrame:
     """Streaming exactly-once delivery: drop duplicate events (at-least-once
     sources redeliver) keyed on the natural event identity, with state
     bounded by the watermark horizon — `dropDuplicatesWithinWatermark`
     evicts seen-keys once they age past the watermark, so state is
     O(events per horizon), not O(stream lifetime). Keys default to the
-    transcript identity (conv_id, turn_idx)."""
+    transcript identity (conv_id, turn_idx). The contract is the practical
+    one for transport-level duplicates (which arrive close to the
+    original): a re-send later than ``watermark`` would re-emit.
+
+    ``within_watermark=False`` uses plain ``dropDuplicates(keys)``:
+    globally exact but the key state is NEVER evicted (the watermark
+    cannot bound it when ``ts_col`` is not part of the key) — reserve it
+    for bounded backfills."""
     keys = keys or ["conv_id", "turn_idx"]
-    return (stream.withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark(keys))
+    s = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(keys)
 
 
 def run_dedup_to_memory(spark: SparkSession, input_path: str, query_name: str,
@@ -465,27 +474,3 @@ def run_counts_to_table(spark: SparkSession, input_path: str, table,
                                   watermark, window)
     return exactly_once_sink(counts, table, query_name, checkpoint)
 
-
-def dedup_stream(stream: DataFrame, keys: list[str], ts_col: str = "ts",
-                 delay: str = "10 minutes",
-                 within_watermark: bool = True) -> DataFrame:
-    """Streaming exact deduplication for at-least-once sources (replayed
-    Kafka offsets, re-delivered files, retried producers).
-
-    ``within_watermark=True`` (the scale path) uses
-    ``dropDuplicatesWithinWatermark``: the first row per key is emitted,
-    re-sends of that key arriving within ``delay`` of it are dropped, and
-    the per-key state is GC'd once the watermark passes — bounded state,
-    the only shape that survives an unbounded 100 TB/day stream. The
-    contract is the practical one for transport-level duplicates (which
-    arrive close to the original); a re-send later than ``delay`` would
-    re-emit.
-
-    ``within_watermark=False`` uses plain ``dropDuplicates(keys)``:
-    globally exact but the key state is NEVER evicted (the watermark
-    cannot bound it when ``ts_col`` is not part of the key) — reserve it
-    for bounded backfills."""
-    s = stream.withWatermark(ts_col, delay)
-    if within_watermark:
-        return s.dropDuplicatesWithinWatermark(keys)
-    return s.dropDuplicates(keys)

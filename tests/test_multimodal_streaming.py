@@ -1597,9 +1597,9 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
 
     stream = (spark.readStream.schema(streaming.TRANSCRIPT_DDL)
               .option("maxFilesPerTrigger", 1).parquet(src))
-    # fixture spans 600 s; a 30-minute delay covers the whole replay window
+    # fixture spans 600 s; a 30-minute horizon covers the whole replay window
     deduped = streaming.dedup_stream(stream, ["conv_id", "turn_idx"],
-                                     delay="30 minutes")
+                                     watermark="30 minutes")
     q = (deduped.writeStream.format("memory").queryName("dd_out")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(240)

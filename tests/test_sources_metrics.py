@@ -258,3 +258,64 @@ def test_orc_source_sink_roundtrip(spark, tmp_path):
     assert back2.columns == t.columns
     assert back2.count() == 300
     assert back2.where(F.col("conv_id").isNull()).count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _simulate_multiline(per_source, negate, what, max_lines):
+    """Pure-Python reference: the codec's sequential buffer, literally."""
+    out = {}
+    for src, bits in per_source.items():
+        rows = [(i * 3 + 1, ("J" if b else "N") + f"{src}l{i}", b ^ negate)
+                for i, b in enumerate(bits)]
+        groups = {}
+        ev = 0
+        for no, txt, joins in rows:
+            if what == "previous":
+                if not joins:
+                    ev += 1
+                groups.setdefault(ev, []).append((no, txt))
+            else:
+                # a line opens a new event iff its predecessor declined
+                # to join forward
+                groups.setdefault(ev + 1, []).append((no, txt))
+                if not joins:
+                    ev += 1
+        for lines in groups.values():
+            chunks = ([lines[i:i + max_lines]
+                       for i in range(0, len(lines), max_lines)]
+                      if max_lines else [lines])
+            for c in chunks:
+                tagged = bool(max_lines) and len(c) >= max_lines
+                out[(src, c[0][0])] = (len(c), "\n".join(t for _, t in c),
+                                       tagged)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(per_source=st.dictionaries(
+           st.sampled_from(["a", "b", "c"]),
+           st.lists(st.booleans(), min_size=1, max_size=12),
+           min_size=1, max_size=3),
+       negate=st.booleans(),
+       what=st.sampled_from(["previous", "next"]),
+       max_lines=st.sampled_from([None, 1, 2, 3]))
+def test_multiline_matches_sequential_reference(spark, per_source, negate,
+                                                what, max_lines):
+    """Property: the window-arithmetic assembly equals the literal
+    sequential buffer for every (joins-bits, negate, what, max_lines)
+    combination, across sources."""
+    from cefspark.multiline import MAX_LINES_TAG, assemble_multiline
+
+    rows = [(src, i * 3 + 1, ("J" if b else "N") + f"{src}l{i}")
+            for src, bits in per_source.items() for i, b in enumerate(bits)]
+    df = _lines_df(spark, rows)
+    out = assemble_multiline(df, r"^J", negate=negate, what=what,
+                             max_lines=max_lines)
+    got = {(r["source"], r["first_line_no"]):
+           (r["n_lines"], r["text"],
+            bool(max_lines) and MAX_LINES_TAG in (r["tags"] or []))
+           for r in out.collect()}
+    assert got == _simulate_multiline(per_source, negate, what, max_lines)
