@@ -403,3 +403,30 @@ def elapsed(df: DataFrame, id_col: str, start_pred, end_pred,
         .otherwise(F.col("end_ts")).alias("end_ts"),
         el.cast("long").alias("elapsed_ms"),
         status.alias("status"))
+
+
+def profile_extension_keys(decoded: DataFrame,
+                           config: Optional[DecodeConfig] = None
+                           ) -> DataFrame:
+    """Schema-drift profiling over the decoded extension maps: one row per
+    extension key with its event count and whether the key is a canonical
+    CEF dictionary name — the operational alarm for a vendor rolling out
+    NEW custom fields (D12's ``fetch(key, key)`` fallback, cef.rb:293,
+    deliberately passes unknown keys through; this surfaces them instead
+    of letting them accumulate silently).
+
+    Returns ``(key, n_events, known)`` sorted-stable for comparison.
+    Shape: explode(map_keys) → one hash aggregation on the key; known-ness
+    compiles to a literal IN-set over the ~200 canonical names (the
+    broadcast-dict shape, no join). Key cardinality is bounded by the
+    dictionary plus genuine drift, so the agg output is tiny at any input
+    scale."""
+    from .mappings import get_mappings
+
+    cfg = config or DecodeConfig()
+    m = get_mappings(cfg.ecs_mode, device=cfg.device)
+    known = sorted(set(m.decode_map.values()))
+    return (decoded.where(F.col("extensions").isNotNull())
+            .select(F.explode(F.map_keys("extensions")).alias("key"))
+            .groupBy("key").agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("known", F.col("key").isin(known)))

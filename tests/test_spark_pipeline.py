@@ -1496,3 +1496,23 @@ def test_translate_exact_and_regex(spark):
     # '/login' matches both 'login' and '^P' — dictionary order wins
     assert got2 == {"GET /api/x": "read", "POST /login": "auth",
                     "PUT /y": "write"}
+
+
+def test_profile_extension_keys_flags_drift(spark):
+    """Schema-drift profiling: canonical CEF keys count as known, a
+    vendor-custom pass-through key is flagged unknown with its exact
+    event count."""
+    from cefspark import pipeline
+
+    rows = [(i,
+             "CEF:0|v|p|1|s|n|5|src=10.0.0.1 spt=80"
+             + (" acmeNewField=x" if i % 3 == 0 else ""))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    dec = decode_dataframe(df)
+    got = {r["key"]: (r["n_events"], r["known"]) for r in
+           pipeline.profile_extension_keys(dec).collect()}
+    assert got["sourceAddress"] == (30, True)
+    assert got["sourcePort"] == (30, True)
+    assert got["acmeNewField"] == (10, False)
+    assert set(got) == {"sourceAddress", "sourcePort", "acmeNewField"}
