@@ -289,3 +289,55 @@ def test_write_range_sorted_disjoint_footers_and_pushdown(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,5000)" in plan
     assert back.count() == 100
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: over a full 256x256 grid cut into 16 files, each
+    file's footer covers a bounded sub-rectangle, so a narrow filter on
+    EITHER column intersects only a few files — while the single-column
+    range layout prunes its own column but is blind on the other (every
+    file spans the full y range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cefspark.storage import write_range_sorted, write_zordered
+
+    grid = spark.range(0, 256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("x"),
+        (F.col("id") / 256).cast("int").alias("y"))
+    grid = grid.repartition(8)  # scrambled input order
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, "x", "y", n_files=16)
+    lpath = str(tmp_path / "linear")
+    write_range_sorted(grid, lpath, ["x"], n_files=16)
+
+    def stats(path):
+        out = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            s = {}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    mn, mx = c.statistics.min, c.statistics.max
+                    k = c.path_in_schema
+                    s[k] = (min(s[k][0], mn), max(s[k][1], mx)) if k in s \
+                        else (mn, mx)
+            out.append(s)
+        return out
+
+    def hits(files, col, lo, hi):
+        return sum(1 for s in files
+                   if not (s[col][1] < lo or s[col][0] > hi))
+
+    zf, lf = stats(zpath), stats(lpath)
+    assert len(zf) == 16 and len(lf) == 16
+    # z-order: a 8/256 slice on either column touches a minority of files
+    assert hits(zf, "x", 100, 107) <= 8
+    assert hits(zf, "y", 100, 107) <= 8
+    # linear-on-x: x prunes hard, y cannot prune at all
+    assert hits(lf, "x", 100, 107) <= 2
+    assert hits(lf, "y", 100, 107) == 16
