@@ -44,7 +44,10 @@ MAX_LINES_TAG = "multiline_codec_max_lines_reached"
 
 
 def _joins(line: Column, pattern: str, negate: bool) -> Column:
-    m = line.rlike(pattern)
+    # a NULL line (corrupt decode, outer-join product) counts as
+    # NON-matching — a raw rlike NULL would poison the running sum into a
+    # spurious NULL event id
+    m = F.coalesce(line.rlike(pattern), F.lit(False))
     return ~m if negate else m
 
 
@@ -94,7 +97,7 @@ def assemble_multiline(df: DataFrame, pattern: str, negate: bool = False,
                 F.array_sort(F.collect_list(F.struct(
                     F.col(order_col).alias("o"), F.col(line_col).alias("l")))),
                 lambda s: s["l"]),
-            sep).alias("text"),
+            sep, "").alias("text"),   # NULL lines render as "" (not dropped)
     ]
     out = lines.groupBy(*group).agg(*agg)
     if max_lines is not None:

@@ -93,7 +93,10 @@ def mutate(df: DataFrame, ops: list[tuple]) -> DataFrame:
         elif verb == "replace":
             df = df.withColumn(field, sprintf_col(op[2], df.columns))
         elif verb == "merge":
-            df = df.withColumn(field, F.concat(*[F.col(c) for c in op[2:]]))
+            # a missing (NULL) source is a no-op, as in the filter —
+            # bare concat would null the whole result
+            df = df.withColumn(field, F.concat(
+                *[F.coalesce(F.col(c), F.array()) for c in op[2:]]))
         elif verb == "remove":
             df = df.drop(*op[1:])
         else:

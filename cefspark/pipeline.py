@@ -415,7 +415,8 @@ def profile_extension_keys(decoded: DataFrame,
     deliberately passes unknown keys through; this surfaces them instead
     of letting them accumulate silently).
 
-    Returns ``(key, n_events, known)`` sorted-stable for comparison.
+    Returns ``(key, n_events, known)``, one row per key (unordered — a
+    diffing consumer orders by key itself).
     Shape: explode(map_keys) → one hash aggregation on the key; known-ness
     compiles to a literal IN-set over the ~200 canonical names (the
     broadcast-dict shape, no join). Key cardinality is bounded by the

@@ -157,8 +157,17 @@ def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
     actually hold (Hive/Trino warehouses); Spark's native vectorized ORC
     reader gives the same pushdown/pruning behavior as parquet, so the
     engine accepts it as a first-class source. The explicit schema makes
-    column order/extra columns irrelevant and missing columns an analysis
-    error instead of silent nulls downstream."""
+    column order/extra columns irrelevant; because Spark fills schema
+    columns ABSENT from the files with silent NULLs (it does not error),
+    the reader probes the file schema first and raises on missing columns
+    — a renamed column in a Hive export must be loud, not a NULL flood."""
+    present = set(spark.read.orc(path).columns)
+    wanted = [c.split()[0] for c in TRANSCRIPT_SCHEMA_DDL.split(", ")]
+    missing = [c for c in wanted if c not in present]
+    if missing:
+        raise ValueError(
+            f"ORC source at {path} is missing transcript column(s) "
+            f"{missing}; found {sorted(present)}")
     return spark.read.schema(TRANSCRIPT_SCHEMA_DDL).orc(path)
 
 

@@ -859,8 +859,27 @@ def incremental_rollup(spark: SparkSession, source: "ManifestTable",
         aggs.append(F.hll_sketch_agg(distinct_col, F.lit(sketch_lgk))
                     .alias(sk_col))
     agg = delta.groupBy(*group_cols).agg(*aggs)
-    prev = rollup.read_union(spark)
+    # merge with the LATEST rollup snapshot ONLY: every maintenance run
+    # commits the COMPLETE merged rollup, so the chain's older snapshots
+    # are superseded totals — read_union here would fold run N-2's totals
+    # in again on every run (compounding double counts; pinned by the
+    # three-run leg of the pytest)
+    prev = rollup.read(spark)
     if prev is not None:
+        if distinct_col and sk_col not in prev.columns:
+            raise ValueError(
+                f"rollup chain has no {sk_col!r} column: distinct_col must "
+                "be set from the rollup's FIRST maintenance run (a "
+                "delta-only sketch would silently undercount); rebuild the "
+                "rollup to add approx-distinct")
+        if not distinct_col:
+            extra = [c for c in prev.columns
+                     if c not in group_cols + [count_col]]
+            if extra:
+                raise ValueError(
+                    f"rollup chain carries sketch column(s) {extra}: pass "
+                    "the same distinct_col on every run (omitting it would "
+                    "silently drop the accumulated sketches)")
         carry = [count_col] + ([sk_col] if distinct_col else [])
         merges = [F.sum(count_col).cast("long").alias(count_col)]
         if distinct_col:
@@ -887,6 +906,12 @@ def zorder_value(a, b) -> "Column":
 
     def spread(c):
         x = c.cast("bigint")
+        # out-of-range keys would be silently bit-masked into colliding
+        # curve positions (layout degrades to full scans with no symptom)
+        # — misuse must be loud
+        x = F.when((x < 0) | (x > 0xFFFF), F.raise_error(F.lit(
+            "zorder_value requires 0 <= key < 65536; quantize first"))
+        ).otherwise(x)
         x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
         x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
         x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))

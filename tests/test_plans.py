@@ -341,3 +341,16 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     # linear-on-x: x prunes hard, y cannot prune at all
     assert hits(lf, "x", 100, 107) <= 2
     assert hits(lf, "y", 100, 107) == 16
+
+
+def test_zorder_value_rejects_out_of_range_keys(spark):
+    """Out-of-range keys must raise, not silently bit-mask into colliding
+    curve positions."""
+    import pytest
+
+    from cefspark.storage import zorder_value
+
+    df = spark.range(1).select(F.lit(1_700_000_000).alias("a"),
+                               F.lit(1).alias("b"))
+    with pytest.raises(Exception, match="quantize first"):
+        df.select(zorder_value(F.col("a"), F.col("b"))).collect()

@@ -319,3 +319,25 @@ def test_multiline_matches_sequential_reference(spark, per_source, negate,
             bool(max_lines) and MAX_LINES_TAG in (r["tags"] or []))
            for r in out.collect()}
     assert got == _simulate_multiline(per_source, negate, what, max_lines)
+
+
+def test_orc_missing_columns_raise(spark, tmp_path):
+    """An ORC source missing pinned transcript columns must raise (Spark
+    itself would silently NULL-fill them)."""
+    p = str(tmp_path / "orc_bad")
+    spark.range(3).select(F.lit("c").alias("conv_id"),
+                          F.col("id").cast("int").alias("turn_idx")).write.orc(p)
+    with pytest.raises(ValueError, match="missing transcript column"):
+        sources.read_transcripts_orc(spark, p)
+
+
+def test_multiline_null_lines_are_non_matching(spark):
+    """A NULL line counts as non-matching (starts its own event under
+    what=previous) and renders as '' in reassembled text."""
+    from cefspark.multiline import assemble_multiline
+
+    rows = [("a", 1, "HEAD"), ("a", 2, None), ("a", 3, "  cont")]
+    df = spark.createDataFrame(rows, "source string, line_no long, line string")
+    out = {r["first_line_no"]: (r["n_lines"], r["text"])
+           for r in assemble_multiline(df, r"^\s").collect()}
+    assert out == {1: (1, "HEAD"), 2: (2, "\n  cont")}

@@ -1179,6 +1179,13 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     toks = {t for t in roll.consumed_inputs() if t.startswith("snapshot://")}
     assert len(toks) == 4
 
+    # a THIRD effective run: the merge must fold the LATEST rollup only —
+    # merging the whole rollup chain would re-add run-1's totals here
+    # (130 vs 100-style compounding double count)
+    src.commit(facts(400, 520))
+    incremental_rollup(spark, src, roll, ["sink_id"])
+    assert rollup_dict() == exact_dict()
+
 
 def test_read_union_tolerates_schema_evolution_and_partitioned_snapshots(spark, tmp_path):
     """Per-dir snapshot reads: a later commit may add a column (earlier
@@ -1516,3 +1523,48 @@ def test_profile_extension_keys_flags_drift(spark):
     assert got["sourcePort"] == (30, True)
     assert got["acmeNewField"] == (10, False)
     assert set(got) == {"sourceAddress", "sourcePort", "acmeNewField"}
+
+
+def test_mutate_merge_ignores_null_sources(spark):
+    """merge with a NULL source is a no-op for that source (logstash
+    contract), never a NULL result."""
+    from cefspark.mutate import mutate
+
+    df = spark.createDataFrame([(["x"], None)],
+                               "a array<string>, b array<string>")
+    out = mutate(df, [("merge", "all", "a", "b")]).collect()[0]
+    assert out["all"] == ["x"]
+
+
+def test_incremental_rollup_distinct_col_consistency_guard(spark, tmp_path):
+    """Toggling distinct_col between maintenance runs must raise loudly in
+    BOTH directions — silently dropping (or delta-only restarting) the
+    accumulated sketches would corrupt the estimates."""
+    import pytest
+
+    from cefspark.storage import ManifestTable, incremental_rollup
+
+    src = ManifestTable(str(tmp_path / "facts"))
+    roll = ManifestTable(str(tmp_path / "rollup"))
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 3).cast("string").alias("sink_id"),
+            F.concat(F.lit("c"), (F.col("id") % 9).cast("string"))
+            .alias("conv_id"))
+
+    src.commit(facts(0, 60))
+    incremental_rollup(spark, src, roll, ["sink_id"], distinct_col="conv_id")
+    src.commit(facts(60, 150))
+    with pytest.raises(ValueError, match="silently drop"):
+        incremental_rollup(spark, src, roll, ["sink_id"])
+
+    src2 = ManifestTable(str(tmp_path / "facts2"))
+    roll2 = ManifestTable(str(tmp_path / "rollup2"))
+    src2.commit(facts(0, 60))
+    incremental_rollup(spark, src2, roll2, ["sink_id"])
+    src2.commit(facts(60, 150))
+    with pytest.raises(ValueError, match="FIRST maintenance run"):
+        incremental_rollup(spark, src2, roll2, ["sink_id"],
+                           distinct_col="conv_id")
