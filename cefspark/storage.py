@@ -70,8 +70,17 @@ class ManifestTable:
 
     def commit(self, df: DataFrame, inputs: Optional[list[str]] = None,
                partition_by: Optional[list[str]] = None, n_rows: Optional[int] = None,
-               lock_timeout: float = 120.0) -> Snapshot:
+               lock_timeout: float = 120.0,
+               sort_cols: Optional[list[str]] = None,
+               n_files: int = 32) -> Snapshot:
         """Write df as a new snapshot; publish its manifest atomically.
+
+        ``sort_cols`` commits the snapshot in GLOBAL RANGE layout on those
+        columns (``write_range_sorted``'s shape: range exchange +
+        per-partition sort into ``n_files`` files with disjoint footer
+        intervals), so data skipping is a property of the TABLE contract,
+        not a caller convention — every range query over the snapshot
+        prunes at scan time.
 
         Concurrency: the expensive data write runs unlocked (each snapshot has
         its own immutable dir), but the parent-read → manifest-publish →
@@ -84,6 +93,9 @@ class ManifestTable:
         committer — the locked section is milliseconds) is broken."""
         snap_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, "data", snap_id)
+        if sort_cols:
+            df = (df.repartitionByRange(n_files, *sort_cols)
+                  .sortWithinPartitions(*sort_cols))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -1568,3 +1568,30 @@ def test_incremental_rollup_distinct_col_consistency_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="FIRST maintenance run"):
         incremental_rollup(spark, src2, roll2, ["sink_id"],
                            distinct_col="conv_id")
+
+
+def test_commit_sort_cols_layout(spark, tmp_path):
+    """sort_cols on ManifestTable.commit writes the snapshot in range
+    layout: per-file footer intervals on the sort key are disjoint."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cefspark.storage import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "laid_out"))
+    df = spark.range(0, 20000).select(
+        F.xxhash64("id").alias("scramble"), F.col("id").alias("event_id"))
+    df = df.repartition(8, "scramble").drop("scramble")
+    snap = t.commit(df, sort_cols=["event_id"], n_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(snap.data_dir + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        cols = [md.row_group(g).column(0) for g in range(md.num_row_groups)]
+        ranges.append((min(c.statistics.min for c in cols),
+                       max(c.statistics.max for c in cols)))
+    ranges.sort()
+    assert len(ranges) == 8
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(7))
+    assert t.read(spark).count() == 20000
