@@ -270,6 +270,60 @@ FROM events
 """
 
 
+def q_cef_decode_syslog_pri(spark, sf_dir):
+    """The logstash syslog_pri filter (cefspark/syslog_pri.py): ``<PRI>``
+    decomposed into facility/severity codes + labels, remainder split
+    off. The fixture plants pri = event_id % 200 so 192-199 exercise the
+    out-of-range error path, and every 9th row has no tag at all — both
+    must yield NULLs and keep the ORIGINAL line. The oracle restates the
+    RFC arithmetic + label tables closed-form; it never runs the regex."""
+    from . import syslog_pri as _sp
+
+    eid = F.col("event_id")
+    tail = F.concat(F.lit("Oct 11 22:14:15 host app: m"), eid.cast("string"))
+    line = (F.when(eid % 9 == 0,
+                   F.concat(F.lit("plain line "), eid.cast("string")))
+            .otherwise(F.concat(F.lit("<"), (eid % 200).cast("string"),
+                                F.lit(">"), tail)))
+    df = _events(spark, sf_dir).select("event_id", line.alias("message"))
+    out = _sp.parse_syslog_pri(df, "message")
+    return out.select(
+        "event_id", F.col("syslog_pri").alias("pri"),
+        F.col("syslog_facility_code").alias("fac_code"),
+        F.col("syslog_severity_code").alias("sev_code"),
+        F.col("syslog_facility").alias("facility"),
+        F.col("syslog_severity").alias("severity"), "message")
+
+
+def _sql_str_list(xs):
+    return "[" + ", ".join("'" + x + "'" for x in xs) + "]"
+
+
+from . import syslog_pri as _syslog_pri_mod  # noqa: E402  (label tables for the oracle)
+
+O_CEF_DECODE_SYSLOG_PRI = f"""
+WITH f AS (
+  SELECT event_id,
+         CASE WHEN event_id % 9 = 0 OR event_id % 200 > 191 THEN NULL
+              ELSE CAST(event_id % 200 AS INTEGER) END AS pri,
+         CASE WHEN event_id % 9 = 0
+              THEN 'plain line ' || CAST(event_id AS VARCHAR)
+              ELSE '<' || CAST(event_id % 200 AS VARCHAR)
+                   || '>Oct 11 22:14:15 host app: m'
+                   || CAST(event_id AS VARCHAR) END AS raw
+  FROM events)
+SELECT event_id, pri,
+       CAST(pri // 8 AS INTEGER) AS fac_code,
+       CAST(pri % 8 AS INTEGER) AS sev_code,
+       ({_sql_str_list(_syslog_pri_mod.FACILITY_LABELS)})[pri // 8 + 1] AS facility,
+       ({_sql_str_list(_syslog_pri_mod.SEVERITY_LABELS)})[pri % 8 + 1] AS severity,
+       CASE WHEN pri IS NULL THEN raw
+            ELSE 'Oct 11 22:14:15 host app: m' || CAST(event_id AS VARCHAR)
+       END AS message
+FROM f
+"""
+
+
 def q_cef_decode_failures(spark, sf_dir):
     """D17 error-as-data: malformed rows carry tag + original payload."""
     dec = decode_dataframe(_with_payload(_events(spark, sf_dir), mixed_failures=True))
@@ -3037,6 +3091,8 @@ q_cef_decode_variants, O_CEF_DECODE_VARIANTS = _merged([
      ["moo"]),
     ("syslog_prelude", q_cef_decode_syslog_prelude, O_CEF_DECODE_SYSLOG_PRELUDE,
      ["syslog_header", "cefVersion"]),
+    ("syslog_pri", q_cef_decode_syslog_pri, O_CEF_DECODE_SYSLOG_PRI,
+     ["pri", "fac_code", "sev_code", "facility", "severity", "message"]),
     ("dotted_keys", q_cef_decode_dotted_keys, O_CEF_DECODE_DOTTED_KEYS,
      ["ad_nn", "ad_err", "ad_f0"]),
     ("missing_headers", q_cef_decode_missing_headers, O_CEF_DECODE_MISSING_HEADERS,
@@ -3044,8 +3100,10 @@ q_cef_decode_variants, O_CEF_DECODE_VARIANTS = _merged([
 ])
 q_cef_decode_variants.__doc__ = (
     "Merged decode-variant gate: D5 quote strip, D8 escaped headers, D14 "
-    "escaped values, D11 pipe-in-value, D9 syslog prelude, D13 dotted/array "
-    "keys, D7 missing headers — one variant-tagged row set per fixture.")
+    "escaped values, D11 pipe-in-value, D9 syslog prelude, <PRI> "
+    "facility/severity decomposition (logstash syslog_pri filter), D13 "
+    "dotted/array keys, D7 missing headers — one variant-tagged row set "
+    "per fixture.")
 
 
 q_cef_decode_mapping_variants, O_CEF_DECODE_MAPPING_VARIANTS = _merged([

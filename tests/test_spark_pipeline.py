@@ -1536,6 +1536,101 @@ def test_mutate_merge_ignores_null_sources(spark):
     assert out["all"] == ["x"]
 
 
+def test_mutate_round6_verbs(spark):
+    """urldecode (failure keeps original), truncate (BYTES not chars),
+    update (only-if-exists), coerce (only-if-null), capitalize (first
+    char only — not initcap)."""
+    from cefspark.mutate import mutate
+
+    df = spark.createDataFrame(
+        [("a%20b", "%zz", "héllo wörld", None, "two words")],
+        "u string, bad string, t string, n string, c string")
+    out = mutate(df, [
+        ("urldecode", "u"),
+        ("urldecode", "bad"),
+        ("truncate", "t", 7),
+        ("update", "u", "got %{u}"),
+        ("update", "ghost", "never %{u}"),
+        ("coerce", "n", "dflt"),
+        ("coerce", "c", "nope"),
+        ("capitalize", "c"),
+    ]).collect()[0]
+    assert out["u"] == "got a b"
+    assert out["bad"] == "%zz"            # invalid escape: keep original
+    # 'héllo w' is 8 bytes — the 7-byte cut lands after 'héllo ' + 'w'?
+    # h(1)é(2)l(1)l(1)o(1)' '(1) = 7 bytes → exactly 'héllo '+nothing of w
+    assert out["t"] == "héllo "
+    assert "ghost" not in out.asDict()
+    assert out["n"] == "dflt" and out["c"] == "Two words"
+
+    # a mid-codepoint byte cut renders replacement chars, never throws
+    r = mutate(spark.createDataFrame([("é",)], "t string"),
+               [("truncate", "t", 1)]).collect()[0]
+    assert r["t"] != "é" and r["t"] is not None
+
+
+def test_prune_and_de_dot(spark):
+    """prune: whitelist-then-blacklist regex projection; de_dot renames
+    dotted columns, collision raises; map-key variants compile to
+    map_filter / transform_keys."""
+    import pytest
+
+    from cefspark.mutate import (de_dot, de_dot_map_keys, prune,
+                                 prune_map_keys)
+
+    df = spark.createDataFrame([(1, 2, 3, 4)],
+                               "src_ip int, src_port int, dst_ip int, tmp int")
+    assert prune(df, whitelist=[r"^src_", r"^dst_"]).columns == \
+        ["src_ip", "src_port", "dst_ip"]
+    assert prune(df, whitelist=[r"_ip$|_port$"],
+                 blacklist=[r"port"]).columns == ["src_ip", "dst_ip"]
+    with pytest.raises(ValueError, match="every column"):
+        prune(df, whitelist=[r"^none$"])
+
+    dd = spark.createDataFrame([(1, 2)], ["a.b", "c"])
+    assert de_dot(dd).columns == ["a_b", "c"]
+    with pytest.raises(ValueError, match="existing column"):
+        de_dot(spark.createDataFrame([(1, 2)], ["a.b", "a_b"]))
+
+    m = spark.createDataFrame(
+        [({"src.ip": "1", "dst.ip": "2", "msg": "x"},)], "m map<string,string>")
+    got = m.select(
+        prune_map_keys(F.col("m"), whitelist=r"ip$",
+                       blacklist=r"^dst").alias("p"),
+        de_dot_map_keys(F.col("m")).alias("d")).collect()[0]
+    assert got["p"] == {"src.ip": "1"}
+    assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
+
+
+def test_syslog_pri_decomposition(spark):
+    """<PRI> decomposition: RFC arithmetic + logstash default labels;
+    out-of-range and missing tags are error-as-data (NULLs, line kept)."""
+    from cefspark.syslog_pri import parse_syslog_pri
+
+    df = spark.createDataFrame(
+        [("<34>Oct 11 host su: fail",),   # fac 4 sev 2
+         ("<0>kernel panic",),            # both zero
+         ("<191>local7 debug",),          # max legal
+         ("<192>too big",),               # out of range
+         ("no tag here",),
+         ("<7x>not a tag",)],
+        "message string")
+    rows = parse_syslog_pri(df, "message").collect()
+    by = {r["message"]: r for r in rows}
+    r = by["Oct 11 host su: fail"]
+    assert (r["syslog_pri"], r["syslog_facility_code"],
+            r["syslog_severity_code"]) == (34, 4, 2)
+    assert r["syslog_facility"] == "security/authorization"
+    assert r["syslog_severity"] == "critical"
+    assert by["kernel panic"]["syslog_facility"] == "kernel"
+    assert by["kernel panic"]["syslog_severity"] == "emergency"
+    assert by["local7 debug"]["syslog_facility"] == "local7"
+    assert by["local7 debug"]["syslog_severity"] == "debug"
+    for bad in ("<192>too big", "no tag here", "<7x>not a tag"):
+        assert by[bad]["syslog_pri"] is None
+        assert by[bad]["syslog_facility"] is None
+
+
 def test_incremental_rollup_distinct_col_consistency_guard(spark, tmp_path):
     """Toggling distinct_col between maintenance runs must raise loudly in
     BOTH directions — silently dropping (or delta-only restarting) the
