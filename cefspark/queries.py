@@ -2168,7 +2168,7 @@ WHERE NOT (event_id % 11 = 0 AND event_id % 5 = 0)
 
 
 def q_events_json_props(spark, sf_dir):
-    """Semi-structured extraction + distribution stats, two merged variants:
+    """Semi-structured extraction + distribution stats, four merged variants:
 
     - ``json``: the JSON props column parsed JVM-side (get_json_object) —
       the decode-side companion to E9's JSON encode, a narrow
@@ -2176,7 +2176,21 @@ def q_events_json_props(spark, sf_dir):
     - ``pctl``: exact per-event-type value percentiles
       (cefspark.pipeline.value_percentiles) — Spark's exact ``percentile``
       aggregate matches DuckDB's ``quantile_cont`` bit-for-bit, so the
-      gate needs no float tolerance."""
+      gate needs no float tolerance.
+    - ``csv`` (round 6): the logstash csv FILTER
+      (cefspark.structured.parse_csv_field) — a per-event CSV record with
+      a quoted embedded separator, typed BIGINT/DOUBLE captures, every
+      17th row malformed and NULL-filling. The oracle restates the
+      pre-format closed form; it never runs a CSV parser.
+    - ``xml`` (round 6): the logstash xml FILTER
+      (cefspark.structured.parse_xml_field) — attribute (``_id``) +
+      child-element extraction, every 23rd row unparsable and
+      NULL-filling. Oracle restates the closed form likewise.
+
+    Both new variants compile to one JVM intrinsic each (from_csv /
+    from_xml) riding the same events scan — no Python, no shuffle."""
+    from . import structured
+
     ev = _events(spark, sf_dir)
     js = ev.select(
         F.lit("json").alias("variant"), "event_id", F.lit("").alias("grp"),
@@ -2185,7 +2199,34 @@ def q_events_json_props(spark, sf_dir):
     pct = pipeline.value_percentiles(ev, "event_type", "value").select(
         F.lit("pctl").alias("variant"), F.lit(-1).cast("long").alias("event_id"),
         F.col("event_type").alias("grp"), "pct", "val")
-    return js.unionByName(pct)
+
+    eid = F.col("event_id")
+    csv_line = F.when(eid % 17 == 0, F.lit("oops")).otherwise(F.concat(
+        eid.cast("string"), F.lit(',"m, '), (eid % 50).cast("string"),
+        F.lit('",0.'), F.lpad(((eid % 16) * 625).cast("string"), 4, "0")))
+    csv_in = ev.select("event_id", csv_line.alias("rec"))
+    csv_p = structured.parse_csv_field(
+        csv_in, "rec", "id BIGINT, msg STRING, v DOUBLE", target="p")
+    csv = csv_p.select(
+        F.lit("csv").alias("variant"), "event_id",
+        F.concat(F.col("p.id").cast("string"), F.lit(":"),
+                 F.col("p.msg")).alias("grp"),
+        F.lit(-1.0).alias("pct"), F.col("p.v").alias("val"))
+
+    xml_doc = F.when(eid % 23 == 0, F.lit("<broken")).otherwise(F.concat(
+        F.lit('<e id="'), eid.cast("string"), F.lit('"><m>m'),
+        (eid % 50).cast("string"), F.lit("</m><v>0."),
+        F.lpad(((eid % 16) * 625).cast("string"), 4, "0"), F.lit("</v></e>")))
+    xml_in = ev.select("event_id", xml_doc.alias("doc"))
+    xml_p = structured.parse_xml_field(
+        xml_in, "doc", "_id BIGINT, m STRING, v DOUBLE", target="p")
+    xml = xml_p.select(
+        F.lit("xml").alias("variant"), "event_id",
+        F.concat(F.col("p._id").cast("string"), F.lit(":"),
+                 F.col("p.m")).alias("grp"),
+        F.lit(-1.0).alias("pct"), F.col("p.v").alias("val"))
+
+    return js.unionByName(pct).unionByName(csv).unionByName(xml)
 
 
 O_EVENTS_JSON_PROPS = """
@@ -2202,6 +2243,24 @@ FROM (
   SELECT event_type, 0.95 AS pct, quantile_cont(value, 0.95) AS val
   FROM events GROUP BY event_type
 ) p
+UNION ALL
+SELECT 'csv' AS variant, event_id,
+       CASE WHEN event_id % 17 = 0 THEN NULL
+            ELSE CAST(event_id AS VARCHAR) || ':m, '
+                 || CAST(event_id % 50 AS VARCHAR) END AS grp,
+       -1.0 AS pct,
+       CASE WHEN event_id % 17 = 0 THEN NULL
+            ELSE (event_id % 16) / 16.0 END AS val
+FROM events
+UNION ALL
+SELECT 'xml' AS variant, event_id,
+       CASE WHEN event_id % 23 = 0 THEN NULL
+            ELSE CAST(event_id AS VARCHAR) || ':m'
+                 || CAST(event_id % 50 AS VARCHAR) END AS grp,
+       -1.0 AS pct,
+       CASE WHEN event_id % 23 = 0 THEN NULL
+            ELSE (event_id % 16) / 16.0 END AS val
+FROM events
 """
 
 

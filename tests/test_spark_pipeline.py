@@ -1602,6 +1602,44 @@ def test_prune_and_de_dot(spark):
     assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
 
 
+def test_csv_xml_field_filters(spark):
+    """logstash csv/xml filter parity: typed field extraction from a
+    string column, quoted separators, attribute capture, PERMISSIVE
+    null-fill on malformed payloads, collision refusal."""
+    import pytest
+
+    from cefspark.structured import parse_csv_field, parse_xml_field
+
+    df = spark.createDataFrame(
+        [(1, '7,"a,b",0.5'), (2, "garbage")], "event_id int, rec string")
+    got = {r["event_id"]: r for r in parse_csv_field(
+        df, "rec", "id BIGINT, msg STRING, v DOUBLE").collect()}
+    assert (got[1]["id"], got[1]["msg"], got[1]["v"]) == (7, "a,b", 0.5)
+    assert got[2]["id"] is None and got[2]["v"] is None
+
+    # collision refusal + target= nesting escape hatch
+    clash = df.withColumnRenamed("event_id", "id")
+    with pytest.raises(ValueError, match="collide"):
+        parse_csv_field(clash, "rec", "id BIGINT, v DOUBLE")
+    nested = parse_csv_field(clash, "rec", "id BIGINT, v DOUBLE",
+                             target="p").collect()[0]
+    assert nested["p"]["id"] is not None or nested["p"]["v"] is None
+
+    xdf = spark.createDataFrame(
+        [(1, '<e id="9"><m>hi</m><v>2.5</v></e>'), (2, "<broken")],
+        "event_id int, doc string")
+    gx = {r["event_id"]: r for r in parse_xml_field(
+        xdf, "doc", "_id BIGINT, m STRING, v DOUBLE").collect()}
+    assert (gx[1]["_id"], gx[1]["m"], gx[1]["v"]) == (9, "hi", 2.5)
+    assert gx[2]["_id"] is None and gx[2]["m"] is None
+
+    # DDL field-name parsing survives parameterized types
+    ok = parse_csv_field(
+        spark.createDataFrame([("1.23|x",)], "rec string"),
+        "rec", "d DECIMAL(10,2), s STRING", sep="|").collect()[0]
+    assert str(ok["d"]) == "1.23" and ok["s"] == "x"
+
+
 def test_syslog_pri_decomposition(spark):
     """<PRI> decomposition: RFC arithmetic + logstash default labels;
     out-of-range and missing tags are error-as-data (NULLs, line kept)."""
