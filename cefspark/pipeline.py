@@ -431,3 +431,49 @@ def profile_extension_keys(decoded: DataFrame,
             .select(F.explode(F.map_keys("extensions")).alias("key"))
             .groupBy("key").agg(F.count(F.lit(1)).alias("n_events"))
             .withColumn("known", F.col("key").isin(known)))
+
+
+def drop_events(df: DataFrame, cond, percentage: float | None = None,
+                hash_cols: Optional[list[str]] = None) -> DataFrame:
+    """The logstash ``drop`` filter: remove events matching ``cond``
+    (a boolean Column). With ``percentage`` only that fraction of the
+    MATCHING events is dropped — but deterministically, via a stable
+    integer hash of ``hash_cols`` (required then), never ``rand()``:
+    a retried/replayed partition must make the same decision (the
+    engine's exactly-once discipline; logstash's probabilistic drop is
+    not reproducible and can't be gated).
+
+    Compiles to one Filter — pushdown-eligible, no shuffle; at 100 TB
+    a selective drop ahead of a shuffle is the cheapest operator there is.
+    """
+    if percentage is None:
+        return df.where(~cond | cond.isNull())
+    if not hash_cols:
+        raise ValueError("percentage-mode drop needs hash_cols for a "
+                         "deterministic keep/drop decision")
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(10000))
+    sampled = cond & (bucket < int(percentage * 100))
+    return df.where(~sampled | sampled.isNull())
+
+
+def clone_events(df: DataFrame, clones: list[str],
+                 type_col: str = "clone_type") -> DataFrame:
+    """The logstash ``clone`` filter: every event is emitted once as the
+    original (``type_col`` NULL) plus once per entry of ``clones`` with
+    that tag — the fan-out-to-N-sinks idiom. One explode over a literal
+    array (a single generator in one scan, NOT a self-union that would
+    re-read the source N times at 100 TB)."""
+    if type_col in df.columns:
+        raise ValueError(f"{type_col!r} already exists; pass type_col=")
+    tags = F.array(F.lit(None).cast("string"),
+                   *[F.lit(t) for t in clones])
+    return df.withColumn(type_col, F.explode(tags))
+
+
+def with_uuid(df: DataFrame, col: str = "event_uuid") -> DataFrame:
+    """The logstash ``uuid`` filter: attach a random v4 UUID per event.
+    NONDETERMINISTIC by nature (two runs differ — so this engine uses it
+    for sink-side idempotency tokens, never inside gated/replayable
+    transforms; deterministic identity wants xxhash64/md5 of content
+    instead, see dedup.py)."""
+    return df.withColumn(col, F.expr("uuid()"))

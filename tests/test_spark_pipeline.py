@@ -1602,6 +1602,49 @@ def test_prune_and_de_dot(spark):
     assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
 
 
+def test_drop_clone_uuid_primitives(spark):
+    """drop (full + deterministic percentage mode), clone (explode
+    fan-out, original tagged NULL), uuid (format + uniqueness)."""
+    import re as _re
+
+    import pytest
+
+    from cefspark.pipeline import clone_events, drop_events, with_uuid
+
+    df = spark.range(1000).withColumn(
+        "sev", (F.col("id") % 4).cast("int"))
+    kept = drop_events(df, F.col("sev") == 0)
+    assert kept.count() == 750 and kept.where("sev = 0").count() == 0
+    # NULL condition rows are KEPT (drop only what provably matches)
+    nulls = spark.createDataFrame([(None,), (1,)], "sev int")
+    assert drop_events(nulls, F.col("sev") == 0).count() == 2
+
+    # percentage mode: deterministic across runs, roughly proportional
+    half = drop_events(df, F.col("sev") == 0, percentage=50,
+                       hash_cols=["id"])
+    n1, n2 = half.count(), half.count()
+    assert n1 == n2
+    dropped = 250 - half.where("sev = 0").count()
+    assert 75 <= dropped <= 175          # ~50% of the 250 matching
+    assert half.where("sev != 0").count() == 750  # non-matching untouched
+    with pytest.raises(ValueError, match="hash_cols"):
+        drop_events(df, F.col("sev") == 0, percentage=50)
+
+    cl = clone_events(spark.range(10), ["audit", "archive"])
+    assert cl.count() == 30
+    assert cl.where(F.col("clone_type").isNull()).count() == 10
+    assert cl.where("clone_type = 'audit'").count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        clone_events(cl, ["x"])
+
+    us = with_uuid(spark.range(50)).select("event_uuid").collect()
+    vals = [r[0] for r in us]
+    assert len(set(vals)) == 50
+    assert all(_re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+        v) for v in vals)
+
+
 def test_csv_xml_field_filters(spark):
     """logstash csv/xml filter parity: typed field extraction from a
     string column, quoted separators, attribute capture, PERMISSIVE
