@@ -477,3 +477,37 @@ def with_uuid(df: DataFrame, col: str = "event_uuid") -> DataFrame:
     transforms; deterministic identity wants xxhash64/md5 of content
     instead, see dedup.py)."""
     return df.withColumn(col, F.expr("uuid()"))
+
+
+def meter_rates(df: DataFrame, ts_col: str = "ts",
+                key_cols: tuple = ("sink_id",), window: str = "1 hour",
+                slide: str = "15 minutes") -> DataFrame:
+    """The logstash ``metrics`` filter's rate meters as SLIDING-window
+    counts: every event lands in window/slide overlapping windows
+    (F.window with a slideDuration), so each emitted row reads "events in
+    the trailing <window> as of <slide>-aligned instant" — the batch
+    analog of the filter's 1m/5m/15m moving rates, and the smoothed
+    companion of :func:`sink_counts`' tumbling windows.
+
+    Emits ``(*key_cols, window_start, window_end, n_events,
+    rate_per_min)``. ``rate_per_min`` is n/window-minutes (a double; the
+    gate pins the exact integer counts, pytest pins the rate).
+
+    Scale: the window generator replicates each input row window/slide
+    times BEFORE the shuffle, but partial aggregation collapses them
+    map-side, so shuffle volume is O(keys x windows) regardless of event
+    count — the replication costs CPU in the scan stage, never network.
+    ``window`` must be an integer multiple of ``slide`` (enforced): ragged
+    overlap would emit windows whose membership Spark and a closed-form
+    oracle define differently at the edges."""
+    wsec, ssec = _window_seconds(window), _window_seconds(slide)
+    if wsec % ssec != 0:
+        raise ValueError(f"window {window!r} must be a multiple of "
+                         f"slide {slide!r}")
+    w = F.window(F.col(ts_col), window, slide)
+    return (df.groupBy(*key_cols, w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(*key_cols, F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "n_events",
+                    (F.col("n_events") / F.lit(wsec / 60.0))
+                    .alias("rate_per_min")))

@@ -1818,13 +1818,16 @@ GROUP BY ROLLUP (v, b)
 
 
 def q_cef_window_counts(spark, sf_dir):
-    """The north-rule aggregate + its alerting consumer, two merged variants:
+    """The north-rule aggregate + its alerting consumers, three merged
+    variants:
 
     - ``counts``: per-sink counts windowed by ts (1 hour), as before.
     - ``spike``: pipeline.detect_rate_spikes over those counts — windows
       exceeding 2× the sink's own median window count (percentile_disc:
       an observed integer, so the predicate is exact integer arithmetic;
       the flagged-window set transitively pins the median computation).
+    - ``meter`` (round 6): pipeline.meter_rates — the logstash metrics
+      filter's SLIDING rate windows (1h every 15min, each event in 4).
 
     Both variants hang off the same counts subtree WITHOUT checkpointing:
     the counts aggregate ends in an Exchange, and AQE's runtime stage reuse
@@ -1841,7 +1844,18 @@ def q_cef_window_counts(spark, sf_dir):
         F.lit("spike").alias("variant"), "sink_id",
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
         "n_events")
-    return base.unionByName(spike)
+    # meter (round 6): the logstash metrics filter's rate meters —
+    # SLIDING 1h windows every 15 min (each event in 4 windows; map-side
+    # partial agg collapses the replication before the shuffle). The
+    # oracle replays the slide arithmetic with a generate_series cross
+    # join, staying in naive-timestamp space throughout.
+    meter = pipeline.meter_rates(_routed(spark, sf_dir), ts_col="ts",
+                                 key_cols=("sink_id",), window="1 hour",
+                                 slide="15 minutes").select(
+        F.lit("meter").alias("variant"), "sink_id",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "n_events")
+    return base.unionByName(spike).unionByName(meter)
 
 
 O_CEF_WINDOW_COUNTS = f"""
@@ -1857,6 +1871,17 @@ SELECT 'spike' AS variant, sink_id, window_start_s, n_events
 FROM c JOIN (SELECT sink_id, quantile_disc(n_events, 0.5) AS med
              FROM c GROUP BY 1) m USING (sink_id)
 WHERE n_events > 2 * med
+UNION ALL
+SELECT 'meter' AS variant, sink_id,
+       strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start_s,
+       COUNT(*) AS n_events
+FROM (
+  SELECT CASE WHEN event_id % 13 = 0 THEN '_cefparsefailure'
+              ELSE {_VENDOR_SQL} || '/' || {_BAND_SQL} END AS sink_id,
+         make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - g.i)
+                         * 900) * 1000000) AS ws
+  FROM events CROSS JOIN generate_series(0, 3) g(i)) s
+GROUP BY sink_id, ws
 """
 
 

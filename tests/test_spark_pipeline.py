@@ -1602,6 +1602,38 @@ def test_prune_and_de_dot(spark):
     assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
 
 
+def test_meter_rates_sliding_windows(spark):
+    """metrics-filter rate meters: each event lands in window/slide
+    overlapping windows, counts sum accordingly, rate_per_min = n/minutes,
+    ragged window/slide combinations refused."""
+    import datetime as dt
+
+    import pytest
+
+    from cefspark.pipeline import meter_rates
+
+    base = dt.datetime(2026, 1, 1, 10, 7, 30)
+    df = spark.createDataFrame(
+        [("a", base), ("a", base + dt.timedelta(minutes=20)), ("b", base)],
+        "sink_id string, ts timestamp")
+    out = meter_rates(df, window="1 hour", slide="15 minutes")
+    rows = out.collect()
+    # every event appears in exactly 4 windows; the two 'a' events share
+    # the windows that cover both 10:07:30 and 10:27:30
+    assert sum(r["n_events"] for r in rows if r["sink_id"] == "a") == 8
+    assert sum(r["n_events"] for r in rows if r["sink_id"] == "b") == 4
+    both = [r for r in rows if r["sink_id"] == "a" and r["n_events"] == 2]
+    assert {r["window_start"].minute for r in both} == {30, 45, 0}
+    for r in rows:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+        assert r["window_start"].minute % 15 == 0 and \
+            r["window_start"].second == 0
+        assert r["rate_per_min"] == r["n_events"] / 60.0
+
+    with pytest.raises(ValueError, match="multiple"):
+        meter_rates(df, window="1 hour", slide="7 minutes")
+
+
 def test_drop_clone_uuid_primitives(spark):
     """drop (full + deterministic percentage mode), clone (explode
     fan-out, original tagged NULL), uuid (format + uniqueness)."""
