@@ -20,6 +20,7 @@ Scale notes (the 100 TB design):
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -511,3 +512,47 @@ def meter_rates(df: DataFrame, ts_col: str = "ts",
                     F.col("w.end").alias("window_end"), "n_events",
                     (F.col("n_events") / F.lit(wsec / 60.0))
                     .alias("rate_per_min")))
+
+
+def metricize(df: DataFrame, metric_cols: list[str],
+              metric_col: str = "metric", value_col: str = "value",
+              drop: bool = True) -> DataFrame:
+    """The logstash ``metricize`` filter: one event carrying N metric
+    fields becomes N events of (metric, value), NULL metrics skipped.
+    One ``stack`` generator in a single scan — the unpivot shape, never
+    an N-way self-union."""
+    missing = [c for c in metric_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"metric_cols not in frame: {missing}")
+    pairs = ", ".join(f"'{c}', `{c}`" for c in metric_cols)
+    rest = [c for c in df.columns if c not in metric_cols] if drop \
+        else list(df.columns)
+    out = df.selectExpr(
+        *rest, f"stack({len(metric_cols)}, {pairs}) AS "
+               f"(`{metric_col}`, `{value_col}`)")
+    return out.where(F.col(value_col).isNotNull())
+
+
+def split_events(df: DataFrame, field: str, sep: str = "\n",
+                 keep_empty: bool = False) -> DataFrame:
+    """The logstash ``split`` filter: fan one event out into one event
+    per element of ``field`` — an array column directly, or a string
+    column split on ``sep`` (the filter's terminator, literal not regex).
+    Empty fragments are dropped unless ``keep_empty`` (the filter drops
+    them). A single generator in one scan; at 100 TB the explode happens
+    inside the scan stage, no extra pass."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    dt = df.schema[field].dataType
+    if isinstance(dt, ArrayType):
+        parts = F.col(field)
+    elif isinstance(dt, StringType):
+        # literal separator: split() takes a regex, so quote it
+        parts = F.split(F.col(field), re.escape(sep))
+    else:
+        raise ValueError(f"split needs an array or string column, "
+                         f"{field} is {dt.simpleString()}")
+    out = df.withColumn(field, F.explode(parts))
+    if not keep_empty and isinstance(dt, StringType):
+        out = out.where(F.col(field) != "")
+    return out

@@ -2569,7 +2569,8 @@ JOIN (SELECT unnest(range(0, 4)) AS epoch) e ON e.epoch < mix.r
 
 
 def q_text_token_count(spark, sf_dir):
-    """Token counting + sequence packing, three merged variants:
+    """Token counting + sequence packing + numeric field filters, six
+    merged variants:
 
     - ``count``: whitespace token count per document (as before);
       v1 = n_tokens.
@@ -2588,6 +2589,10 @@ def q_text_token_count(spark, sf_dir):
       exact token content of every chunk incl. the short tail window.
       The oracle replays the window arithmetic over generate_series +
       list_slice.
+    - ``bytes``: textops.parse_byte_size — the logstash bytes filter
+      (binary mode; IEC infix always 1024; garbage -> NULL).
+    - ``nums``: textops.extract_numbers — the extractnumbers filter;
+      v1 = 2*sum of the extracted decimals (exact integer by fixture).
     """
     from . import packing
 
@@ -2613,7 +2618,39 @@ def q_text_token_count(spark, sf_dir):
         F.col("chunk_idx").alias("v1"),
         F.concat_ws("/", "start", "chunk_len",
                     F.md5(F.col("chunk_text"))).alias("info"))
-    return count.unionByName(chunk).unionByName(greedy).unionByName(window)
+
+    # bytes (round 6): the logstash bytes filter — human size strings
+    # ("512", "N kb", "N.5 MiB", "NGB", "NTiB", garbage) parsed to byte
+    # counts under binary mode; .5 mantissas and power-of-two multipliers
+    # keep every value exactly representable, so the long cast is exact
+    # in both engines. nums (round 6): the extractnumbers filter — all
+    # decimals in a synthesized sentence; v1 = 2*sum (exact integer).
+    did = F.col("doc_id")
+    size_str = (F.when(did % 6 == 0, F.lit("512"))
+                .when(did % 6 == 1, F.concat((did % 100).cast("string"),
+                                             F.lit(" kb")))
+                .when(did % 6 == 2, F.concat((did % 50).cast("string"),
+                                             F.lit(".5 MiB")))
+                .when(did % 6 == 3, F.concat((did % 10).cast("string"),
+                                             F.lit("GB")))
+                .when(did % 6 == 4, F.lit("garbage"))
+                .otherwise(F.concat((did % 4).cast("string"), F.lit("TiB"))))
+    bts = _documents(spark, sf_dir).select(
+        "doc_id", F.lit("bytes").alias("variant"),
+        textops.parse_byte_size(size_str, mode="binary")
+        .cast("long").alias("v1"), size_str.alias("info"))
+    sentence = F.concat(
+        did.cast("string"), F.lit(" items at "),
+        (did % 10).cast("string"), F.lit(".5 each, cost -"),
+        (did % 7 + 1).cast("string"))
+    arr = textops.extract_numbers(sentence)
+    nums = _documents(spark, sf_dir).select(
+        "doc_id", F.lit("nums").alias("variant"),
+        (F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) * 2)
+        .cast("long").alias("v1"),
+        F.size(arr).cast("string").alias("info"))
+    return (count.unionByName(chunk).unionByName(greedy)
+            .unionByName(window).unionByName(bts).unionByName(nums))
 
 
 def _o_text_token_count():
@@ -2671,6 +2708,29 @@ FROM (
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wn
         FROM documents))
+UNION ALL
+SELECT doc_id, 'bytes' AS variant,
+       CAST(CASE doc_id % 6
+         WHEN 0 THEN 512
+         WHEN 1 THEN (doc_id % 100) * 1024
+         WHEN 2 THEN ((doc_id % 50) + 0.5) * 1048576
+         WHEN 3 THEN (doc_id % 10) * 1073741824
+         WHEN 4 THEN NULL
+         ELSE (doc_id % 4) * 1099511627776 END AS BIGINT) AS v1,
+       CASE doc_id % 6
+         WHEN 0 THEN '512'
+         WHEN 1 THEN CAST(doc_id % 100 AS VARCHAR) || ' kb'
+         WHEN 2 THEN CAST(doc_id % 50 AS VARCHAR) || '.5 MiB'
+         WHEN 3 THEN CAST(doc_id % 10 AS VARCHAR) || 'GB'
+         WHEN 4 THEN 'garbage'
+         ELSE CAST(doc_id % 4 AS VARCHAR) || 'TiB' END AS info
+FROM documents
+UNION ALL
+SELECT doc_id, 'nums' AS variant,
+       CAST(2 * doc_id + 2 * (doc_id % 10) + 1 - 2 * (doc_id % 7 + 1)
+            AS BIGINT) AS v1,
+       '3' AS info
+FROM documents
 """
 
 

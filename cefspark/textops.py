@@ -349,3 +349,38 @@ def compression_metrics(df: DataFrame, text_col: str = "text",
         raw.alias("byte_len"),
         z.alias("zlib_len"),
         (raw.cast("double") / z).alias("compression_ratio"))
+
+
+def parse_byte_size(col: Column, mode: str = "binary") -> Column:
+    """The logstash ``bytes`` filter: parse a human byte-size string
+    ("512", "1 kb", "2.5 MiB", "3GB") into a byte count (double).
+
+    ``mode`` is the filter's conversion_method: ``binary`` treats bare
+    k/m/g/t/p units as 1024-based, ``metric`` as 1000-based; an explicit
+    IEC ``i`` infix (KiB/MiB/...) is ALWAYS 1024-based in either mode.
+    Unparsable input -> NULL (error-as-data). One codegen'd
+    regexp_extract + literal-map lookup — no Python, no shuffle."""
+    if mode not in ("binary", "metric"):
+        raise ValueError(f"mode must be binary|metric, got {mode!r}")
+    base = 1024.0 if mode == "binary" else 1000.0
+    pat = r"^\s*([0-9]*\.?[0-9]+)\s*(?:([kKmMgGtTpP])([iI])?)?[bB]?\s*$"
+    num = F.regexp_extract(col, pat, 1)
+    unit = F.lower(F.regexp_extract(col, pat, 2))
+    iec = F.regexp_extract(col, pat, 3) != ""
+    exp = F.element_at(
+        F.create_map(F.lit("k"), F.lit(1), F.lit("m"), F.lit(2),
+                     F.lit("g"), F.lit(3), F.lit("t"), F.lit(4),
+                     F.lit("p"), F.lit(5)), unit)
+    mult = (F.when(unit == "", F.lit(1.0))
+            .otherwise(F.pow(F.when(iec, F.lit(1024.0)).otherwise(F.lit(base)),
+                             exp)))
+    return F.when(num != "", num.cast("double") * mult)
+
+
+def extract_numbers(col: Column) -> Column:
+    """The logstash ``extractnumbers`` filter: every decimal number in
+    the text as array<double>, in order of appearance (regexp_extract_all
+    — JVM-side, vectorized)."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(r"[+-]?\d+(?:\.\d+)?"), 0),
+        lambda s: s.cast("double"))

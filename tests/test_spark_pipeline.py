@@ -1602,6 +1602,69 @@ def test_prune_and_de_dot(spark):
     assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
 
 
+def test_parse_byte_size_and_extract_numbers(spark):
+    """bytes filter: binary vs metric modes, IEC infix always 1024,
+    garbage NULL; extractnumbers: ordered decimals with signs."""
+    import pytest
+
+    from cefspark.textops import extract_numbers, parse_byte_size
+
+    df = spark.createDataFrame(
+        [("512",), ("2 kb",), ("2 KB",), ("2 KiB",), ("1.5 MiB",),
+         ("3GB",), ("1 PB",), ("nope",), (None,)], "s string")
+    binary = {r["s"]: r["b"] for r in df.select(
+        "s", parse_byte_size(F.col("s"), "binary").alias("b")).collect()}
+    metric = {r["s"]: r["b"] for r in df.select(
+        "s", parse_byte_size(F.col("s"), "metric").alias("b")).collect()}
+    assert binary["512"] == metric["512"] == 512.0
+    assert binary["2 kb"] == binary["2 KB"] == binary["2 KiB"] == 2048.0
+    assert metric["2 kb"] == metric["2 KB"] == 2000.0
+    assert metric["2 KiB"] == 2048.0            # IEC infix wins
+    assert binary["1.5 MiB"] == metric["1.5 MiB"] == 1572864.0
+    assert binary["3GB"] == 3 * 1024 ** 3 and metric["3GB"] == 3e9
+    assert binary["1 PB"] == 1024.0 ** 5 and metric["1 PB"] == 1e15
+    assert binary["nope"] is None and binary[None] is None
+    with pytest.raises(ValueError, match="binary|metric"):
+        parse_byte_size(F.col("s"), "decimal")
+
+    got = spark.createDataFrame(
+        [("7 items at 3.5 each, cost -4 total",), ("none here",)],
+        "t string").select(extract_numbers(F.col("t")).alias("a")).collect()
+    assert got[0]["a"] == [7.0, 3.5, -4.0] and got[1]["a"] == []
+
+
+def test_metricize_and_split_events(spark):
+    """metricize: unpivot via one stack generator, NULL metrics skipped;
+    split: array explode / literal-separator string split, empties
+    dropped by default."""
+    import pytest
+
+    from cefspark.pipeline import metricize, split_events
+
+    df = spark.createDataFrame(
+        [("h1", 1.0, None, 3.0)],
+        "host string, cpu double, mem double, io double")
+    rows = metricize(df, ["cpu", "mem", "io"]).collect()
+    assert {(r["metric"], r["value"]) for r in rows} == \
+        {("cpu", 1.0), ("io", 3.0)}
+    assert all(r["host"] == "h1" and "cpu" not in r.asDict() for r in rows)
+    with pytest.raises(ValueError, match="not in frame"):
+        metricize(df, ["nope"])
+
+    s = spark.createDataFrame([("a\nb\n\nc", 1)], "lines string, k int")
+    got = [r["lines"] for r in split_events(s, "lines").collect()]
+    assert got == ["a", "b", "c"]
+    # literal separator: '.' must not behave as regex-any
+    dots = split_events(
+        spark.createDataFrame([("x.y",)], "f string"), "f", sep=".")
+    assert [r["f"] for r in dots.collect()] == ["x", "y"]
+    arr = split_events(
+        spark.createDataFrame([([1, 2], "z")], "a array<int>, t string"), "a")
+    assert [r["a"] for r in arr.collect()] == [1, 2]
+    with pytest.raises(ValueError, match="array or string"):
+        split_events(s, "k")
+
+
 def test_meter_rates_sliding_windows(spark):
     """metrics-filter rate meters: each event lands in window/slide
     overlapping windows, counts sum accordingly, rate_per_min = n/minutes,
