@@ -1602,6 +1602,47 @@ def test_prune_and_de_dot(spark):
     assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
 
 
+def test_dlq_quarantine_replay_drain(spark, tmp_path):
+    """Dead-letter queue end-to-end: idempotent quarantine, replay after
+    a mutate-style fix recovers the fixable rows, drain re-roots the
+    queue to the unfixable remainder."""
+    from cefspark import dlq
+    from cefspark.storage import ManifestTable
+
+    table = ManifestTable(str(tmp_path / "dlq"))
+    good = "CEF:0|v|p|1|s|n|5|src=10.0.0.1"
+    fixable = "CEF:0|v|p|1|s|n|5|msg=a\nb"      # embedded newline: D6 fail
+    garbage = "not cef at all"
+    df = spark.createDataFrame(
+        [(1, good), (2, fixable), (3, garbage)], "i int, text string")
+    dec = decode_dataframe(df)
+
+    snap = dlq.quarantine(dec, table, "batch-1")
+    assert snap is not None and snap.n_rows == 2
+    assert dlq.quarantine(dec, table, "batch-1") is None   # idempotent
+    df2 = spark.createDataFrame([(4, "also broken |")], "i int, text string")
+    assert dlq.quarantine(decode_dataframe(df2), table, "batch-2").n_rows == 1
+    assert table.read_union(spark).count() == 3
+
+    fix = lambda d: d.withColumn(        # noqa: E731
+        "payload", F.regexp_replace("payload", "\n", " "))
+    recovered, still = dlq.replay(spark, table, fix=fix)
+    rec = recovered.collect()
+    assert len(rec) == 1 and rec[0]["extensions"]["message"] == "a b"
+    assert still.count() == 2
+
+    dlq.drain(spark, table, still, "drain-1")
+    after = table.read_union(spark)
+    assert after.count() == 2
+    assert set(r["payload"] for r in after.collect()) == \
+        {"not cef at all", "also broken |"}
+    assert {"dlq://batch-1", "dlq://batch-2", "dlq://drain-1"} <= \
+        table.consumed_inputs()
+    # replaying the drained queue without a fix keeps everything failing
+    r2, s2 = dlq.replay(spark, table)
+    assert r2.count() == 0 and s2.count() == 2
+
+
 def test_parse_byte_size_and_extract_numbers(spark):
     """bytes filter: binary vs metric modes, IEC infix always 1024,
     garbage NULL; extractnumbers: ordered decimals with signs."""
