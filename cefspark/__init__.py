@@ -28,7 +28,10 @@ Spark-first parse -> enrich -> route -> aggregate pipeline:
   SCD-2/as-of enrich, spike alerts)
 * ``cefspark.sources``    — raw-stream framing, binary UTF-8 ingest, JSONL/CSV/ORC readers
 * ``cefspark.multiline``  — logstash multiline-codec event assembly as window arithmetic
-* ``cefspark.mutate``     — logstash mutate verb chains + translate dictionaries as Catalyst projections
+* ``cefspark.mutate``     — logstash mutate verb chains + translate + prune/de_dot as Catalyst projections
+* ``cefspark.syslog_pri`` — syslog <PRI> facility/severity decomposition
+* ``cefspark.structured`` — logstash csv/xml field-parsing filters (from_csv/from_xml)
+* ``cefspark.dlq``        — dead-letter queue: quarantine / fix-and-replay / drain
 
 Everything here derives only from public knowledge: the Apache Spark / PySpark
 API and the behavior of the public reference repo.
