@@ -43,6 +43,40 @@ def test_sink_counts_partial_aggregation_and_single_shuffle(spark, transcripts):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_meter_rates_partial_aggregation_single_shuffle(spark, transcripts):
+    """The sliding-window meter must keep the tumbling aggregate's shape:
+    the window/slide replication is a generator INSIDE the scan stage,
+    partial aggregation collapses it map-side, and exactly one hash
+    exchange carries O(keys x windows) rows — not events x overlap."""
+    routed = pipeline.route(pipeline.enrich(decode_dataframe(transcripts), spark))
+    meters = pipeline.meter_rates(routed, ts_col="ts",
+                                  window="1 hour", slide="15 minutes")
+    plan = plan_of(meters)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the replication is the window generator (Expand), pre-shuffle
+    assert "Expand" in plan
+
+
+def test_syslog_pri_and_structured_stay_codegen(spark):
+    """The new field filters must never leave whole-stage codegen: no
+    Python eval nodes, no shuffles — one projection over the scan."""
+    from cefspark.structured import parse_csv_field, parse_xml_field
+    from cefspark.syslog_pri import parse_syslog_pri
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", F.col("props").alias("message"))
+    for df in (
+        parse_syslog_pri(ev, "message"),
+        parse_csv_field(ev, "message", "a INT, b STRING", target="p"),
+        parse_xml_field(ev, "message", "a INT, b STRING", target="p"),
+    ):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
 def test_decode_projection_prunes_unused_columns(spark):
     # reading parquet and touching only 2 columns must prune the schema
     ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "event_type")
