@@ -556,3 +556,23 @@ def split_events(df: DataFrame, field: str, sep: str = "\n",
     if not keep_empty and isinstance(dt, StringType):
         out = out.where(F.col(field) != "")
     return out
+
+
+def conditional_route(df: DataFrame, rules: list, default: str = "default",
+                      col: str = "route") -> DataFrame:
+    """Logstash pipeline if/else-if routing as ONE chained-when
+    projection: ``rules`` is an ordered list of (condition Column, route
+    name); the FIRST matching rule wins, unmatched rows get ``default``.
+    A NULL condition counts as no-match (three-valued logic never routes
+    a row nowhere).
+
+    Compile-time, codegen'd, no shuffle — the route column then feeds
+    :func:`salted_repartition`/:func:`write_sinks` exactly like the
+    built-in vendor x band routing."""
+    if not rules:
+        raise ValueError("conditional_route needs at least one rule")
+    expr = F.lit(default)
+    for cond, name in reversed(list(rules)):
+        expr = F.when(F.coalesce(cond, F.lit(False)), F.lit(name)) \
+                .otherwise(expr)
+    return df.withColumn(col, expr)

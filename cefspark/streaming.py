@@ -474,3 +474,40 @@ def run_counts_to_table(spark: SparkSession, input_path: str, table,
                                   watermark, window)
     return exactly_once_sink(counts, table, query_name, checkpoint)
 
+
+
+def run_failures_to_dlq(spark: SparkSession, input_path: str, dlq_table,
+                        checkpoint: str, query_name: str = "failures_to_dlq",
+                        config: Optional[DecodeConfig] = None,
+                        source_tag: str | None = None,
+                        max_files_per_trigger: int = 16):
+    """Streaming dead-letter lane: transcript stream → decode → the
+    PARSE FAILURES quarantined into ``dlq_table``, exactly once.
+
+    The batch side of the same contract lives in cefspark.dlq — this
+    reuses its idempotent :func:`cefspark.dlq.quarantine` inside
+    ``foreachBatch`` with the batch id as the ledger tag, so checkpoint
+    replay after a crash re-offers the same deterministic batch and the
+    ledger turns the at-least-once replay into exactly-once (identical
+    scheme to :func:`exactly_once_sink`, distinct token namespace:
+    ``dlq://<tag>/batch/<id>``). Run it beside ``run_counts_to_table``
+    over the same input directory (each with its OWN checkpoint) and the
+    production loop has both lanes: closed windows append to the counts
+    table, failures accumulate in the queue for fix-and-replay.
+
+    Scale: the quarantined relation is the failure subset only; the
+    filter runs inside the micro-batch before any write."""
+    from . import dlq as _dlq
+
+    tag = source_tag or query_name
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    dec = decode_dataframe(stream, config=config)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _dlq.quarantine(batch_df, dlq_table, f"{tag}/batch/{batch_id}")
+
+    return (dec.writeStream.foreachBatch(_write)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -1609,3 +1609,50 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     assert {(r["conv_id"], r["turn_idx"]) for r in got} == \
         {(r["conv_id"], r["turn_idx"]) for r in t.collect()}
     t.unpersist()
+
+
+def test_run_failures_to_dlq_streaming_lane(spark, tmp_path):
+    """Streaming dead-letter lane: decode failures quarantine exactly once
+    across micro-batches; checkpoint resume with no new data adds nothing;
+    the queue then replays through the batch dlq API."""
+    import datetime as dt
+
+    from cefspark import dlq
+    from cefspark.storage import ManifestTable
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(40):
+        text = (f"CEF:0|v|p|1|s|n|5|src=10.0.0.{i}" if i % 4
+                else f"broken line {i}")
+        rows.append((f"c{i}", 0, "user", text, "", base))
+    df = spark.createDataFrame(rows, streaming.TRANSCRIPT_DDL)
+    src = str(tmp_path / "dlq_in")
+    df.where("conv_id like 'c1%' or conv_id like 'c2%'").coalesce(1) \
+        .write.parquet(src)
+    df.where("not (conv_id like 'c1%' or conv_id like 'c2%')").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    table = ManifestTable(str(tmp_path / "dlq_table"))
+    ckpt = str(tmp_path / "dlq_ckpt")
+    q = streaming.run_failures_to_dlq(spark, src, table, ckpt,
+                                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    expected = {f"broken line {i}" for i in range(0, 40, 4)}
+    queue = table.read_union(spark)
+    assert {r["payload"] for r in queue.collect()} == expected
+    assert queue.count() == len(expected)          # exactly once
+    n_snaps = len(table._chain_manifest_paths())
+    assert n_snaps == 2                            # one per micro-batch
+
+    # resume from the checkpoint with no new data: no new snapshots
+    q2 = streaming.run_failures_to_dlq(spark, src, table, ckpt,
+                                       max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert len(table._chain_manifest_paths()) == n_snaps
+    assert table.read_union(spark).count() == len(expected)
+
+    # the streamed queue replays through the batch API (all unfixable here)
+    recovered, still = dlq.replay(spark, table)
+    assert recovered.count() == 0 and still.count() == len(expected)

@@ -1602,6 +1602,26 @@ def test_prune_and_de_dot(spark):
     assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
 
 
+def test_conditional_route_first_match_wins(spark):
+    """Ordered if/else-if routing: first matching rule wins, NULL
+    conditions never match, unmatched rows take the default."""
+    import pytest
+
+    from cefspark.pipeline import conditional_route
+
+    df = spark.createDataFrame(
+        [(10, "a"), (5, "a"), (5, None), (1, "b")], "sev int, v string")
+    out = conditional_route(df, [
+        (F.col("sev") >= 8, "pager"),
+        (F.col("v") == "a", "audit"),      # sev=10 row must NOT land here
+    ], default="archive")
+    got = [(r["sev"], r["v"], r["route"]) for r in out.collect()]
+    assert got == [(10, "a", "pager"), (5, "a", "audit"),
+                   (5, None, "archive"), (1, "b", "archive")]
+    with pytest.raises(ValueError, match="at least one"):
+        conditional_route(df, [])
+
+
 def test_dlq_quarantine_replay_drain(spark, tmp_path):
     """Dead-letter queue end-to-end: idempotent quarantine, replay after
     a mutate-style fix recovers the fixable rows, drain re-roots the
