@@ -2291,7 +2291,7 @@ FROM events
 
 def q_turn_ordering(spark, sf_dir):
     """Per-conversation ordering + the conversation-native training-data
-    formatters, three merged variants:
+    formatters, four merged variants:
 
     - ``rank``: stable per-conversation row_number (as before).
     - ``render``: cefspark.transcripts.render_conversations — one training
@@ -2302,6 +2302,10 @@ def q_turn_ordering(spark, sf_dir):
       supervised (context, response) pair, context = all earlier turns
       rendered; s = md5(context || sep || response). Ordered window
       string_agg on the oracle side.
+    - ``ctx`` (round 6): transcripts.truncate_context — trailing turns
+      under a 10-token budget (variable per-turn token counts), final
+      turn always kept; s = conv:suffix_tokens, reverse-cumsum replayed
+      by the oracle.
 
     The transcript frame derives closed-form from events (conv = user,
     turn_idx = rank-1, role alternates by parity), so both engines build
@@ -2334,7 +2338,18 @@ def q_turn_ordering(spark, sf_dir):
         F.lit("sft").alias("variant"), "event_id",
         F.col("turn_idx").alias("turn_rank"),
         F.md5(F.concat("context", F.lit("\n=>\n"), "response")).alias("s"))
-    return rank.unionByName(render).unionByName(sft)
+    # ctx (round 6): transcripts.truncate_context — keep each
+    # conversation's trailing turns under a 10-token budget (per-turn
+    # tokens = event_id%5+1, so the crop point varies by conversation);
+    # the final turn always survives. Same single conversation exchange.
+    ctx = transcripts.truncate_context(
+        tr.withColumn("_ntok", (F.col("event_id") % 5 + 1).cast("long")),
+        budget=10, tokens_col="_ntok").select(
+        F.lit("ctx").alias("variant"), "event_id",
+        F.lit(-1).cast("long").alias("turn_rank"),
+        F.concat(F.col("conv_id").cast("string"), F.lit(":"),
+                 F.col("suffix_tokens").cast("string")).alias("s"))
+    return rank.unionByName(render).unionByName(sft).unionByName(ctx)
 
 
 O_TURN_ORDERING = """
@@ -2366,6 +2381,18 @@ SELECT 'sft' AS variant, event_id, turn_idx AS turn_rank,
            || chr(10) || '=>' || chr(10) || text) AS s
 FROM t2
 QUALIFY role = 'assistant'
+UNION ALL
+SELECT 'ctx' AS variant, event_id, CAST(-1 AS BIGINT) AS turn_rank,
+       CAST(conv_id AS VARCHAR) || ':' || CAST(sfx AS VARCHAR) AS s
+FROM (
+  SELECT conv_id, event_id,
+         SUM(event_id % 5 + 1) OVER (PARTITION BY conv_id
+             ORDER BY turn_idx DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+           AS pos
+  FROM tr) c
+WHERE sfx <= 10 OR pos = 1
 """
 
 

@@ -83,3 +83,35 @@ def sft_pairs(df: DataFrame, assistant_role: str = "assistant",
             .select(F.col(conv_col), F.col(turn_col), "context",
                     F.col(text_col).alias("response"),
                     *[F.col(c) for c in extra_cols]))
+
+
+def truncate_context(df: DataFrame, budget: int, conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx",
+                     tokens_col: str | None = None,
+                     text_col: str = "text") -> DataFrame:
+    """Context-window truncation: keep each conversation's TRAILING turns
+    whose cumulative token count fits ``budget`` — the standard
+    "most recent context wins" crop before packing/tokenization. The
+    FINAL turn always survives even when alone over budget (dropping it
+    would delete the training target itself).
+
+    Token counts come from ``tokens_col`` when given (e.g. a precomputed
+    BPE count), else a whitespace count of ``text_col``. Adds
+    ``suffix_tokens`` (cumulative tokens from the conversation's end
+    through this turn, inclusive).
+
+    Cost: ONE hash shuffle on the conversation key — the same exchange
+    render/sft/sessionize already pay, so Catalyst/AQE reuse it when
+    composed. The reverse cumsum is a window over that exchange; no
+    second pass, no driver state."""
+    ntok = (F.col(tokens_col) if tokens_col is not None
+            else F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+                  .otherwise(F.size(F.split(F.trim(F.col(text_col)),
+                                            r"\s+"))))
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col).desc())
+    sfx = F.sum(ntok).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    pos = F.row_number().over(w)
+    return (df.withColumn("suffix_tokens", sfx)
+            .withColumn("_pos", pos)
+            .where((F.col("suffix_tokens") <= budget) | (F.col("_pos") == 1))
+            .drop("_pos"))

@@ -1602,6 +1602,24 @@ def test_prune_and_de_dot(spark):
     assert got["d"] == {"src_ip": "1", "dst_ip": "2", "msg": "x"}
 
 
+def test_truncate_context_budget_crop(spark):
+    """Trailing turns under the token budget survive; the final turn
+    survives even alone over budget; whitespace token path works."""
+    from cefspark.transcripts import truncate_context
+
+    rows = [
+        ("c1", 0, "a b c d e f"),      # 6 tokens — must be cropped
+        ("c1", 1, "g h i"),            # 3
+        ("c1", 2, "j k"),              # 2  -> suffix 2, 5 fit in 5
+        ("c2", 0, "one two three four five six seven"),  # 7 > budget, solo
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = truncate_context(df, budget=5)
+    got = {(r["conv_id"], r["turn_idx"]): r["suffix_tokens"]
+           for r in out.collect()}
+    assert got == {("c1", 2): 2, ("c1", 1): 5, ("c2", 0): 7}
+
+
 def test_conditional_route_first_match_wins(spark):
     """Ordered if/else-if routing: first matching rule wins, NULL
     conditions never match, unmatched rows take the default."""
