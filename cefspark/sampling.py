@@ -68,11 +68,18 @@ def split_bucket_sql(id_expr: str, salt: int = 0) -> str:
 
 def assign_split(df: DataFrame, weights: Sequence[float],
                  names: Sequence[str] = ("train", "val", "test"),
-                 id_col: str = "doc_id", salt: int = 0) -> DataFrame:
+                 id_col: str = "doc_id", salt: int = 0,
+                 hash_string_ids: bool = False) -> DataFrame:
     """Add a `split` column assigning each row to one of `names` with the
     given weights (must sum to 1.0 within rounding; resolved to integer
     bucket cutoffs out of 1000). Pure projection — no shuffle, no UDF, and
     the predicate `split = 'train'` stays whole-stage-codegen and pushable.
+
+    ``hash_string_ids=True`` first folds a STRING key into a non-negative
+    long via ``pmod(xxhash64(id), 2^61)`` (conversation ids are strings in
+    the transcript contract). Still deterministic and codegen'd, but NOT
+    covered by the DuckDB-parity contract of the integer path — the
+    engine-exactness gate (`sample_split`) pins integer keys only.
     """
     if len(weights) != len(names):
         raise ValueError("weights and names must align")
@@ -90,7 +97,9 @@ def assign_split(df: DataFrame, weights: Sequence[float],
         cuts.append(hi)
     if cuts[-1] != _BUCKETS:
         raise ValueError(f"weights must sum to 1.0 (got cutoffs {cuts})")
-    b = split_bucket(F.col(id_col), salt)
+    key = (F.pmod(F.xxhash64(F.col(id_col)), F.lit(2 ** 61))
+           if hash_string_ids else F.col(id_col))
+    b = split_bucket(key, salt)
     # when-chains are first-match-wins, so `b < hi` alone suffices per branch
     expr = None
     for name, hi in zip(names, cuts):

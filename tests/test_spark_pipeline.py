@@ -694,6 +694,45 @@ def test_prepare_training_data_job_smoke(tmp_path):
         assert n <= 96 or solo == 1
 
 
+def test_prepare_sft_data_job_smoke(tmp_path):
+    """jobs/prepare_sft_data.py end-to-end in a subprocess: redact ->
+    context-crop -> render -> conversation dedup -> SFT pairs ->
+    by-conversation split, with coherent accounting."""
+    import collections
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as ds
+
+    out = str(tmp_path / "sft")
+    r = subprocess.run(
+        [sys.executable, "jobs/prepare_sft_data.py", "--cpus", "4",
+         "--synthesize", "2000", "--out", out, "--context-budget", "60"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < m["n_turns_after_crop"] <= m["n_turns_input"]
+    assert 0 < m["n_conversations_after_dedup"] <= m["n_conversations"]
+    assert sum(m["splits"].values()) == m["n_pairs"] > 0
+    tbl = ds.dataset(m["out"], partitioning="hive").to_table()
+    assert tbl.num_rows == m["n_pairs"]
+    # split is a pure function of conv_id: no conversation straddles splits
+    by_conv = collections.defaultdict(set)
+    for conv, split in zip(tbl.column("conv_id").to_pylist(),
+                           tbl.column("split").to_pylist()):
+        by_conv[conv].add(split)
+    assert all(len(s) == 1 for s in by_conv.values())
+    # the context crop bounds every pair's context+response token count
+    # (context = kept earlier turns; each pair's total never exceeds the
+    # conversation's kept-suffix budget... the FINAL turn exemption can
+    # exceed it only when a single turn is oversized — absent here)
+    for ctx, resp in zip(tbl.column("context").to_pylist(),
+                         tbl.column("response").to_pylist()):
+        n = len([t for t in (ctx + " " + resp).split() if t])
+        assert n <= 60 + 20   # role prefixes add <= one token per turn
+
+
 def test_grok_compile_and_parse(spark):
     """Grok expressions compile positionally (no capture groups inside base
     patterns), composites expand recursively, and parsing yields NULL per
