@@ -141,6 +141,22 @@ def mutate(df: DataFrame, ops: list[tuple]) -> DataFrame:
             df = df.withColumn(field, F.concat(
                 F.upper(F.substring(F.col(field), 1, 1)),
                 F.substring(F.col(field), 2, 2147483647)))
+        elif verb == "set_if":
+            # the alter filter's condrewrite: rewrite field when it
+            # currently equals op[2] (NULL-safe equality — a NULL field
+            # never matches, it keeps its NULL)
+            df = df.withColumn(field, F.when(
+                F.col(field).eqNullSafe(F.lit(op[2])) &
+                F.col(field).isNotNull(),
+                F.lit(op[3])).otherwise(F.col(field)))
+        elif verb == "set_other_if":
+            # alter's condrewriteother: when THIS field equals op[2],
+            # write op[4] into field op[3] (others keep their value)
+            df = df.withColumn(op[3], F.when(
+                F.col(field).eqNullSafe(F.lit(op[2])) &
+                F.col(field).isNotNull(), F.lit(op[4]))
+                .otherwise(F.col(op[3]) if op[3] in df.columns
+                           else F.lit(None).cast("string")))
         else:
             raise ValueError(f"unknown mutate verb {verb!r}")
     return df

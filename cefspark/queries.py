@@ -1848,8 +1848,22 @@ def q_cef_window_counts(spark, sf_dir):
     # SLIDING 1h windows every 15 min (each event in 4 windows; map-side
     # partial agg collapses the replication before the shuffle). The
     # oracle replays the slide arithmetic with a generate_series cross
-    # join, staying in naive-timestamp space throughout.
-    meter = pipeline.meter_rates(_routed(spark, sf_dir), ts_col="ts",
+    # join, staying in naive-timestamp space throughout. Input is the
+    # CLOSED-FORM routed shape (sink from residues, no decode): the
+    # decode+window composition is already proven by `counts`, so meter
+    # pays only its own subtree instead of a second decode pass.
+    eid = F.col("event_id")
+    sink_cf = F.when(eid % 13 == 0, F.lit(pipeline.FAILURE_SINK)).otherwise(
+        F.concat_ws("/",
+                    F.when(eid % 10 <= 5, "security")
+                    .when(eid % 10 == 6, "FooBar")
+                    .when(eid % 10 == 7, "Vendor")
+                    .when(eid % 10 == 8, "fun").otherwise("acme"),
+                    F.when(eid % 11 <= 3, "low")
+                    .when(eid % 11 <= 6, "med").otherwise("high")))
+    routed_cf = _events(spark, sf_dir).select("event_id", "ts",
+                                              sink_cf.alias("sink_id"))
+    meter = pipeline.meter_rates(routed_cf, ts_col="ts",
                                  key_cols=("sink_id",), window="1 hour",
                                  slide="15 minutes").select(
         F.lit("meter").alias("variant"), "sink_id",

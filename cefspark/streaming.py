@@ -511,3 +511,27 @@ def run_failures_to_dlq(spark: SparkSession, input_path: str, dlq_table,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def windowed_unique_counts(stream: DataFrame, key_col: str = "sink_id",
+                           id_col: str = "conv_id",
+                           ts_col: str = "ts",
+                           watermark: str = "10 minutes",
+                           window: str = "1 hour",
+                           rsd: float = 0.05) -> DataFrame:
+    """Streaming per-key windowed APPROXIMATE DISTINCT counts
+    (HyperLogLog++ via ``approx_count_distinct``): "how many distinct
+    conversations hit each sink per hour" without holding the id set in
+    state — the sketch is the state, constant-size per (key, window)
+    regardless of cardinality. That bound is the whole point at 10^12
+    turns: an exact distinct would keep every id in the state store.
+
+    HLL++ hashes deterministically and merges order-independently, so
+    the streamed result equals the batch ``approx_count_distinct`` over
+    the same rows at the same ``rsd`` — pinned in pytest across
+    multi-batch availableNow drains."""
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(key_col, F.window(ts_col, window).alias("w"))
+            .agg(F.approx_count_distinct(id_col, rsd).alias("n_unique"))
+            .select(key_col, F.col("w.start").alias("window_start"),
+                    "n_unique"))

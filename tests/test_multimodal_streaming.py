@@ -1656,3 +1656,47 @@ def test_run_failures_to_dlq_streaming_lane(spark, tmp_path):
     # the streamed queue replays through the batch API (all unfixable here)
     recovered, still = dlq.replay(spark, table)
     assert recovered.count() == 0 and still.count() == len(expected)
+
+
+def test_windowed_unique_counts_stream_equals_batch(spark, tmp_path):
+    """HLL++ windowed distinct counts: the streamed (multi-batch) result
+    equals the batch approx_count_distinct over the same rows — the
+    sketch merges order-independently, so micro-batching is invisible."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    for i in range(300):
+        rows.append((f"conv-{i % 57}", 0, "user",
+                     f"CEF:0|v{i % 3}|p|1|s|n|5|src=10.0.0.{i % 9}", "",
+                     base + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows, streaming.TRANSCRIPT_DDL)
+    src = str(tmp_path / "uq_in")
+    # two files split by time so availableNow drains >= 2 micro-batches
+    df.where(F.col("ts") < base + dt.timedelta(minutes=150)) \
+        .coalesce(1).write.parquet(src)
+    df.where(F.col("ts") >= base + dt.timedelta(minutes=150)) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(streaming.TRANSCRIPT_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    routed = streaming.routed_stream(stream, spark)
+    uq = streaming.windowed_unique_counts(routed)
+    q = (uq.writeStream.format("memory").queryName("uq_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["sink_id"], r["window_start"]): r["n_unique"]
+           for r in spark.table("uq_mem").collect()}
+
+    from cefspark.pipeline import enrich, route
+    from cefspark.udfs import decode_dataframe as _dec
+    batch = route(enrich(_dec(df), spark))
+    exp = {(r["sink_id"], r["window_start"]): r["n_unique"]
+           for r in batch.groupBy(
+               "sink_id", F.window("ts", "1 hour").alias("w"))
+           .agg(F.approx_count_distinct("conv_id", 0.05).alias("n_unique"))
+           .select("sink_id", F.col("w.start").alias("window_start"),
+                   "n_unique").collect()}
+    assert got == exp and len(got) > 0
+    # sanity: windows genuinely aggregate multiple distinct conversations
+    assert max(got.values()) > 1

@@ -1607,6 +1607,17 @@ def test_mutate_round6_verbs(spark):
                [("truncate", "t", 1)]).collect()[0]
     assert r["t"] != "é" and r["t"] is not None
 
+    # alter-filter verbs: set_if rewrites only on exact current value
+    # (NULL never matches); set_other_if writes a DIFFERENT field
+    alt = spark.createDataFrame(
+        [("warn", "x"), ("info", "y"), (None, "z")], "lvl string, o string")
+    got = {r["o"]: (r["lvl"], r["sev"]) for r in mutate(alt, [
+        ("set_if", "lvl", "warn", "warning"),
+        ("set_other_if", "lvl", "info", "sev", "low"),
+    ]).collect()}
+    assert got == {"x": ("warning", None), "y": ("info", "low"),
+                   "z": (None, None)}
+
 
 def test_prune_and_de_dot(spark):
     """prune: whitelist-then-blacklist regex projection; de_dot renames
