@@ -244,13 +244,16 @@ def translate(df: DataFrame, src_col: str, dictionary: dict[str, str],
     order, FIRST match wins (``rlike`` chain — Java regex, partial match
     per the filter's default). Misses fill with ``default`` (NULL when
     not given)."""
+    # logstash events are stringly-typed; a convert-ed (e.g. BIGINT)
+    # source still looks up by its string rendering
+    src = F.col(src_col).cast("string")
     if regex:
         expr: Column = F.lit(default).cast("string")
         for pat, val in reversed(list(dictionary.items())):
-            expr = F.when(F.col(src_col).rlike(pat), F.lit(val)).otherwise(expr)
+            expr = F.when(src.rlike(pat), F.lit(val)).otherwise(expr)
     else:
         kv = [x for pair in dictionary.items() for x in map(F.lit, pair)]
-        hit = F.element_at(F.create_map(*kv), F.col(src_col)) if kv \
+        hit = F.element_at(F.create_map(*kv), src) if kv \
             else F.lit(None).cast("string")
         expr = F.coalesce(hit, F.lit(default).cast("string"))
     return df.withColumn(dest_col, expr)

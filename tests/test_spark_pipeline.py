@@ -1995,3 +1995,51 @@ def test_commit_sort_cols_layout(spark, tmp_path):
     assert len(ranges) == 8
     assert all(ranges[i][1] < ranges[i + 1][0] for i in range(7))
     assert t.read(spark).count() == 20000
+
+
+def test_apply_filters_config_chain(spark):
+    """config.apply_filters: an ordered logstash-shaped filter list
+    compiles to the library operators; compile-time failures on unknown
+    filters/options."""
+    import pytest
+
+    from cefspark.config import apply_filters
+
+    df = spark.createDataFrame(
+        [(1, '10.0.0.1 - u1 [10/Oct/2025:13:55:36 +0000] '
+             '"GET /a HTTP/1.0" 200 55'),
+         (2, '10.0.0.2 - u2 [10/Oct/2025:13:55:37 +0000] '
+             '"GET /b HTTP/1.0" 500 -')],
+        "i int, text string")
+    out = apply_filters(df, [
+        {"grok": {"match": "%{COMMONAPACHELOG}"}},
+        {"mutate": {"ops": [["convert", "response", "integer"],
+                            ["remove", "ident", "auth", "httpversion"]]}},
+        {"translate": {"source": "response", "target": "klass",
+                       "dictionary": {"200": "ok"}, "default": "err"}},
+        {"drop": {"where": "klass = 'err'"}},
+        {"prune": {"whitelist": ["^(i|clientip|response|klass)$"]}},
+    ])
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["i"], r["clientip"], r["response"], r["klass"]) == \
+        (1, "10.0.0.1", 200, "ok")
+    assert set(out.columns) == {"i", "clientip", "response", "klass"}
+
+    with pytest.raises(ValueError, match="unknown filter"):
+        apply_filters(df, [{"geoip2": {}}])
+    with pytest.raises(ValueError, match="unknown option"):
+        apply_filters(df, [{"grok": {"match": "%{INT:x}", "anchor": True}}])
+    with pytest.raises(ValueError, match="single-key"):
+        apply_filters(df, [{"grok": {}, "kv": {}}])
+
+    # chained generators + unpivot verbs work through the table too
+    m = spark.createDataFrame([("h", 1.0, 2.0, "a\nb")],
+                              "host string, cpu double, mem double, lines string")
+    out2 = apply_filters(m, [
+        {"metricize": {"metrics": ["cpu", "mem"]}},
+        {"split": {"field": "lines"}},
+        {"clone": {"clones": ["audit"]}},
+    ])
+    assert out2.count() == 2 * 2 * 2
