@@ -32,6 +32,7 @@ Spark-first parse -> enrich -> route -> aggregate pipeline:
 * ``cefspark.syslog_pri`` — syslog <PRI> facility/severity decomposition
 * ``cefspark.structured`` — logstash csv/xml field-parsing filters (from_csv/from_xml)
 * ``cefspark.dlq``        — dead-letter queue: quarantine / fix-and-replay / drain
+* ``cefspark.config``     — declarative filter-chain compiler (logstash-config shape)
 
 Everything here derives only from public knowledge: the Apache Spark / PySpark
 API and the behavior of the public reference repo.
