@@ -576,3 +576,62 @@ def conditional_route(df: DataFrame, rules: list, default: str = "default",
         expr = F.when(F.coalesce(cond, F.lit(False)), F.lit(name)) \
                 .otherwise(expr)
     return df.withColumn(col, expr)
+
+
+def funnel(df: DataFrame, steps: list, key_col: str = "user_id",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered conversion funnel: per key, step k counts as reached iff an
+    event matching ``steps[k]`` (boolean Columns) occurs STRICTLY AFTER
+    the instant step k-1 was first reached (min-ts semantics — the
+    classic "view → click → purchase" product funnel, order enforced).
+
+    Returns one row per key that reached step 1: ``(key_col,
+    step_ts_1..step_ts_K, steps_reached)`` with NULL step_ts beyond the
+    last step reached (monotone by construction).
+
+    Scale: K tiny hash aggregations + K-1 joins, ALL keyed on
+    ``key_col`` — every exchange re-uses the same hash partitioning, and
+    each agg output is one row per surviving key (monotonically
+    shrinking). No self-join on events, no inequality-join explosion:
+    the time constraint rides the join as a filter against the single
+    carried timestamp."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    acc = (df.where(steps[0]).groupBy(key_col)
+           .agg(F.min(ts_col).alias("step_ts_1")))
+    for i, cond in enumerate(steps[1:], start=2):
+        nxt = (df.join(acc.select(key_col,
+                                  F.col(f"step_ts_{i - 1}").alias("_pt")),
+                       key_col)
+               .where(cond & (F.col(ts_col) > F.col("_pt")))
+               .groupBy(key_col).agg(F.min(ts_col).alias(f"step_ts_{i}")))
+        acc = acc.join(nxt, key_col, "left")
+    reached = None
+    for i in range(1, len(steps) + 1):
+        bit = F.col(f"step_ts_{i}").isNotNull().cast("int")
+        reached = bit if reached is None else reached + bit
+    return acc.withColumn("steps_reached", reached)
+
+
+def retention_cohorts(df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period_seconds: int = 7 * 86400) -> DataFrame:
+    """Cohort retention: bucket time into ``period_seconds`` periods,
+    cohort = each key's FIRST active period; emit ``(cohort, offset,
+    n_keys)`` = how many of the cohort's keys were active again
+    ``offset`` periods later (offset 0 row = cohort size).
+
+    Shape: one distinct over (key, period) — volume bounded by
+    keys x periods, far below event volume — then a per-key min and one
+    count aggregation, all hash-partitioned on the key until the final
+    tiny (cohort, offset) agg. The classic telemetry/product query, and
+    at 10^12 turns the (key, period) projection is the only relation
+    that matters."""
+    period = (F.floor(F.unix_millis(F.col(ts_col).cast("timestamp"))
+                      / F.lit(period_seconds * 1000))).alias("_period")
+    active = df.select(F.col(key_col), period).distinct()
+    firsts = active.groupBy(key_col).agg(F.min("_period").alias("_cohort"))
+    return (active.join(firsts, key_col)
+            .groupBy(F.col("_cohort").alias("cohort"),
+                     (F.col("_period") - F.col("_cohort")).alias("offset"))
+            .agg(F.count(F.lit(1)).alias("n_keys")))

@@ -2065,7 +2065,7 @@ FROM events GROUP BY user_id
 
 
 def q_event_sessions(spark, sf_dir):
-    """Per-user event-time operators, two merged variants:
+    """Per-user event-time operators, seven merged variants:
 
     - ``session``: a new session starts after a >30-minute gap per user —
       lag + conditional running sum over an event-time window (the standard
@@ -2096,7 +2096,12 @@ def q_event_sessions(spark, sf_dir):
       with a 10-minute timeout, val = elapsed ms for matched pairs, -1
       for end-without-start, -2 for expired. The oracle restates the
       residue arithmetic closed-form — it never pairs anything; ids with
-      neither row are absent from both sides."""
+      neither row are absent from both sides.
+    - ``funnel`` (round 6): ordered view->click->purchase conversion per
+      user (pipeline.funnel — chained min-ts joins, all keyed on user).
+    - ``retention`` (round 6): daily cohort retention
+      (pipeline.retention_cohorts — distinct (user, day), cohort = first
+      day, offset counts)."""
     from pyspark.sql.window import Window
 
     from .asof import asof_join, interval_join
@@ -2159,8 +2164,27 @@ def q_event_sessions(spark, sf_dir):
         .when(F.col("status") == "end_without_start", F.lit(-1))
         .otherwise(F.lit(-2)).cast("long").alias("val"))
 
+    # funnel (round 6): ordered view -> click -> purchase conversion per
+    # user (pipeline.funnel) — event_id = user_id, val = steps_reached.
+    # The oracle replays the chained min-ts CTEs verbatim.
+    fun = pipeline.funnel(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        [F.col("event_type") == "view", F.col("event_type") == "click",
+         F.col("event_type") == "purchase"]).select(
+        F.col("user_id").cast("long").alias("event_id"),
+        F.lit("funnel").alias("variant"),
+        F.col("steps_reached").cast("long").alias("val"))
+    # retention (round 6): DAILY cohort retention (pipeline.
+    # retention_cohorts) — event_id = cohort*1000 + offset, val = n_keys.
+    ret = pipeline.retention_cohorts(
+        ev.select("user_id", "ts"), period_seconds=86400).select(
+        (F.col("cohort") * 1000 + F.col("offset")).cast("long")
+        .alias("event_id"),
+        F.lit("retention").alias("variant"),
+        F.col("n_keys").cast("long").alias("val"))
+
     return (sess.unionByName(asof).unionByName(rng).unionByName(thr)
-            .unionByName(elv))
+            .unionByName(elv).unionByName(fun).unionByName(ret))
 
 
 O_EVENT_SESSIONS = """
@@ -2203,6 +2227,39 @@ SELECT event_id, 'elapsed' AS variant,
                  ELSE (event_id % 13 + 1) * 60000 END AS BIGINT) AS val
 FROM events
 WHERE NOT (event_id % 11 = 0 AND event_id % 5 = 0)
+UNION ALL
+SELECT CAST(t1.u AS BIGINT) AS event_id, 'funnel' AS variant,
+       CAST(1 + (t2.u IS NOT NULL)::INT + (t3.u IS NOT NULL)::INT AS BIGINT)
+         AS val
+FROM (SELECT user_id AS u, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1) t1
+LEFT JOIN (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+           JOIN (SELECT user_id AS u, MIN(ts) AS t FROM events
+                 WHERE event_type = 'view' GROUP BY 1) p
+             ON e.user_id = p.u
+           WHERE e.event_type = 'click' AND e.ts > p.t GROUP BY 1) t2
+  ON t1.u = t2.u
+LEFT JOIN (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+           JOIN (SELECT e2.user_id AS u, MIN(e2.ts) AS t FROM events e2
+                 JOIN (SELECT user_id AS u, MIN(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1) p2
+                   ON e2.user_id = p2.u
+                 WHERE e2.event_type = 'click' AND e2.ts > p2.t
+                 GROUP BY 1) p
+             ON e.user_id = p.u
+           WHERE e.event_type = 'purchase' AND e.ts > p.t GROUP BY 1) t3
+  ON t1.u = t3.u
+UNION ALL
+SELECT CAST(cohort * 1000 + off AS BIGINT) AS event_id,
+       'retention' AS variant, CAST(n_keys AS BIGINT) AS val
+FROM (
+  SELECT f.cohort, a.p - f.cohort AS off, COUNT(*) AS n_keys
+  FROM (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS p
+        FROM events) a
+  JOIN (SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS cohort
+        FROM events GROUP BY 1) f
+    ON a.user_id = f.user_id
+  GROUP BY 1, 2) r
 """
 
 

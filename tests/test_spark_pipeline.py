@@ -2043,3 +2043,58 @@ def test_apply_filters_config_chain(spark):
         {"clone": {"clones": ["audit"]}},
     ])
     assert out2.count() == 2 * 2 * 2
+
+
+def test_funnel_order_enforced(spark):
+    """Funnel steps must occur in order: a click BEFORE the first view
+    does not count; min-ts semantics pick the earliest qualifying event;
+    keys that never reach step 1 are absent."""
+    import datetime as dt
+
+    import pytest
+
+    from cefspark.pipeline import funnel
+
+    b = dt.datetime(2026, 1, 1)
+    m = lambda k: b + dt.timedelta(minutes=k)     # noqa: E731
+    rows = [
+        # u1: view@1, click@2, purchase@3 -> 3 steps
+        ("u1", "view", m(1)), ("u1", "click", m(2)), ("u1", "purchase", m(3)),
+        # u2: click@1 BEFORE view@2 -> click must not count; 1 step
+        ("u2", "click", m(1)), ("u2", "view", m(2)),
+        # u3: no view at all -> absent
+        ("u3", "click", m(1)), ("u3", "purchase", m(2)),
+        # u4: view@1, purchase@2 without click -> 1 step (order enforced)
+        ("u4", "view", m(1)), ("u4", "purchase", m(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = funnel(df, [F.col("event_type") == "view",
+                      F.col("event_type") == "click",
+                      F.col("event_type") == "purchase"])
+    got = {r["user_id"]: r["steps_reached"] for r in out.collect()}
+    assert got == {"u1": 3, "u2": 1, "u4": 1}
+    with pytest.raises(ValueError, match="at least one"):
+        funnel(df, [])
+
+
+def test_retention_cohorts_offsets(spark):
+    """Cohort = first active period; offset 0 row equals cohort size;
+    multiple events in one period count once."""
+    import datetime as dt
+
+    from cefspark.pipeline import retention_cohorts
+
+    day = 86400
+    b = dt.datetime(2026, 1, 1)   # epoch-day boundary-safe (midnight UTC)
+    rows = [
+        ("a", b), ("a", b + dt.timedelta(hours=3)),       # day 0 twice
+        ("a", b + dt.timedelta(days=2)),                  # day 2
+        ("b", b + dt.timedelta(hours=1)),                 # day 0 only
+        ("c", b + dt.timedelta(days=2)),                  # cohort day 2
+        ("c", b + dt.timedelta(days=3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = retention_cohorts(df, period_seconds=day)
+    d0 = (b - dt.datetime(1970, 1, 1)).days
+    got = {(r["cohort"], r["offset"]): r["n_keys"] for r in out.collect()}
+    assert got == {(d0, 0): 2, (d0, 2): 1, (d0 + 2, 0): 1, (d0 + 2, 1): 1}
