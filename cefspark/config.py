@@ -52,14 +52,16 @@ def _opts(spec: dict, allowed: set, name: str) -> dict:
 
 def _f_grok(df, o):
     from .grok import grok_parse, grok_parse_any
-    _opts(o, {"match", "source", "anchored", "keep_unmatched"}, "grok")
+    _opts(o, {"match", "source", "anchored", "keep_unmatched",
+              "pattern_definitions"}, "grok")
     pats = o["match"]
     src = o.get("source", "text")
     kw = {"anchored": o.get("anchored", True),
           "keep_unmatched": o.get("keep_unmatched", True)}
     if isinstance(pats, list):
         return grok_parse_any(df, pats, text_col=src, **kw)
-    return grok_parse(df, pats, text_col=src, **kw)
+    return grok_parse(df, pats, text_col=src,
+                      extra_patterns=o.get("pattern_definitions"), **kw)
 
 
 def _f_dissect(df, o):

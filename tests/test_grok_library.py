@@ -168,3 +168,4 @@ def test_library_size_floor():
     logstash-core vocabulary. Guard against regressions shrinking it."""
     assert len(grok.BASE_PATTERNS) >= 55
     assert len(grok.COMPOSITE_PATTERNS) >= 6
+

@@ -2098,3 +2098,26 @@ def test_retention_cohorts_offsets(spark):
     d0 = (b - dt.datetime(1970, 1, 1)).days
     got = {(r["cohort"], r["offset"]): r["n_keys"] for r in out.collect()}
     assert got == {(d0, 0): 2, (d0, 2): 1, (d0 + 2, 0): 1, (d0 + 2, 1): 1}
+
+
+def test_grok_extra_patterns(spark):
+    """pattern_definitions parity: caller-supplied base patterns resolve,
+    override builtins, and reject capturing groups."""
+    import pytest
+
+    from cefspark.grok import grok_parse
+
+    df = spark.createDataFrame([("TKT-1234 closed",), ("nope",)], "text string")
+    out = {r["text"]: r["tid"] for r in grok_parse(
+        df, r"%{TICKET:tid} %{WORD:state}",
+        extra_patterns={"TICKET": r"TKT-\d+"}).collect()}
+    assert out == {"TKT-1234 closed": "TKT-1234", "nope": None}
+
+    # override a BUILTIN: a narrowed INT that only accepts 2 digits
+    o2 = {r["text"]: r["n"] for r in grok_parse(
+        df.withColumn("text", F.lit("42")).limit(1), r"%{INT:n:int}",
+        extra_patterns={"INT": r"\d{2}"}).collect()}
+    assert o2 == {"42": 42}
+
+    with pytest.raises(ValueError, match="capturing group"):
+        grok_parse(df, "%{BAD:x}", extra_patterns={"BAD": r"(a)"})
