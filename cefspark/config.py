@@ -180,7 +180,15 @@ def _f_truncate(df, o):
     return mutate(df, [("truncate", o["field"], o["length_bytes"])])
 
 
+def _f_date(df, o):
+    from .structured import parse_date_field
+    _opts(o, {"source", "match", "target"}, "date")
+    return parse_date_field(df, o.get("source", "message"), o["match"],
+                            target=o.get("target", "event_ts"))
+
+
 FILTERS = {
+    "date": _f_date,
     "grok": _f_grok, "dissect": _f_dissect, "kv": _f_kv,
     "mutate": _f_mutate, "translate": _f_translate, "csv": _f_csv,
     "xml": _f_xml, "syslog_pri": _f_syslog_pri, "prune": _f_prune,

@@ -69,3 +69,38 @@ def parse_xml_field(df: DataFrame, col: str, schema: str,
     """
     parsed = F.from_xml(F.col(col), F.lit(schema))
     return _expand(df, parsed, _ddl_fields(schema), target)
+
+
+def parse_date_field(df: DataFrame, col: str, formats: list[str],
+                     target: str = "event_ts") -> DataFrame:
+    """The logstash ``date`` filter: try ``formats`` in order against
+    string column ``col``; the first successful parse lands in
+    ``target`` (TimestampType), rows no format fits get NULL
+    (error-as-data — route them like any decode failure).
+
+    Formats are Spark datetime patterns (y/M/d/H/m/s/S...), plus the
+    filter's specials ``ISO8601`` (Spark's default lenient parser),
+    ``UNIX`` (epoch seconds, fractional ok) and ``UNIX_MS`` (epoch
+    millis). NOTE: logstash uses Joda patterns — mostly identical for
+    the common cases, but e.g. Joda ``YYYY`` (week-year in Spark) should
+    be written ``yyyy`` here; this engine rejects nothing at compile
+    time, the try-parse just returns NULL.
+
+    One codegen'd coalesce of try_to_timestamp calls — no Python, no
+    shuffle. The CEF-exact normalizer (timestamps.py) is NOT this: CEF
+    needs the reference's locale/zone/year-inference semantics; this is
+    the generic any-log date stage."""
+    if not formats:
+        raise ValueError("parse_date_field needs at least one format")
+    c = F.col(col)
+    attempts = []
+    for fmt in formats:
+        if fmt == "UNIX":
+            attempts.append(F.timestamp_seconds(c.try_cast("double")))
+        elif fmt == "UNIX_MS":
+            attempts.append(F.timestamp_millis(c.try_cast("bigint")))
+        elif fmt == "ISO8601":
+            attempts.append(F.try_to_timestamp(c))
+        else:
+            attempts.append(F.try_to_timestamp(c, F.lit(fmt)))
+    return df.withColumn(target, F.coalesce(*attempts))

@@ -2121,3 +2121,41 @@ def test_grok_extra_patterns(spark):
 
     with pytest.raises(ValueError, match="capturing group"):
         grok_parse(df, "%{BAD:x}", extra_patterns={"BAD": r"(a)"})
+
+
+def test_parse_date_field_multi_format(spark):
+    """date filter: first matching format wins; UNIX/UNIX_MS/ISO8601
+    specials; unparsable -> NULL."""
+    import datetime as dt
+
+    import pytest
+
+    from cefspark.structured import parse_date_field
+
+    df = spark.createDataFrame(
+        [("2026-01-02 03:04:05",), ("02/Jan/2026:03:04:05",),
+         ("1767323045",), ("1767323045123",), ("garbage",), (None,)],
+        "message string")
+    out = parse_date_field(df, "message", [
+        "yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy:HH:mm:ss", "UNIX_MS", "UNIX"])
+    got = {r["message"]: r["event_ts"] for r in out.collect()}
+    want = dt.datetime(2026, 1, 2, 3, 4, 5)
+    assert got["2026-01-02 03:04:05"] == want
+    assert got["02/Jan/2026:03:04:05"] == want
+    assert got["1767323045123"] == dt.datetime.utcfromtimestamp(1767323045.123)
+    # 10-digit epoch: UNIX_MS comes first in the list and also parses it
+    # (as 1970) — order matters, exactly the logstash pitfall; flip order
+    out2 = parse_date_field(
+        df.where("message IS NULL OR length(message) != 13"),
+        "message", ["UNIX", "UNIX_MS"])
+    got2 = {r["message"]: r["event_ts"] for r in out2.collect()}
+    assert got2["1767323045"] == dt.datetime.utcfromtimestamp(1767323045)
+    assert got["garbage"] is None and got[None] is None
+    with pytest.raises(ValueError, match="at least one"):
+        parse_date_field(df, "message", [])
+
+    # through the config compiler
+    from cefspark.config import apply_filters
+    cfg = apply_filters(df.limit(1), [
+        {"date": {"match": ["yyyy-MM-dd HH:mm:ss"], "target": "ts2"}}])
+    assert cfg.collect()[0]["ts2"] == want
