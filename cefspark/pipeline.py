@@ -406,6 +406,74 @@ def elapsed(df: DataFrame, id_col: str, start_pred, end_pred,
         status.alias("status"))
 
 
+def aggregate_tasks(df: DataFrame, task_col: str, map_col: str,
+                    ts_col: str = "ts", order_cols: Optional[list[str]] = None,
+                    end_pred=None, timeout_s: Optional[float] = None,
+                    now_ts=None) -> DataFrame:
+    """Multi-event task correlation — the logstash ``aggregate`` filter
+    re-expressed relationally: events sharing ``task_col`` accumulate into
+    one per-task map (the filter's ``map`` variable), merged in event-time
+    order with LATER-WINS key semantics (each event's map entries overwrite
+    earlier entries for the same key, exactly what sequential
+    ``map['k'] = v`` code does), then emitted once per task (the
+    ``push_map_as_event_on_timeout`` / end-event emission, with batch
+    hindsight).
+
+    Returns one row per task: ``(task_col, task_map, n_events, first_ts,
+    last_ts, status)`` where status is ``closed`` (an ``end_pred`` event
+    was seen), ``expired`` (no end, and ``now_ts - last_ts > timeout_s``
+    when both are given), else ``open``.
+
+    Shape: ONE hash aggregation keyed on the task id — events collect into
+    an array of (order-key, map) structs, ``array_sort`` replays event
+    order, and a ``aggregate``+``map_concat`` fold applies later-wins. The
+    collect is bounded by task size (transactions are a handful of events
+    by the filter's own contract — logstash holds the same map in memory
+    per task); this is NOT for million-event groups, use the windowed
+    aggregations for those. No self-join, no pair explosion; skew follows
+    task-size skew only.
+    """
+    order_cols = order_cols or []
+    okeys = ["_ts"] + [f"_o{i}" for i in range(len(order_cols))]
+    ev = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.coalesce(F.col(map_col),
+                   F.expr("map()").cast("map<string,string>")).alias("_m"),
+        (F.lit(False) if end_pred is None else end_pred).alias("_end"))
+    # structs holding a map are not orderable — array_sort needs an
+    # explicit comparator over the order keys (nulls first, stable on ties)
+    cmp_cases = " ".join(
+        f"WHEN l.{k} IS NULL AND r.{k} IS NOT NULL THEN -1 "
+        f"WHEN l.{k} IS NOT NULL AND r.{k} IS NULL THEN 1 "
+        f"WHEN l.{k} < r.{k} THEN -1 WHEN l.{k} > r.{k} THEN 1"
+        for k in okeys)
+    cmp = f"(l, r) -> CASE {cmp_cases} ELSE 0 END"
+    agg = df.groupBy(task_col).agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.max(F.when(ev["_end"], True).otherwise(False)).alias("_closed"),
+        F.collect_list(ev).alias("_raw"))
+    merged = F.expr(
+        f"aggregate(array_sort(_raw, {cmp}),"
+        " cast(map() as map<string,string>),"
+        " (acc, s) -> map_concat("
+        "   map_filter(acc, (k, v) -> NOT map_contains_key(s._m, k)), s._m))")
+    if end_pred is not None and timeout_s is not None and now_ts is not None:
+        expired = (~F.col("_closed")) & (
+            F.unix_millis(F.lit(now_ts).cast("timestamp"))
+            - F.unix_millis(F.col("last_ts").cast("timestamp"))
+            > int(timeout_s * 1000))
+    else:
+        expired = F.lit(False)
+    status = (F.when(F.col("_closed"), F.lit("closed"))
+              .when(expired, F.lit("expired")).otherwise(F.lit("open")))
+    return agg.select(
+        task_col, merged.alias("task_map"), "n_events", "first_ts",
+        "last_ts", status.alias("status"))
+
+
 def profile_extension_keys(decoded: DataFrame,
                            config: Optional[DecodeConfig] = None
                            ) -> DataFrame:

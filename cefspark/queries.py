@@ -2099,6 +2099,14 @@ def q_event_sessions(spark, sf_dir):
       neither row are absent from both sides.
     - ``funnel`` (round 6): ordered view->click->purchase conversion per
       user (pipeline.funnel — chained min-ts joins, all keyed on user).
+    - ``aggregate`` (round 6): logstash aggregate-filter task correlation
+      (pipeline.aggregate_tasks) — tasks = event_id // 8, each EVEN event
+      writes map['x'] = its id, later-wins merge in (ts, event_id) order;
+      val = merged x * 1000 + n_events (-1000-series when no even event —
+      unreachable for 8-consecutive-id tasks, kept for contract parity).
+      The oracle replays later-wins as a row_number-DESC-over-even-events
+      pick, so a match proves KEY-WISE ordered map merging, not just
+      grouping.
     - ``retention`` (round 6): daily cohort retention
       (pipeline.retention_cohorts — distinct (user, day), cohort = first
       day, offset counts)."""
@@ -2183,8 +2191,28 @@ def q_event_sessions(spark, sf_dir):
         F.lit("retention").alias("variant"),
         F.col("n_keys").cast("long").alias("val"))
 
+    # aggregate (round 6): logstash aggregate-filter parity — see docstring
+    tasks = pipeline.aggregate_tasks(
+        ev.select(
+            (F.col("event_id") / 8).cast("long").alias("task_id"),
+            "ts", "event_id",
+            F.when(F.col("event_id") % 2 == 0,
+                   F.map_from_arrays(
+                       F.array(F.lit("x")),
+                       F.array(F.col("event_id").cast("string"))))
+            .otherwise(F.expr("map()").cast("map<string,string>"))
+            .alias("m")),
+        task_col="task_id", map_col="m", ts_col="ts",
+        order_cols=["event_id"])
+    agt = tasks.select(
+        F.col("task_id").alias("event_id"),
+        F.lit("aggregate").alias("variant"),
+        (F.coalesce(F.expr("try_cast(task_map['x'] AS BIGINT)"), F.lit(-1))
+         * 1000 + F.col("n_events")).cast("long").alias("val"))
+
     return (sess.unionByName(asof).unionByName(rng).unionByName(thr)
-            .unionByName(elv).unionByName(fun).unionByName(ret))
+            .unionByName(elv).unionByName(fun).unionByName(ret)
+            .unionByName(agt))
 
 
 O_EVENT_SESSIONS = """
@@ -2260,6 +2288,18 @@ FROM (
         FROM events GROUP BY 1) f
     ON a.user_id = f.user_id
   GROUP BY 1, 2) r
+UNION ALL
+SELECT t.task_id AS event_id, 'aggregate' AS variant,
+       CAST(COALESCE(w.x_last, -1) * 1000 + t.n AS BIGINT) AS val
+FROM (SELECT event_id // 8 AS task_id, COUNT(*) AS n
+      FROM events GROUP BY 1) t
+LEFT JOIN (
+  SELECT task_id, x_last FROM (
+    SELECT event_id // 8 AS task_id, event_id AS x_last,
+           ROW_NUMBER() OVER (PARTITION BY event_id // 8
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0) q
+  WHERE rn = 1) w USING (task_id)
 """
 
 
@@ -2985,7 +3025,14 @@ def q_text_vocab(spark, sf_dir):
     - ``domains``: C4-style per-registered-domain link census
       (cefspark.textops.domain_doc_counts) over the planted-URL fixture;
       val packs both counts as n_docs + n_urls/1000; the oracle restates
-      the residue-class counts closed-form (never re-running the regex)."""
+      the residue-class counts closed-form (never re-running the regex).
+    - ``ppl``: bigram-LM scoring (cefspark.lm — the CCNet/KenLM quality
+      signal): LM trained on the doc_id % 7 != 0 slice, held-out slice
+      scored per doc. All-integer statistics keep the gate bit-exact:
+      val = sum of training pair counts over the doc's bigrams, term
+      packs n_oov/n_bigrams/sum_c1 as a string. The floating add-k
+      perplexity layer is pytest-pinned separately (float ln sums are
+      not bit-portable across engines)."""
     docs = _documents(spark, sf_dir)
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
@@ -3018,11 +3065,34 @@ def q_text_vocab(spark, sf_dir):
         F.lit("domains").alias("variant"), F.lit(-1).cast("long").alias("doc_id"),
         F.col("domain").alias("term"),
         (F.col("n_docs") + F.col("n_urls") / F.lit(1000.0)).alias("val"))
+    # ppl (round 6): bigram-LM quality signal — train on % 7 != 0, score
+    # the held-out % 7 == 0 docs; exact-integer outputs only (see docstring).
+    from . import lm
+
+    pairs, ctx = lm.train_bigram_lm(docs.where(F.col("doc_id") % 7 != 0))
+    ppl = lm.score_docs(docs.where(F.col("doc_id") % 7 == 0), pairs, ctx).select(
+        F.lit("ppl").alias("variant"), F.col("doc_id"),
+        F.concat_ws("/", F.col("n_oov"), F.col("n_bigrams"),
+                    F.col("sum_c1")).alias("term"),
+        F.col("sum_c2").cast("double").alias("val"))
     return (vocab.unionByName(tfidf).unionByName(contam)
-            .unionByName(frac).unionByName(domains))
+            .unionByName(frac).unionByName(domains).unionByName(ppl))
 
 
 O_TEXT_VOCAB = r"""
+WITH lm_train AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (SELECT t[j] AS w1, t[j+1] AS w2
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id % 7 <> 0) toks,
+             LATERAL unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(j))
+  GROUP BY 1, 2),
+lm_ctx AS (SELECT w1, SUM(c2) AS c1 FROM lm_train GROUP BY 1),
+lm_held AS (
+  SELECT doc_id, t[j] AS w1, t[j+1] AS w2
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id % 7 = 0) toks,
+       LATERAL unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(j))
 SELECT 'vocab' AS variant, CAST(-1 AS BIGINT) AS doc_id, '' AS term,
        CAST(COUNT(DISTINCT tok) AS DOUBLE) AS val
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) t
@@ -3084,6 +3154,16 @@ FROM (
   SELECT 'news' || k || '.org' AS term, 140 AS n FROM generate_series(0, 2) t(k)
   UNION ALL
   SELECT 'example.net' AS term, 84 AS n)
+UNION ALL
+SELECT 'ppl' AS variant, h.doc_id,
+       CAST(COUNT(*) FILTER (WHERE tr.c2 IS NULL) AS VARCHAR) || '/' ||
+       CAST(COUNT(*) AS VARCHAR) || '/' ||
+       CAST(SUM(COALESCE(cx.c1, 0)) AS VARCHAR) AS term,
+       CAST(SUM(COALESCE(tr.c2, 0)) AS DOUBLE) AS val
+FROM lm_held h
+LEFT JOIN lm_train tr ON h.w1 = tr.w1 AND h.w2 = tr.w2
+LEFT JOIN lm_ctx cx ON h.w1 = cx.w1
+GROUP BY h.doc_id
 """
 
 
@@ -3136,7 +3216,20 @@ def q_text_fingerprint(spark, sf_dir):
         F.col("event_id").alias("doc_id"), F.lit("pseudo").alias("variant"),
         F.col("user_id_pseudo").alias("h1"),
         F.col("event_id_pseudo").alias("h2"))
-    return fp.unionByName(pii).unionByName(boiler).unionByName(pseudo)
+    # fields (round 6): logstash fingerprint-filter parity — the
+    # concatenate_sources |field|value|…| frame hashed with SHA256 (h1)
+    # and MD5 (h2); DuckDB recomputes both digests independently, so a
+    # match proves the exact frame construction incl. NULL→'' and the
+    # bigint→string rendering
+    fieldfp = redact.fingerprint_fields(
+        redact.fingerprint_fields(
+            _events(spark, sf_dir).select("event_id", "user_id", "event_type"),
+            ["user_id", "event_type"], method="SHA256", target="h1"),
+        ["user_id", "event_type"], method="MD5", target="h2").select(
+        F.col("event_id").alias("doc_id"), F.lit("fields").alias("variant"),
+        "h1", "h2")
+    return (fp.unionByName(pii).unionByName(boiler).unionByName(pseudo)
+            .unionByName(fieldfp))
 
 
 O_TEXT_FINGERPRINT = """
@@ -3162,6 +3255,13 @@ UNION ALL
 SELECT event_id AS doc_id, 'pseudo' AS variant,
        substring(sha256('gate-salt-7' || CAST(user_id AS VARCHAR)), 1, 16) AS h1,
        substring(sha256('gate-salt-7' || CAST(event_id AS VARCHAR)), 1, 16) AS h2
+FROM events
+UNION ALL
+SELECT event_id AS doc_id, 'fields' AS variant,
+       sha256('|user_id|' || COALESCE(CAST(user_id AS VARCHAR), '')
+              || '|event_type|' || COALESCE(event_type, '') || '|') AS h1,
+       md5('|user_id|' || COALESCE(CAST(user_id AS VARCHAR), '')
+           || '|event_type|' || COALESCE(event_type, '') || '|') AS h2
 FROM events
 """
 

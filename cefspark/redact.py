@@ -26,6 +26,7 @@ on top (SURVEY.md §2 extras), like dedup/langid/quality.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringized hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -142,3 +143,70 @@ def pseudonymize(df: DataFrame, cols: list[str], salt: str,
             F.when(F.col(c).isNull(), F.lit(None).cast("string"))
             .otherwise(tok))
     return out
+
+
+def fingerprint_fields(df: DataFrame, sources: list[str],
+                       method: str = "SHA256", target: str = "fingerprint",
+                       concatenate_sources: bool = True,
+                       key: str | None = None) -> DataFrame:
+    """Logstash ``fingerprint`` filter parity (event identity hashing).
+
+    Reference semantics (logstash-filter-fingerprint, public plugin docs):
+    with ``concatenate_sources => true`` the hashed string is
+    ``|field1|value1|field2|value2|…|`` in source order; without it each
+    source is hashed on its own and the single ``target`` keeps the LAST
+    source's fingerprint. NULL source values render as the empty string
+    (logstash's ``to_string(nil)``). With ``key`` set, the digest becomes
+    an HMAC keyed on it.
+
+    Methods: ``MD5`` / ``SHA256`` / ``SHA384`` / ``SHA512`` (JVM built-ins,
+    whole-stage codegen, cross-engine checkable — the driver gate
+    recomputes MD5/SHA256 in DuckDB), ``MURMUR3`` (Spark's own hash —
+    engine-specific by nature, pytest-pinned only), and ``HMAC-SHA256``
+    when ``key`` is given (Arrow-batched pandas UDF over stdlib ``hmac`` —
+    the one non-codegen path, still a narrow no-shuffle projection).
+
+    Scale: a narrow projection over the scan — no shuffle, no UDF except
+    the explicit HMAC mode; pair with :func:`cefspark.dedup.exact_dedup`
+    for fingerprint-keyed exact dedup at corpus scale.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    method = method.upper()
+    if key is not None and method != "HMAC-SHA256":
+        raise ValueError("key is only supported with method='HMAC-SHA256'")
+
+    def _s(c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit(""))
+
+    if concatenate_sources:
+        parts = []
+        for c in sources:
+            parts += [F.lit("|" + c + "|"), _s(c)]
+        data = F.concat(*parts, F.lit("|"))
+    else:
+        data = _s(sources[-1])
+
+    if method == "MD5":
+        fp = F.md5(data)
+    elif method in ("SHA256", "SHA384", "SHA512"):
+        fp = F.sha2(data, int(method[3:]))
+    elif method == "MURMUR3":
+        fp = F.hash(data).cast("string")
+    elif method == "HMAC-SHA256":
+        if key is None:
+            raise ValueError("HMAC-SHA256 requires key")
+        import hmac as _hmac
+        from pyspark.sql.functions import pandas_udf
+
+        kb = key.encode("utf-8")
+
+        @pandas_udf("string")
+        def _hmac_hex(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: _hmac.new(
+                kb, str(v).encode("utf-8"), "sha256").hexdigest())
+
+        fp = _hmac_hex(data)
+    else:
+        raise ValueError(f"unsupported fingerprint method: {method}")
+    return df.withColumn(target, fp)

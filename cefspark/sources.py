@@ -50,6 +50,48 @@ def read_raw_lines(spark: SparkSession, path: str, delimiter: str = "\n") -> Dat
     return df.where(F.length("text") > 0)
 
 
+def read_lines_charset(spark: SparkSession, path: str, charset: str,
+                       delimiter: str = "\n",
+                       whole_file: bool = False) -> DataFrame:
+    """Frame a NON-UTF-8 byte stream into events — the plain/line codec's
+    ``charset`` setting (logstash codecs decode bytes with a configured
+    charset before framing; the reference's CEF codec consumes the already
+    decoded string, cef.rb:211).
+
+    Two physical strategies, same result (column ``text``):
+
+    - default: the CSV reader's ``encoding`` path with parsing neutralized
+      (sep = \\x01, quoting disabled, no header) — splittable scan, decode
+      happens record-by-record in the JVM, scales like any text read.
+      Frames must not contain \\x01 (they are raw log lines; they don't).
+    - ``whole_file=True``: binaryFile scan + JVM ``decode()`` + split —
+      one row per FILE before the explode, so memory is bounded by shard
+      size; the bulletproof fallback for charsets whose multi-byte line
+      terminators a record reader mis-splits. Use for modest shard sizes
+      (the usual log-rotation layout), not monolithic multi-GB files.
+
+    Both paths drop empty frames (tokenizer contract, as read_raw_lines).
+    """
+    delim = unescape_delimiter(delimiter)
+    if whole_file:
+        import re as _re
+
+        raw = spark.read.format("binaryFile").load(path)
+        lines = raw.select(
+            F.explode(F.split(F.decode(F.col("content"), charset),
+                              _re.escape(delim), -1)).alias("text"))
+    else:
+        lines = (spark.read
+                 .option("encoding", charset)
+                 .option("lineSep", delim)
+                 .option("sep", "\x01")
+                 .option("quote", "")
+                 .option("header", False)
+                 .schema("text STRING")
+                 .csv(path))
+    return lines.where(F.length("text") > 0)
+
+
 def decode_binary_dataframe(df: DataFrame, bytes_col: str = "payload",
                             config: Optional[DecodeConfig] = None,
                             flatten: bool = True) -> DataFrame:
