@@ -1052,13 +1052,40 @@ def q_cef_raw_lines(spark, sf_dir):
         F.col("n_lines").cast("string").alias("s1"),
         F.col("text").alias("s2"))
 
+    # charset variant (round 6): the plain-codec charset setting — the
+    # same closed-form lines written as UTF-16LE bytes (CSV writer's
+    # encoding path, parsing neutralized) and re-framed by
+    # sources.read_lines_charset, with a non-ASCII marker (§) per line so
+    # a mojibake decode (latin-1/UTF-8 misread) cannot hash-match. The
+    # oracle restates the pre-encode closed form — it never sees bytes.
+    cs_path = path + "_u16"
+    (_events(spark, sf_dir)
+     .select(F.concat(F.lit("ev§"), eid.cast("string"), F.lit("§src=10.0.0."),
+                      (eid % 256).cast("string")).alias("line"))
+     .coalesce(1)
+     .write.mode("overwrite").option("encoding", "UTF-16LE")
+     .option("sep", "\x01").option("quote", "").option("header", False)
+     .csv(cs_path))
+    cs_lines = sources.read_lines_charset(spark, cs_path, "UTF-16LE")
+    cs = cs_lines.select(
+        F.lit("charset").alias("variant"),
+        F.regexp_extract("text", r"^ev§(\d+)§", 1).cast("long")
+        .alias("event_id"),
+        F.regexp_extract("text", r"§(src=[\d.]+)$", 1).alias("s1"),
+        F.lit("").alias("s2"))
+
     return (cef.unionByName(gk).unionByName(ga)
-            .unionByName(di).unionByName(kvv).unionByName(mlv))
+            .unionByName(di).unionByName(kvv).unionByName(mlv)
+            .unionByName(cs))
 
 
 O_CEF_RAW_LINES = """
 SELECT 'cef' AS variant, event_id,
        '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS s1, '' AS s2
+FROM events
+UNION ALL
+SELECT 'charset' AS variant, event_id,
+       'src=10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS s1, '' AS s2
 FROM events
 UNION ALL
 SELECT 'grok' AS variant, event_id,
