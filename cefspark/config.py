@@ -187,8 +187,29 @@ def _f_date(df, o):
                             target=o.get("target", "event_ts"))
 
 
+def _f_fingerprint(df, o):
+    from .redact import fingerprint_fields
+    _opts(o, {"sources", "method", "target", "concatenate_sources", "key"},
+          "fingerprint")
+    return fingerprint_fields(df, o["sources"],
+                              method=o.get("method", "SHA256"),
+                              target=o.get("target", "fingerprint"),
+                              concatenate_sources=o.get(
+                                  "concatenate_sources", True),
+                              key=o.get("key"))
+
+
+def _f_aggregate(df, o):
+    from .pipeline import aggregate_tasks
+    _opts(o, {"task_id", "map_col", "ts_col", "order_cols"}, "aggregate")
+    return aggregate_tasks(df, o["task_id"], o.get("map_col", "map"),
+                           ts_col=o.get("ts_col", "ts"),
+                           order_cols=o.get("order_cols"))
+
+
 FILTERS = {
     "date": _f_date,
+    "fingerprint": _f_fingerprint, "aggregate": _f_aggregate,
     "grok": _f_grok, "dissect": _f_dissect, "kv": _f_kv,
     "mutate": _f_mutate, "translate": _f_translate, "csv": _f_csv,
     "xml": _f_xml, "syslog_pri": _f_syslog_pri, "prune": _f_prune,

@@ -149,6 +149,17 @@ def mutate(df: DataFrame, ops: list[tuple]) -> DataFrame:
                 F.col(field).eqNullSafe(F.lit(op[2])) &
                 F.col(field).isNotNull(),
                 F.lit(op[3])).otherwise(F.col(field)))
+        elif verb == "json_encode":
+            # the json_encode filter: serialize a complex field (struct/
+            # map/array) to its JSON string, in place or into op[2]
+            target = op[2] if len(op) > 2 else field
+            df = df.withColumn(target, F.to_json(F.col(field)))
+        elif verb == "json_decode":
+            # the json filter's core: parse a JSON string field with an
+            # explicit schema (op[2], DDL string) into op[3] (default: in
+            # place); malformed input yields NULL (error-as-data)
+            target = op[3] if len(op) > 3 else field
+            df = df.withColumn(target, F.from_json(F.col(field), op[2]))
         elif verb == "set_other_if":
             # alter's condrewriteother: when THIS field equals op[2],
             # write op[4] into field op[3] (others keep their value)

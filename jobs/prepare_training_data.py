@@ -11,6 +11,10 @@ operator; this file is the composition surface, not new logic:
     2. FILTER    quality floor (composite score + token-count band)
     3. DEDUP     exact duplicate collapse (min-id representative)
     4. DECONTAM  drop docs sharing n-gram shingles with a benchmark corpus
+    4b. PPL      opt-in (--ppl-threshold > 0) CCNet-style LM filter: train
+                 a bigram LM on a trusted corpus (--ppl-trusted, default:
+                 the cleaned corpus itself — a self-outlier filter) and
+                 drop docs whose add-k perplexity exceeds the threshold
     5. SPLIT     deterministic train/val/test (engine-exact integer hash)
     6. WRITE     per-split parquet + a JSON line of per-stage survivor counts
     7. PACK      opt-in (--pack-capacity > 0): greedy-pack the training
@@ -64,6 +68,14 @@ def main() -> None:
     p.add_argument("--min-quality", type=float, default=0.05)
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--ppl-threshold", type=float, default=0.0,
+                   help="4b. opt-in: drop docs whose bigram-LM add-k "
+                        "perplexity exceeds this (0 = stage disabled)")
+    p.add_argument("--ppl-trusted",
+                   help="trusted-corpus parquet the LM trains on (doc_id, "
+                        "text); default: the cleaned corpus itself")
+    p.add_argument("--ppl-k", type=float, default=1.0,
+                   help="add-k smoothing constant for the LM filter")
     p.add_argument("--splits", default="train:0.98,val:0.01,test:0.01")
     p.add_argument("--pack-capacity", type=int, default=0,
                    help="7. opt-in: greedy-pack the FIRST split's documents "
@@ -153,6 +165,33 @@ def main() -> None:
     contaminated = dedup.decontaminate(deduped, bench, n=args.ngram)
     clean = deduped.join(contaminated.select("doc_id"), "doc_id", "left_anti")
 
+    # 4b. opt-in LM perplexity filter (cefspark.lm — the CCNet signal).
+    # The LM trains on the trusted corpus (default: the cleaned corpus
+    # itself, making this a self-outlier filter); scoring joins the
+    # LM relations back — broadcast when the LM is small, which a
+    # trusted-slice LM is by construction. Docs too short to have a
+    # bigram (possible when --min-tokens < 2) carry no score and are KEPT.
+    n_clean = n_ppl_dropped = None
+    if args.ppl_threshold > 0:
+        from cefspark import lm
+
+        n_clean = clean.count()
+        trusted = (spark.read.parquet(args.ppl_trusted).select("doc_id", "text")
+                   if args.ppl_trusted else clean.select("doc_id", "text"))
+        pairs, ctx = lm.train_bigram_lm(trusted)
+        vocab_size = (trusted
+                      .select(F.explode(F.split(F.trim(F.col("text")),
+                                                r"\s+")).alias("tok"))
+                      .agg(F.count_distinct("tok")).first()[0]) or 1
+        scores = lm.with_perplexity(clean.select("doc_id", "text"), pairs,
+                                    ctx, vocab_size=vocab_size, k=args.ppl_k,
+                                    broadcast_lm=bool(args.ppl_trusted))
+        clean = (clean.join(scores.select("doc_id", "perplexity"),
+                            "doc_id", "left")
+                 .where(F.col("perplexity").isNull()
+                        | (F.col("perplexity") <= args.ppl_threshold))
+                 .drop("perplexity"))
+
     # 5. deterministic split + 6. partitioned write
     names, weights = [], []
     for part in args.splits.split(","):
@@ -188,7 +227,13 @@ def main() -> None:
     # n_final = n_deduped - n_contaminated by construction (one row per
     # contaminated doc), so the drop count derives without re-running the
     # decontamination join
-    n_contaminated = n_deduped - sum(split_counts.values())
+    # with the ppl stage on, the decontam drop is measured against its own
+    # count; otherwise it derives from the split totals as before
+    if n_clean is not None:
+        n_contaminated = n_deduped - n_clean
+        n_ppl_dropped = n_clean - sum(split_counts.values())
+    else:
+        n_contaminated = n_deduped - sum(split_counts.values())
     print(json.dumps({
         "n_input": n_input,
         **({"n_boilerplate_lines_removed": int(obs_boiler.get["n_lines_removed"] or 0)}
@@ -196,6 +241,8 @@ def main() -> None:
         "n_after_quality": n_after_quality,
         "n_after_dedup": n_deduped,
         "n_contaminated_dropped": n_contaminated,
+        **({"n_ppl_dropped": n_ppl_dropped}
+           if n_ppl_dropped is not None else {}),
         "n_final": sum(split_counts.values()),
         "splits": split_counts,
         **({"n_packs": n_packs} if n_packs is not None else {}),

@@ -197,6 +197,14 @@ def test_aggregate_tasks_matches_sequential_simulator(spark):
         assert got[task].n_events == sum(1 for r in rows if r[0] == task)
 
 
+def test_aggregate_tasks_single_shuffle_plan(spark):
+    plan = pipeline.aggregate_tasks(
+        _task_events(spark), "task_id", "m", order_cols=["seq"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1      # one hash agg keyed on task_id
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 # ---------------------------------------- charset line framing
 
 def _write(tmp_path, name, text, encoding, newline="\n"):

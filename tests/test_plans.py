@@ -342,10 +342,21 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
         (F.col("id") / 256).cast("int").alias("y"))
     grid = grid.repartition(8)  # scrambled input order
 
-    zpath = str(tmp_path / "zorder")
-    write_zordered(grid, zpath, "x", "y", n_files=16)
-    lpath = str(tmp_path / "linear")
-    write_range_sorted(grid, lpath, ["x"], n_files=16)
+    # exhaustive range-exchange sampling: repartitionByRange's reservoir
+    # seed varies with RDD id (i.e. with suite composition); sampling
+    # every row makes the file boundaries exact and the counts stable
+    old = spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition", None)
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "100000")
+    try:
+        zpath = str(tmp_path / "zorder")
+        write_zordered(grid, zpath, "x", "y", n_files=16)
+        lpath = str(tmp_path / "linear")
+        write_range_sorted(grid, lpath, ["x"], n_files=16)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+        else:
+            spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", old)
 
     def stats(path):
         out = []

@@ -663,14 +663,20 @@ def test_prepare_training_data_job_smoke(tmp_path):
          "--boilerplate-frac", "0.5",
          # exercise the opt-in packing stage: capacity 96 over ~54-token
          # docs -> mostly 1-2 docs per pack
-         "--pack-capacity", "96", "--pack-shards", "8"],
+         "--pack-capacity", "96", "--pack-shards", "8",
+         # exercise the opt-in CCNet LM filter: self-trained LM, threshold
+         # far above any self-perplexity -> machinery runs, drops nothing,
+         # so the survivor arithmetic below still closes exactly
+         "--ppl-threshold", "1000000"],
         capture_output=True, text=True, timeout=420, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["n_boilerplate_lines_removed"] == 0
     assert 0 < m["n_final"] <= m["n_after_dedup"] <= m["n_after_quality"] \
         <= m["n_input"]
-    assert m["n_final"] == m["n_after_dedup"] - m["n_contaminated_dropped"]
+    assert m["n_ppl_dropped"] == 0
+    assert m["n_final"] == (m["n_after_dedup"] - m["n_contaminated_dropped"]
+                            - m["n_ppl_dropped"])
     assert sum(m["splits"].values()) == m["n_final"]
     assert set(m["splits"]) <= {"train", "val", "test"}
     # corpus written partitioned by split; text column carries no raw email
@@ -692,6 +698,52 @@ def test_prepare_training_data_job_smoke(tmp_path):
         solo = sum(1 for a, b in zip(packs["shard"], packs["pack_id"])
                    if (a, b) == (sh, pid))
         assert n <= 96 or solo == 1
+
+
+def test_prepare_training_data_ppl_filter_drops_outliers(tmp_path):
+    """The opt-in 4b LM stage really filters: 30 vocabulary-sharing docs
+    plus 3 gibberish docs, threshold derived from lm.reference_perplexity
+    (midpoint between the normal max and gibberish min), job must drop
+    exactly the gibberish ids."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from cefspark import lm
+
+    texts = {i: f"the cat sat on the mat row{i} and the dog ran"
+             for i in range(1, 31)}
+    texts.update({31: "zq7 xv9 kkj qpw mmz ttb eer yyu",
+                  32: "aab bbc ccd dde eef ffg ggh hhi",
+                  33: "q1 q2 q3 q4 q5 q6 q7 q8 q9"})
+    vocab = {t for s in texts.values() for t in s.split()}
+    ref = lm.reference_perplexity(texts, texts, vocab_size=len(vocab), k=1.0)
+    normal_max = max(v["perplexity"] for k, v in ref.items() if k <= 30)
+    gib_min = min(v["perplexity"] for k, v in ref.items() if k > 30)
+    assert normal_max < gib_min          # the fixture separates cleanly
+    thr = (normal_max + gib_min) / 2
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[k] for k in sorted(texts)]}), src)
+    out = str(tmp_path / "training")
+    r = subprocess.run(
+        [sys.executable, "jobs/prepare_training_data.py", "--cpus", "4",
+         "--input", src, "--out", out, "--ngram", "12",
+         "--min-quality", "0", "--min-tokens", "2",
+         "--ppl-threshold", str(thr)],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_ppl_dropped"] == 3
+    kept = set(ds.dataset(m["out"], partitioning="hive").to_table()
+               .column("doc_id").to_pylist())
+    assert kept == set(range(1, 31))
 
 
 def test_prepare_sft_data_job_smoke(tmp_path):
@@ -1619,6 +1671,28 @@ def test_mutate_round6_verbs(spark):
                    "z": (None, None)}
 
 
+def test_mutate_json_encode_decode(spark):
+    """json_encode serializes a complex field (in place or to a target);
+    json_decode parses with an explicit schema, malformed -> NULL."""
+    from cefspark.mutate import mutate
+
+    df = spark.createDataFrame(
+        [({"a": "1"}, '{"x": 5, "y": "ok"}'), ({"b": "2"}, "not json")],
+        "m map<string,string>, j string")
+    out = mutate(df, [
+        ("json_encode", "m", "m_json"),
+        ("json_decode", "j", "x BIGINT, y STRING", "parsed"),
+    ]).collect()
+    byj = {r["j"]: r for r in out}
+    assert byj['{"x": 5, "y": "ok"}']["m_json"] == '{"a":"1"}'
+    assert byj['{"x": 5, "y": "ok"}']["parsed"].asDict() == {"x": 5, "y": "ok"}
+    p = byj["not json"]["parsed"]
+    assert p is None or (p.x is None and p.y is None)   # error-as-data
+    # in-place encode replaces the column
+    ip = mutate(df, [("json_encode", "m")]).collect()[0]
+    assert isinstance(ip["m"], str) and ip["m"].startswith("{")
+
+
 def test_prune_and_de_dot(spark):
     """prune: whitelist-then-blacklist regex projection; de_dot renames
     dotted columns, collision raises; map-key variants compile to
@@ -2026,6 +2100,18 @@ def test_apply_filters_config_chain(spark):
     assert (r["i"], r["clientip"], r["response"], r["klass"]) == \
         (1, "10.0.0.1", 200, "ok")
     assert set(out.columns) == {"i", "clientip", "response", "klass"}
+
+    # fingerprint + aggregate through the declarative table
+    fa = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", {"k": "v1"}),
+         (1, "2024-01-01 00:00:01", {"k": "v2"})],
+        "task long, ts string, map map<string,string>") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out3 = apply_filters(fa, [
+        {"fingerprint": {"sources": ["task"], "method": "MD5"}},
+        {"aggregate": {"task_id": "task"}},
+    ]).collect()
+    assert len(out3) == 1 and out3[0]["task_map"] == {"k": "v2"}
 
     with pytest.raises(ValueError, match="unknown filter"):
         apply_filters(df, [{"geoip2": {}}])
