@@ -1719,8 +1719,15 @@ def q_multimodal_codec_meta(spark, sf_dir):
     recovered rate/channels/frames/duration and width/height/bpp/pixel-bytes
     from real bytes. Fixtures include structural traps (every 5th WAV has an
     extra LIST chunk before data; every 4th BMP has a header-to-pixel gap),
-    so fixed-offset 'parsing' would fail — the walkers genuinely walk."""
-    from . import multimodal
+    so fixed-offset 'parsing' would fail — the walkers genuinely walk.
+
+    - ``netflow``: real NetFlow v5 wire packets (24-byte big-endian header +
+      48-byte records) decoded by cefspark.netflow.decode_netflow's single
+      vectorized structured-dtype cast per packet; every 5th packet carries
+      trailing garbage so the header COUNT must be honored (len//48 fails).
+      Metrics pack srcaddr / srcport·dstport / dPkts / dOctets·proto per
+      RECORD — the oracle regenerates the record grid closed-form."""
+    from . import multimodal, netflow
 
     wav = multimodal.extract_audio_meta(
         multimodal.synthesize_wav_assets(spark, n=240)).select(
@@ -1752,7 +1759,17 @@ def q_multimodal_codec_meta(spark, sf_dir):
         F.col("height").cast("long").alias("m2"),
         F.col("bits_per_pixel").cast("long").alias("m3"),
         F.col("compression").cast("long").alias("m4"))
-    return wav.unionByName(bmp).unionByName(png).unionByName(rle)
+    nf = netflow.decode_netflow(
+        netflow.synthesize_netflow_assets(spark, n=120)).where(
+        F.col("error").isNull()).select(
+        F.format_string("%s-%02d", "asset_id", "record_idx").alias("asset_id"),
+        F.lit("netflow").alias("codec"),
+        F.col("srcaddr").alias("m1"),
+        (F.col("srcport") * 100000 + F.col("dstport")).alias("m2"),
+        F.col("d_pkts").alias("m3"),
+        (F.col("d_octets") * 100 + F.col("prot")).alias("m4"))
+    return (wav.unionByName(bmp).unionByName(png).unionByName(rle)
+            .unionByName(nf))
 
 
 O_MULTIMODAL_CODEC_META = """
@@ -1784,6 +1801,16 @@ SELECT printf('rle-%06d', i) AS asset_id, 'bmp_rle' AS codec,
        CAST(8 AS BIGINT) AS m3,
        CAST(1 AS BIGINT) AS m4
 FROM generate_series(0, 59) t(i)
+UNION ALL
+SELECT printf('nf-%06d-%02d', i, j) AS asset_id, 'netflow' AS codec,
+       CAST(10 * 16777216 + (i * 251 + j * 7) % 65536 AS BIGINT) AS m1,
+       CAST((1024 + (i * 17 + j * 29) % 50000) * 100000
+            + CASE WHEN (i + j) % 2 = 0 THEN 443 ELSE 80 END AS BIGINT) AS m2,
+       CAST(1 + (i * 7 + j) % 100 AS BIGINT) AS m3,
+       CAST((40 + (i * 31 + j * 17) % 1400) * 100
+            + CASE WHEN (i + j) % 3 = 0 THEN 17 ELSE 6 END AS BIGINT) AS m4
+FROM generate_series(0, 119) t(i) CROSS JOIN generate_series(0, 12) s(j)
+WHERE j < 1 + i % 13
 """
 
 
