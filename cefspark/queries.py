@@ -1074,14 +1074,44 @@ def q_cef_raw_lines(spark, sf_dir):
         F.regexp_extract("text", r"§(src=[\d.]+)$", 1).alias("s1"),
         F.lit("").alias("s2"))
 
+    # graphite variant (round 6): the Graphite plaintext codec — closed-form
+    # `path value ts` lines (every 11th malformed) parsed by
+    # graphite.decode_graphite's pure-Catalyst split/try_cast path; values
+    # are integral so the double→long cast is exact in both engines. The
+    # oracle restates the pre-render closed form.
+    from . import graphite
+
+    gline = F.when(eid % 11 == 0, F.lit("not graphite")).otherwise(F.concat(
+        F.lit("web.h"), (eid % 20).cast("string"), F.lit(".req."),
+        (eid % 4).cast("string"), F.lit(" "),
+        (eid * 3 % 1000).cast("string"), F.lit(" "),
+        (eid + 1700000000).cast("string")))
+    gph = graphite.decode_graphite(
+        _events(spark, sf_dir).select("event_id", gline.alias("line")))
+    gp = gph.select(
+        F.lit("graphite").alias("variant"), "event_id",
+        F.col("metric").alias("s1"),
+        F.when(F.col("error").isNull(), F.concat(
+            F.col("value").cast("long").cast("string"), F.lit("/"),
+            F.col("ts").cast("string"))).alias("s2"))
+
     return (cef.unionByName(gk).unionByName(ga)
             .unionByName(di).unionByName(kvv).unionByName(mlv)
-            .unionByName(cs))
+            .unionByName(cs).unionByName(gp))
 
 
 O_CEF_RAW_LINES = """
 SELECT 'cef' AS variant, event_id,
        '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS s1, '' AS s2
+FROM events
+UNION ALL
+SELECT 'graphite' AS variant, event_id,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE 'web.h' || CAST(event_id % 20 AS VARCHAR) || '.req.'
+                 || CAST(event_id % 4 AS VARCHAR) END AS s1,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE CAST(event_id * 3 % 1000 AS VARCHAR) || '/'
+                 || CAST(event_id + 1700000000 AS VARCHAR) END AS s2
 FROM events
 UNION ALL
 SELECT 'charset' AS variant, event_id,
