@@ -3159,8 +3159,25 @@ def q_text_vocab(spark, sf_dir):
         F.concat_ws("/", F.col("n_oov"), F.col("n_bigrams"),
                     F.col("sum_c1")).alias("term"),
         F.col("sum_c2").cast("double").alias("val"))
+    # cms (round 6): Count-Min sketch frequency estimation over the token
+    # stream (sketches.cms_build/cms_query, depth 4 × width 512) — cell
+    # addressing is md5-derived, so the oracle rebuilds the SAME sketch in
+    # SQL and the min-over-rows estimates match bit-exactly; the CMS
+    # overestimate-bound guarantee is pytest-pinned separately.
+    from . import sketches as _sk
+
+    cms_sketch = _sk.cms_build(toks, "tok", depth=4, width=512)
+    cms_keys = (docs.where(F.col("doc_id") % 101 == 0)
+                .select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                        .alias("tok"))
+                .distinct())
+    cms = _sk.cms_query(cms_sketch, cms_keys, "tok",
+                        depth=4, width=512).select(
+        F.lit("cms").alias("variant"), F.lit(-1).cast("long").alias("doc_id"),
+        F.col("tok").alias("term"), F.col("est").cast("double").alias("val"))
     return (vocab.unionByName(tfidf).unionByName(contam)
-            .unionByName(frac).unionByName(domains).unionByName(ppl))
+            .unionByName(frac).unionByName(domains).unionByName(ppl)
+            .unionByName(cms))
 
 
 O_TEXT_VOCAB = r"""
@@ -3176,7 +3193,18 @@ lm_held AS (
   SELECT doc_id, t[j] AS w1, t[j+1] AS w2
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents WHERE doc_id % 7 = 0) toks,
-       LATERAL unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(j))
+       LATERAL unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(j)),
+cms_cells AS (
+  SELECT d, ('0x' || substr(md5('cms' || d || ':' || tok), 1, 15))::BIGINT
+            % 512 AS w,
+         COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents) s
+  CROSS JOIN range(0, 4) r(d)
+  GROUP BY 1, 2),
+cms_keys AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE doc_id % 101 = 0)
 SELECT 'vocab' AS variant, CAST(-1 AS BIGINT) AS doc_id, '' AS term,
        CAST(COUNT(DISTINCT tok) AS DOUBLE) AS val
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) t
@@ -3248,6 +3276,15 @@ FROM lm_held h
 LEFT JOIN lm_train tr ON h.w1 = tr.w1 AND h.w2 = tr.w2
 LEFT JOIN lm_ctx cx ON h.w1 = cx.w1
 GROUP BY h.doc_id
+UNION ALL
+SELECT 'cms' AS variant, CAST(-1 AS BIGINT) AS doc_id, k.tok AS term,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS DOUBLE) AS val
+FROM cms_keys k
+CROSS JOIN range(0, 4) r(d)
+LEFT JOIN cms_cells c ON c.d = r.d
+  AND c.w = ('0x' || substr(md5('cms' || r.d || ':' || k.tok), 1, 15))::BIGINT
+            % 512
+GROUP BY k.tok
 """
 
 

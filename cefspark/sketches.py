@@ -129,3 +129,81 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
             .groupBy("item").agg(F.sum("cnt").alias("est_count"))
             .crossJoin(F.broadcast(err))
             .select("item", "est_count", "err_bound"))
+
+
+# ------------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimation)
+# ------------------------------------------------------------------------------
+
+def _cms_cell(key, d: int, width: int):
+    """Cell column for hash row ``d``: first 15 hex chars of
+    md5('cms<d>:' || key) as a bigint, mod ``width``. Deliberately built
+    from md5 (not xxhash64) so any engine — the DuckDB correctness oracle
+    included — can reproduce the exact cell addressing."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), key)), 1, 15),
+               16, 10).cast("bigint")
+    return h % width
+
+
+def cms_build(df: DataFrame, value_col: str, depth: int = 4,
+              width: int = 512, weight_col: str | None = None) -> DataFrame:
+    """Build a Count-Min sketch as a tiny ``(d, w, cnt)`` cell table.
+
+    Spark shape: each key explodes into ``depth`` cells (array literal →
+    ``explode``, no UDF), then ONE hash aggregation over at most
+    ``depth × width`` groups — map-side partial aggregation collapses the
+    stream before the shuffle, so shuffle volume is bounded by the sketch
+    size (kilobytes) regardless of input rows. The result is mergeable
+    (:func:`cms_merge`) and persistable: per-day / per-shard sketches
+    answer later frequency queries without rescanning raw data — same
+    100-TB pattern as the HLL cubes above.
+
+    Guarantee (standard CMS): for every key, estimate >= true count, and
+    estimate <= true count + e/width × N with probability ~1-exp(-depth)
+    (N = total stream weight). Pytest pins both bounds against exact
+    counts; the DuckDB gate pins bit-exact estimates cross-engine.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    key = F.col(value_col).cast("string")
+    wgt = (F.col(weight_col).cast("long") if weight_col
+           else F.lit(1).cast("long"))
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("d"),
+                 _cms_cell(key, d, width).alias("w"))
+        for d in range(depth)])
+    return (df.select(F.explode(cells).alias("c"), wgt.alias("_w"))
+              .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+              .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): cell-wise sum."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(sketch: DataFrame, keys: DataFrame, value_col: str,
+              depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-estimate frequencies for ``keys``: min over the key's cells.
+
+    The sketch side is at most depth × width rows, so the join is a
+    broadcast hash join (pinned in tests) — querying never shuffles the
+    (potentially huge) key table.
+    """
+    key = F.col(value_col).cast("string")
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("d"),
+                 _cms_cell(key, d, width).alias("w"))
+        for d in range(depth)])
+    exploded = keys.select(F.col(value_col), F.explode(cells).alias("c"))
+    return (exploded
+            .join(F.broadcast(sketch),
+                  (F.col("c.d") == sketch["d"]) & (F.col("c.w") == sketch["w"]),
+                  "left")
+            .groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
