@@ -1658,3 +1658,108 @@ def video_motion_features(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(
         run, "asset_id string, n_frames int, motion array<double>, "
              "mean_motion double")
+
+
+# ------------------------------------------------------------------------------
+# Perceptual image hashing (near-duplicate detection for image corpora)
+# ------------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("dhash_rows", ArrayType(IntegerType())),
+    StructField("ahash_rows", ArrayType(IntegerType())),
+    StructField("dhash_hex", StringType()),
+    StructField("ahash_hex", StringType()),
+])
+
+
+def perceptual_hashes(df: DataFrame, grid: int = 8) -> DataFrame:
+    """dHash + aHash over REAL decoded pixels (PNG / BMP / BI_RLE8 paths).
+
+    The image-corpus analog of SimHash text near-dup: decode → integer
+    grayscale (channel mean, floor) → nearest-neighbor downsample with the
+    same ``(dst*src)//dst_extent`` floor mapping as :func:`resize_images` →
+    - dHash: bit x of row y = gray[y][x+1] > gray[y][x] on a
+      ``(grid+1)×grid`` grid (gradient direction, robust to brightness);
+    - aHash: bit = cell*grid² >= sum(cells) on a ``grid×grid`` grid
+      (above-mean test stated in pure integers — no float mean, so every
+      engine reproduces it exactly).
+    Emits per-row bit patterns (``*_rows``, each < 2^grid — gate-friendly
+    small ints) plus the packed hex digest. One narrow mapInPandas, no
+    shuffle; payload bytes never leave the executors.
+    """
+    if grid < 2 or grid > 16:
+        raise ValueError("grid must be in [2, 16]")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(grid, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = _decode_any_pixels(payload)
+                h, w, c = px.shape
+                g = px.astype(np.int64).sum(axis=2) // c
+                ys = (np.arange(grid) * h) // grid
+                xs_d = (np.arange(grid + 1) * w) // (grid + 1)
+                xs_a = (np.arange(grid) * w) // grid
+                d = g[ys][:, xs_d]
+                a = g[ys][:, xs_a]
+                dbits = (d[:, 1:] > d[:, :-1]).astype(np.int64)
+                drows = (dbits << shifts).sum(axis=1)
+                total = int(a.sum())
+                abits = (a * (grid * grid) >= total).astype(np.int64)
+                arows = (abits << shifts).sum(axis=1)
+                width_hex = (grid + 3) // 4
+                rows.append((
+                    asset_id, w, h,
+                    [int(v) for v in drows], [int(v) for v in arows],
+                    "".join(f"{int(v):0{width_hex}x}" for v in drows),
+                    "".join(f"{int(v):0{width_hex}x}" for v in arows)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              PHASH_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_hamming_pairs(df: DataFrame, hash_col: str = "dhash_hex",
+                        id_col: str = "asset_id", max_dist: int = 3,
+                        n_bands: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance on a 64-bit hash.
+
+    LSH-style banding (same shape as the SimHash text path,
+    cefspark.dedup.hamming_pairs): split the 16-hex digest into
+    ``n_bands`` bands, shuffle ONCE on (band_idx, band_value), verify
+    candidate pairs with an exact popcount on the two 32-bit halves
+    (hex → bigint via ``conv``; ``bit_count`` of the xor). Pigeonhole
+    exactness: with ``max_dist < n_bands`` differing bits, some band is
+    untouched — the blocked join provably finds EVERY qualifying pair.
+    For larger ``max_dist`` the result is candidate-recall (documented
+    approximation), like any banded LSH.
+    """
+    hl = 16 // n_bands  # hex chars per band
+    src = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    bands = src.select(
+        "_id", "_h", F.posexplode(F.array(*[
+            F.substring("_h", j * hl + 1, hl) for j in range(n_bands)]))
+        .alias("band_idx", "band_val"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_val") == F.col("b.band_val"))
+                  & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("a._h").alias("h_a"),
+                    F.col("b._id").alias("id_b"), F.col("b._h").alias("h_b"))
+            .distinct())
+
+    def _half(col, start):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("bigint")
+
+    dist = (F.bit_count(_half(F.col("h_a"), 1).bitwiseXOR(
+                _half(F.col("h_b"), 1)))
+            + F.bit_count(_half(F.col("h_a"), 9).bitwiseXOR(
+                _half(F.col("h_b"), 9))))
+    return (cand.withColumn("dist", dist)
+            .where(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))

@@ -1560,9 +1560,26 @@ def q_multimodal_features(spark, sf_dir):
         F.lit(-1).cast("long").alias("block_idx"),
         F.col("sample_sum").alias("m1"),
         (F.col("out_frames") * F.col("channels")).cast("long").alias("m2"))
+    # dhash: perceptual hashes (dHash + aHash) over REAL decoded BMP pixels
+    # — integer grayscale, NN downsample to 9x8 / 8x8, per-grid-row bit
+    # patterns. The oracle restates the gradient + the floor source mapping
+    # + the bottom-up -> top-down un-flip + the integer above-mean test, so
+    # a match proves the whole perceptual-hash arithmetic cross-engine.
+    ph = multimodal.perceptual_hashes(
+        multimodal.synthesize_bmp_assets(spark, n=200))
+    phx = (ph.select(
+        "asset_id",
+        F.posexplode(F.arrays_zip("dhash_rows", "ahash_rows"))
+        .alias("r", "z"))
+        .select(
+            "asset_id", F.lit("image").alias("kind"),
+            F.lit("dhash").alias("variant"),
+            F.col("r").cast("long").alias("block_idx"),
+            F.col("z.dhash_rows").cast("long").alias("m1"),
+            F.col("z.ahash_rows").cast("long").alias("m2")))
     return (fake_rows.unionByName(wav).unionByName(bmp).unionByName(gif)
             .unionByName(png).unionByName(rle).unionByName(rsz)
-            .unionByName(rsp))
+            .unionByName(rsp).unionByName(phx))
 
 
 # np.array_split block index for position j of L items in 16 blocks:
@@ -1682,6 +1699,31 @@ CROSS JOIN generate_series(0, 479) sj(j)
 CROSS JOIN generate_series(0, 1) sc(c)
 WHERE j < OF AND c < ch
 GROUP BY asset_id
+UNION ALL
+SELECT c.asset_id, 'image' AS kind, 'dhash' AS variant,
+       CAST(c.r AS BIGINT) AS block_idx,
+       CAST(SUM(CASE WHEN c.pdn > c.pdc THEN 1 << c.x ELSE 0 END) AS BIGINT) AS m1,
+       CAST(SUM(CASE WHEN c.pa * 64 >= sm.s THEN 1 << c.x ELSE 0 END) AS BIGINT) AS m2
+FROM (
+  SELECT printf('img-%06d', i) AS asset_id, i, r, x,
+         ((((x + 1) * (4 + i % 9)) // 9) * 7
+          + ((3 + i % 5) - 1 - ((r * (3 + i % 5)) // 8)) * 13) % 256 AS pdn,
+         (((x * (4 + i % 9)) // 9) * 7
+          + ((3 + i % 5) - 1 - ((r * (3 + i % 5)) // 8)) * 13) % 256 AS pdc,
+         (((x * (4 + i % 9)) // 8) * 7
+          + ((3 + i % 5) - 1 - ((r * (3 + i % 5)) // 8)) * 13) % 256 AS pa
+  FROM generate_series(0, 199) t(i)
+  CROSS JOIN generate_series(0, 7) rr(r)
+  CROSS JOIN generate_series(0, 7) xx(x)) c
+JOIN (
+  SELECT i AS si,
+         SUM((((x * (4 + i % 9)) // 8) * 7
+              + ((3 + i % 5) - 1 - ((r * (3 + i % 5)) // 8)) * 13) % 256) AS s
+  FROM generate_series(0, 199) t(i)
+  CROSS JOIN generate_series(0, 7) rr(r)
+  CROSS JOIN generate_series(0, 7) xx(x)
+  GROUP BY i) sm ON sm.si = c.i
+GROUP BY c.asset_id, c.r
 """
 
 
