@@ -207,6 +207,32 @@ def _f_aggregate(df, o):
                            order_cols=o.get("order_cols"))
 
 
+def _f_range(df, o):
+    from .pipeline import range_check
+    _opts(o, {"ranges", "negate", "tags_col"}, "range")
+    return range_check(df, [tuple(r) for r in o["ranges"]],
+                       negate=bool(o.get("negate", False)),
+                       tags_col=o.get("tags_col", "tags"))
+
+
+def _f_dns(df, o):
+    from .dnsres import dns_lookup, dns_resolve_udf, fake_resolver
+    _opts(o, {"field", "lookup", "name_col", "addr_col", "target",
+              "failed_tag", "resolver"}, "dns")
+    common = {k: o[k] for k in ("target", "failed_tag") if k in o}
+    if "lookup" in o:
+        return dns_lookup(df, o["field"], o["lookup"],
+                          name_col=o.get("name_col", "name"),
+                          addr_col=o.get("addr_col", "addr"), **common)
+    resolver = o.get("resolver")
+    if resolver == "fake":
+        resolver = fake_resolver
+    if not callable(resolver):
+        raise ValueError("dns: need a 'lookup' DataFrame or a callable "
+                         "'resolver' (or the literal 'fake' for tests)")
+    return dns_resolve_udf(df, o["field"], resolver, **common)
+
+
 FILTERS = {
     "date": _f_date,
     "fingerprint": _f_fingerprint, "aggregate": _f_aggregate,
@@ -216,7 +242,7 @@ FILTERS = {
     "de_dot": _f_de_dot, "drop": _f_drop, "clone": _f_clone,
     "split": _f_split, "metricize": _f_metricize,
     "useragent": _f_useragent, "urldecode": _f_urldecode,
-    "truncate": _f_truncate,
+    "truncate": _f_truncate, "range": _f_range, "dns": _f_dns,
 }
 
 

@@ -703,3 +703,53 @@ def retention_cohorts(df: DataFrame, key_col: str = "user_id",
             .groupBy(F.col("_cohort").alias("cohort"),
                      (F.col("_period") - F.col("_cohort")).alias("offset"))
             .agg(F.count(F.lit(1)).alias("n_keys")))
+
+
+def range_check(df: DataFrame, ranges: list, negate: bool = False,
+                tags_col: str = "tags") -> DataFrame:
+    """logstash range-filter parity (logstash-filter-range): validate fields
+    against numeric ranges (string fields validate their LENGTH, like the
+    plugin) and take per-range actions when the value is inside the range
+    (``negate=True`` inverts, firing on out-of-range values).
+
+    ``ranges`` entries are ``(field, min, max, action)`` with actions
+    ``"tag:<tag>"`` (append to ``tags_col``), ``"field:<name>:<value>"``
+    (set a column), or ``"drop"`` (remove the row). All checks compile to
+    Catalyst when/filter expressions — per-row cost is codegen-resident,
+    no shuffle, NULL field values never fire (three-valued logic coalesced
+    to False, so NULLs can't leak through a negated check either).
+    """
+    seen_fields = set()
+    for entry in ranges:
+        if len(entry) != 4:
+            raise ValueError(f"range entry must be (field, min, max, action),"
+                             f" got {entry!r}")
+        seen_fields.add(entry[0])
+    missing = seen_fields - set(df.columns)
+    if missing:
+        raise ValueError(f"range_check: unknown field(s) {sorted(missing)}")
+    types = dict(df.dtypes)
+    for field, lo, hi, action in ranges:
+        value = (F.length(F.col(field)) if types[field] == "string"
+                 else F.col(field))
+        cond = value.between(F.lit(lo), F.lit(hi))
+        if negate:
+            cond = ~cond
+        cond = F.coalesce(cond, F.lit(False))
+        if action == "drop":
+            df = df.where(~cond)
+        elif action.startswith("tag:"):
+            tag = action[4:]
+            base = (F.col(tags_col) if tags_col in df.columns
+                    else F.lit(None).cast("array<string>"))
+            df = df.withColumn(tags_col, F.when(
+                cond, F.array_union(F.coalesce(base, F.array()),
+                                    F.array(F.lit(tag)))).otherwise(base))
+        elif action.startswith("field:"):
+            _, name, val = action.split(":", 2)
+            df = df.withColumn(name, F.when(cond, F.lit(val)).otherwise(
+                F.col(name) if name in df.columns
+                else F.lit(None).cast("string")))
+        else:
+            raise ValueError(f"unknown range action {action!r}")
+    return df
