@@ -3217,9 +3217,24 @@ def q_text_vocab(spark, sf_dir):
                         depth=4, width=512).select(
         F.lit("cms").alias("variant"), F.lit(-1).cast("long").alias("doc_id"),
         F.col("tok").alias("term"), F.col("est").cast("double").alias("val"))
+    # bloom (round 6): Bloom-filter membership (sketches.bloom_build /
+    # bloom_might_contain, 8192 bits × 5 hashes, same portable md5 cells)
+    # probed with the corpus tokens PLUS 100 definitely-absent keys — the
+    # oracle rebuilds the position set in SQL, so present-key trues (no
+    # false negatives) AND the exact false-positive pattern on absent keys
+    # must both match bit-for-bit.
+    bloom = _sk.bloom_build(toks, "tok")
+    probe_keys = cms_keys.unionByName(
+        spark.range(100).select(
+            F.concat(F.lit("absent-"), F.col("id")).alias("tok")))
+    blm = _sk.bloom_might_contain(bloom, probe_keys, "tok").select(
+        F.lit("bloom").alias("variant"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("tok").alias("term"),
+        F.col("might").cast("int").cast("double").alias("val"))
     return (vocab.unionByName(tfidf).unionByName(contam)
             .unionByName(frac).unionByName(domains).unionByName(ppl)
-            .unionByName(cms))
+            .unionByName(cms).unionByName(blm))
 
 
 O_TEXT_VOCAB = r"""
@@ -3246,7 +3261,18 @@ cms_cells AS (
   GROUP BY 1, 2),
 cms_keys AS (
   SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-  FROM documents WHERE doc_id % 101 = 0)
+  FROM documents WHERE doc_id % 101 = 0),
+bloom_bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('bf' || d || ':' || tok), 1, 15))::BIGINT
+         % 8192 AS pos
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents) s
+  CROSS JOIN range(0, 5) r(d)),
+bloom_probe AS (
+  SELECT tok FROM cms_keys
+  UNION ALL
+  SELECT 'absent-' || i AS tok FROM generate_series(0, 99) t(i))
 SELECT 'vocab' AS variant, CAST(-1 AS BIGINT) AS doc_id, '' AS term,
        CAST(COUNT(DISTINCT tok) AS DOUBLE) AS val
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) t
@@ -3327,6 +3353,16 @@ LEFT JOIN cms_cells c ON c.d = r.d
   AND c.w = ('0x' || substr(md5('cms' || r.d || ':' || k.tok), 1, 15))::BIGINT
             % 512
 GROUP BY k.tok
+UNION ALL
+SELECT 'bloom' AS variant, CAST(-1 AS BIGINT) AS doc_id, p.tok AS term,
+       CAST(CASE WHEN SUM(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS DOUBLE) AS val
+FROM bloom_probe p
+CROSS JOIN range(0, 5) r(d)
+LEFT JOIN bloom_bits b
+  ON b.pos = ('0x' || substr(md5('bf' || r.d || ':' || p.tok), 1, 15))::BIGINT
+             % 8192
+GROUP BY p.tok
 """
 
 

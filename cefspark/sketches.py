@@ -207,3 +207,52 @@ def cms_query(sketch: DataFrame, keys: DataFrame, value_col: str,
                   "left")
             .groupBy(value_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+# ------------------------------------------------------------------------------
+# Bloom filter (set-membership sketch; join/scan pruning at scale)
+# ------------------------------------------------------------------------------
+
+def bloom_build(df: DataFrame, value_col: str, n_bits: int = 8192,
+                k: int = 5) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of DISTINCT set bit positions.
+
+    Same portable md5 cell addressing as the CMS above (prefix ``bf<d>:``)
+    so any engine can reproduce membership answers exactly. Build is one
+    explode (k cells per key) + a distinct over at most ``n_bits`` groups —
+    shuffle bounded by the filter size, not the stream. The position table
+    is broadcastable: the classic 100-TB use is semi-join pruning (probe a
+    huge fact table against a small authority set — e.g. contaminated-doc
+    fingerprints — without shuffling the fact side).
+
+    Guarantees: NO false negatives ever; false-positive rate ~
+    ``(1 - exp(-k*n/m))^k`` — both pytest-pinned; answers are
+    deterministic, so the DuckDB gate pins them bit-exactly cross-engine.
+    """
+    if n_bits < 1 or k < 1:
+        raise ValueError("n_bits and k must be >= 1")
+    key = F.col(value_col).cast("string")
+    cells = F.array(*[
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{d}:"), key)), 1, 15),
+               16, 10).cast("bigint") % n_bits
+        for d in range(k)])
+    return (df.select(F.explode(cells).alias("pos")).distinct())
+
+
+def bloom_might_contain(bloom: DataFrame, keys: DataFrame, value_col: str,
+                        n_bits: int = 8192, k: int = 5) -> DataFrame:
+    """Probe keys against a Bloom position table: ``might`` is true iff all
+    ``k`` positions are set. The bloom side is broadcast (≤ n_bits rows) —
+    probing never shuffles the key table."""
+    key = F.col(value_col).cast("string")
+    cells = F.array(*[
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{d}:"), key)), 1, 15),
+               16, 10).cast("bigint") % n_bits
+        for d in range(k)])
+    exploded = keys.select(F.col(value_col), F.explode(cells).alias("pos"))
+    return (exploded
+            .join(F.broadcast(bloom.withColumn("_set", F.lit(1))),
+                  "pos", "left")
+            .groupBy(value_col)
+            .agg((F.sum(F.when(F.col("_set").isNull(), 1).otherwise(0)) == 0)
+                 .alias("might")))

@@ -81,3 +81,27 @@ def test_invalid_params_raise(spark):
         sketches.cms_build(df, "k", depth=0)
     with pytest.raises(ValueError):
         sketches.cms_merge()
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    present = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    absent = spark.range(3000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k"))
+    bloom = sketches.bloom_build(present, "k", n_bits=32768, k=5)
+    res = {r.k: r.might for r in sketches.bloom_might_contain(
+        bloom, present.unionAll(absent), "k", n_bits=32768, k=5).collect()}
+    assert all(res[f"key-{i}"] for i in range(2000))  # never a false negative
+    fps = sum(1 for i in range(3000) if res[f"other-{i}"])
+    import math
+    expected = (1 - math.exp(-5 * 2000 / 32768)) ** 5
+    assert fps / 3000 <= max(4 * expected, 0.02)
+
+
+def test_bloom_size_bounded_and_broadcast_probe(spark):
+    present = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    bloom = sketches.bloom_build(present, "k", n_bits=1024, k=3)
+    assert bloom.count() <= 1024
+    q = sketches.bloom_might_contain(bloom, present, "k", n_bits=1024, k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
