@@ -207,6 +207,20 @@ def _f_aggregate(df, o):
                            order_cols=o.get("order_cols"))
 
 
+def _f_cipher(df, o):
+    from .cipher import decrypt_field, encrypt_field
+    _opts(o, {"mode", "field", "key", "target", "iv_random_length"},
+          "cipher")
+    mode = o.get("mode", "encrypt")
+    kwargs = dict(target=o.get("target"),
+                  iv_random_length=int(o.get("iv_random_length", 0)))
+    if mode == "encrypt":
+        return encrypt_field(df, o["field"], o["key"], **kwargs)
+    if mode == "decrypt":
+        return decrypt_field(df, o["field"], o["key"], **kwargs)
+    raise ValueError(f"cipher: mode must be encrypt|decrypt, got {mode!r}")
+
+
 def _f_range(df, o):
     from .pipeline import range_check
     _opts(o, {"ranges", "negate", "tags_col"}, "range")
@@ -243,6 +257,7 @@ FILTERS = {
     "split": _f_split, "metricize": _f_metricize,
     "useragent": _f_useragent, "urldecode": _f_urldecode,
     "truncate": _f_truncate, "range": _f_range, "dns": _f_dns,
+    "cipher": _f_cipher,
 }
 
 
