@@ -2336,9 +2336,39 @@ def q_event_sessions(spark, sf_dir):
         (F.coalesce(F.expr("try_cast(task_map['x'] AS BIGINT)"), F.lit(-1))
          * 1000 + F.col("n_events")).cast("long").alias("val"))
 
+    # pmi (round 6): tool co-occurrence PMI over per-user tool sets
+    # (transcripts.cooccurrence_pmi — no-self-join pair generation). Gated
+    # integers: pair joint counts (event_id = idx(a)*10 + idx(b)), item
+    # marginals (event_id = 100 + idx), and the group total (event_id =
+    # 999); the float ln(PMI) layer is pytest-pinned (not bit-portable).
+    from . import transcripts as _tr
+
+    tool_c = F.when(F.col("event_id") % 7 == 0,
+                    F.element_at(F.array(F.lit("search"), F.lit("code"),
+                                         F.lit("browse")),
+                                 (F.col("event_id") % 3).cast("int") + 1))
+    tdf = ev.select("user_id", tool_c.alias("tool"))
+    tool_idx = ("CASE {c} WHEN 'browse' THEN 0 WHEN 'code' THEN 1 "
+                "ELSE 2 END")
+    pmi_pairs = _tr.cooccurrence_pmi(tdf, "user_id", "tool").select(
+        (F.expr(tool_idx.format(c="item_a")) * 10
+         + F.expr(tool_idx.format(c="item_b"))).cast("long")
+        .alias("event_id"),
+        F.lit("pmi").alias("variant"), F.col("n_joint").alias("val"))
+    tper = tdf.where(F.col("tool").isNotNull()).distinct()
+    pmi_marg = tper.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n")).select(
+        (F.expr(tool_idx.format(c="tool")) + 100).cast("long")
+        .alias("event_id"),
+        F.lit("pmi").alias("variant"), F.col("n").alias("val"))
+    pmi_n = tper.agg(
+        F.count_distinct("user_id").alias("n")).select(
+        F.lit(999).cast("long").alias("event_id"),
+        F.lit("pmi").alias("variant"), F.col("n").alias("val"))
     return (sess.unionByName(asof).unionByName(rng).unionByName(thr)
             .unionByName(elv).unionByName(fun).unionByName(ret)
-            .unionByName(agt))
+            .unionByName(agt).unionByName(pmi_pairs)
+            .unionByName(pmi_marg).unionByName(pmi_n))
 
 
 O_EVENT_SESSIONS = """
@@ -2426,6 +2456,35 @@ LEFT JOIN (
                               ORDER BY ts DESC, event_id DESC) AS rn
     FROM events WHERE event_id % 2 = 0) q
   WHERE rn = 1) w USING (task_id)
+UNION ALL
+SELECT CAST((CASE a.tool WHEN 'browse' THEN 0 WHEN 'code' THEN 1 ELSE 2 END)
+            * 10
+            + (CASE b.tool WHEN 'browse' THEN 0 WHEN 'code' THEN 1 ELSE 2 END)
+       AS BIGINT) AS event_id,
+       'pmi' AS variant, CAST(COUNT(*) AS BIGINT) AS val
+FROM (SELECT DISTINCT user_id,
+             CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'search'
+                  WHEN 1 THEN 'code' ELSE 'browse' END AS tool
+      FROM events WHERE event_id % 7 = 0) a
+JOIN (SELECT DISTINCT user_id,
+             CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'search'
+                  WHEN 1 THEN 'code' ELSE 'browse' END AS tool
+      FROM events WHERE event_id % 7 = 0) b
+  ON a.user_id = b.user_id AND a.tool < b.tool
+GROUP BY 1
+UNION ALL
+SELECT CAST(100 + CASE tool WHEN 'browse' THEN 0 WHEN 'code' THEN 1 ELSE 2 END
+       AS BIGINT) AS event_id,
+       'pmi' AS variant, CAST(COUNT(*) AS BIGINT) AS val
+FROM (SELECT DISTINCT user_id,
+             CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'search'
+                  WHEN 1 THEN 'code' ELSE 'browse' END AS tool
+      FROM events WHERE event_id % 7 = 0) m
+GROUP BY 1
+UNION ALL
+SELECT CAST(999 AS BIGINT) AS event_id, 'pmi' AS variant,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS val
+FROM events WHERE event_id % 7 = 0
 """
 
 

@@ -115,3 +115,50 @@ def truncate_context(df: DataFrame, budget: int, conv_col: str = "conv_id",
             .withColumn("_pos", pos)
             .where((F.col("suffix_tokens") <= budget) | (F.col("_pos") == 1))
             .drop("_pos"))
+
+
+def cooccurrence_pmi(df: DataFrame, group_col: str = "conv_id",
+                     item_col: str = "tool") -> DataFrame:
+    """Pairwise PMI of items co-occurring within a group (which tools are
+    used together in a conversation — the transcript-analytics view of
+    document-level co-occurrence).
+
+    Counting contract: presence-based (each group contributes 0/1 per item
+    and per pair), ``N`` = number of groups containing at least one item,
+    ``pmi = ln(n_joint * N / (n_a * n_b))``. Ordered pairs (item_a <
+    item_b) so each pair appears once.
+
+    Spark shape: ONE shuffle builds the per-group distinct item set
+    (collect_set); ordered pairs are generated INSIDE each row with a
+    nested ``transform``/``slice`` comprehension — no self-join, so the
+    plan never pair-explodes across the cluster; pair/item marginal counts
+    aggregate over tiny keyed streams (bounded by distinct items², not by
+    input rows). The N scalar rides in via a broadcast cross join. The
+    integer counts are exact (oracle-gated); the float ``pmi`` is a single
+    ln per pair, pytest-pinned against a driver-side reference.
+    """
+    per = (df.where(F.col(item_col).isNotNull())
+           .select(F.col(group_col).alias("_g"),
+                   F.col(item_col).cast("string").alias("_i"))
+           .distinct())
+    sets = per.groupBy("_g").agg(
+        F.array_sort(F.collect_set("_i")).alias("_items"))
+    pairs = sets.select(F.explode(F.expr(
+        "flatten(transform(_items, (x, i) -> "
+        "transform(slice(_items, i + 2, size(_items)), "
+        "y -> struct(x AS a, y AS b))))")).alias("_p"))
+    joint = pairs.groupBy(F.col("_p.a").alias("item_a"),
+                          F.col("_p.b").alias("item_b")).agg(
+        F.count(F.lit(1)).alias("n_joint"))
+    marg = per.groupBy(F.col("_i")).agg(F.count(F.lit(1)).alias("n"))
+    n_groups = sets.agg(F.count(F.lit(1)).alias("n_groups"))
+    out = (joint
+           .join(F.broadcast(marg.select(F.col("_i").alias("item_a"),
+                                         F.col("n").alias("n_a"))), "item_a")
+           .join(F.broadcast(marg.select(F.col("_i").alias("item_b"),
+                                         F.col("n").alias("n_b"))), "item_b")
+           .crossJoin(F.broadcast(n_groups)))
+    return out.select(
+        "item_a", "item_b", "n_joint", "n_a", "n_b", "n_groups",
+        F.log(F.col("n_joint").cast("double") * F.col("n_groups")
+              / (F.col("n_a").cast("double") * F.col("n_b"))).alias("pmi"))

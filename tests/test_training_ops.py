@@ -1411,3 +1411,28 @@ def test_compression_metrics_exact_and_discriminative(spark):
     assert got["noisy"]["compression_ratio"] < 1.2
     assert got["none"]["zlib_len"] is None
     assert got["none"]["compression_ratio"] is None
+
+
+def test_cooccurrence_pmi_counts_and_float(spark):
+    from cefspark.transcripts import cooccurrence_pmi
+
+    rows = [  # g1: a,b,c  g2: a,b  g3: a  g4: b,c  (+ dup items, one null)
+        ("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "a"),
+        ("g2", "a"), ("g2", "b"), ("g3", "a"), ("g4", "b"), ("g4", "c"),
+        ("g4", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, tool string")
+    got = {(r.item_a, r.item_b): r for r in
+           cooccurrence_pmi(df).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert (ab.n_joint, ab.n_a, ab.n_b, ab.n_groups) == (2, 3, 3, 4)
+    assert got[("a", "c")].n_joint == 1 and got[("b", "c")].n_joint == 2
+    import math
+    for (a, b), r in got.items():
+        assert r.pmi == pytest.approx(
+            math.log(r.n_joint * r.n_groups / (r.n_a * r.n_b)), rel=1e-12)
+    # pair generation happens inside rows: no sort-merge self-join
+    plan = (cooccurrence_pmi(df)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "SortMergeJoin" not in plan
