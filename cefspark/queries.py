@@ -2092,7 +2092,38 @@ def q_cef_enrich_tiers(spark, sf_dir):
         F.lit("ua").alias("variant"), "event_id",
         F.concat_ws("/", "ua_family", "ua_major").alias("s1"),
         F.col("ua_os").alias("s2"))
-    return tiers.unionByName(cid).unionByName(ua)
+
+    # cidr6 (round 6): the IPv6 path — 200 nested /48s under a /32
+    # fallback, enriched via the 32-hex-string machinery (Catalyst v6
+    # parser incl. '::' compression, carry-free bounds, LPM sweep, 9-hex
+    # bucket equi-join). Events carry /48-covered, /32-only (ffff lane no
+    # /48 covers), unmatched (fd00::), and malformed (double '::') ips;
+    # the oracle replays the residue classes closed-form — it never
+    # parses an address.
+    hexi = lambda c: F.lower(F.conv(c.cast("string"), 10, 16))  # noqa: E731
+    dim6 = (spark.range(200).select(
+        F.concat(F.lit("2001:db8:"), hexi(F.col("id")),
+                 F.lit("::/48")).alias("cidr"),
+        F.concat(F.lit("net-"), (F.col("id") % 7).cast("string")).alias("zone"),
+        (F.col("id") + 64500).alias("asn"))
+        .unionByName(spark.range(1).select(
+            F.lit("2001:db8::/32").alias("cidr"),
+            F.lit("core").alias("zone"), F.lit(64000).alias("asn"))))
+    ip6 = (F.when(eid % 4 == 0,
+                  F.concat(F.lit("2001:db8:"), hexi(eid % 200),
+                           F.lit("::9")))
+           .when(eid % 4 == 1,
+                 F.concat(F.lit("2001:db8:ffff::"), hexi(eid % 100)))
+           .when(eid % 4 == 2,
+                 F.concat(F.lit("fd00::"), hexi(eid % 50)))
+           .otherwise(F.lit("not:an::ip::")))
+    events_ip6 = _events(spark, sf_dir).select("event_id", ip6.alias("ip"))
+    looked6 = _cidr.enrich_cidr6(events_ip6, dim6, "ip", prefix_hex=9)
+    cid6 = looked6.select(
+        F.lit("cidr6").alias("variant"), "event_id",
+        F.coalesce("zone", F.lit("none")).alias("s1"),
+        F.coalesce(F.col("asn").cast("string"), F.lit("-")).alias("s2"))
+    return tiers.unionByName(cid).unionByName(ua).unionByName(cid6)
 
 
 O_CEF_ENRICH_TIERS = f"""
@@ -2125,6 +2156,16 @@ SELECT 'ua' AS variant, event_id,
          WHEN 0 THEN 'Windows' WHEN 1 THEN 'Linux' WHEN 2 THEN 'macOS'
          WHEN 3 THEN 'iOS' WHEN 4 THEN 'Android'
          ELSE 'Other' END AS s2
+FROM events
+UNION ALL
+SELECT 'cidr6' AS variant, event_id,
+       CASE WHEN event_id % 4 = 0
+              THEN 'net-' || CAST((event_id % 200) % 7 AS VARCHAR)
+            WHEN event_id % 4 = 1 THEN 'core'
+            ELSE 'none' END AS s1,
+       CASE WHEN event_id % 4 = 0 THEN CAST(event_id % 200 + 64500 AS VARCHAR)
+            WHEN event_id % 4 = 1 THEN '64000'
+            ELSE '-' END AS s2
 FROM events
 """
 
