@@ -1840,8 +1840,25 @@ def q_multimodal_codec_meta(spark, sf_dir):
         (F.col("srcport") * 100000 + F.col("dstport")).alias("m2"),
         F.col("d_pkts").alias("m3"),
         (F.col("d_octets") * 100 + F.col("prot")).alias("m4"))
+    # avro: real Object Container Files (from-scratch spec codec, JVM
+    # reference-differential in pytest) — every 3rd deflate-coded, every
+    # 4th multi-block; per-RECORD rows prove varint/enum/union/string
+    # decode (role index, null-union score → -1, text length).
+    from . import avro as _avro
+
+    av = _avro.decode_avro(
+        _avro.synthesize_avro_assets(spark, n=100),
+        fields=["turn_id", "role", "text", "score"]).where(
+        F.col("error").isNull()).select(
+        F.format_string("%s-%02d", "asset_id", "record_idx").alias("asset_id"),
+        F.lit("avro").alias("codec"),
+        F.col("turn_id").cast("long").alias("m1"),
+        F.expr("CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 "
+               "ELSE 2 END").cast("long").alias("m2"),
+        F.coalesce(F.col("score").cast("long"), F.lit(-1)).alias("m3"),
+        F.length("text").cast("long").alias("m4"))
     return (wav.unionByName(bmp).unionByName(png).unionByName(rle)
-            .unionByName(nf))
+            .unionByName(nf).unionByName(av))
 
 
 O_MULTIMODAL_CODEC_META = """
@@ -1883,6 +1900,15 @@ SELECT printf('nf-%06d-%02d', i, j) AS asset_id, 'netflow' AS codec,
             + CASE WHEN (i + j) % 3 = 0 THEN 17 ELSE 6 END AS BIGINT) AS m4
 FROM generate_series(0, 119) t(i) CROSS JOIN generate_series(0, 12) s(j)
 WHERE j < 1 + i % 13
+UNION ALL
+SELECT printf('av-%06d-%02d', i, j) AS asset_id, 'avro' AS codec,
+       CAST(i * 1000 + j AS BIGINT) AS m1,
+       CAST((i + j) % 3 AS BIGINT) AS m2,
+       CAST(CASE WHEN (i + j) % 5 = 0 THEN -1
+                 ELSE (i * 7 + j) % 100 END AS BIGINT) AS m3,
+       CAST(length('turn-' || i || '-' || j) AS BIGINT) AS m4
+FROM generate_series(0, 99) t(i) CROSS JOIN generate_series(0, 6) s(j)
+WHERE j < 1 + i % 7
 """
 
 
