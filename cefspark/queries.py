@@ -1857,8 +1857,25 @@ def q_multimodal_codec_meta(spark, sf_dir):
                "ELSE 2 END").cast("long").alias("m2"),
         F.coalesce(F.col("score").cast("long"), F.lit(-1)).alias("m3"),
         F.length("text").cast("long").alias("m4"))
+    # fluent: msgpack-from-scratch + fluent forward protocol — even assets
+    # use Forward batch mode, odd a Message-mode object stream; per-EVENT
+    # rows prove fixint/str/map decode + both wire shapes (seq, time, tag
+    # residue, level enum index; record fields re-extracted from the
+    # canonical JSON rendering).
+    from . import msgpackc as _mp
+
+    fl = _mp.decode_fluent(_mp.synthesize_fluent_assets(spark, n=100)).where(
+        F.col("error").isNull()).select(
+        F.format_string("%s-%02d", "asset_id", "event_idx").alias("asset_id"),
+        F.lit("fluent").alias("codec"),
+        F.get_json_object("record_json", "$.seq").cast("long").alias("m1"),
+        F.col("time").alias("m2"),
+        F.regexp_extract("tag", r"svc(\d)$", 1).cast("long").alias("m3"),
+        F.expr("CASE get_json_object(record_json, '$.level') "
+               "WHEN 'info' THEN 0 WHEN 'warn' THEN 1 ELSE 2 END")
+        .cast("long").alias("m4"))
     return (wav.unionByName(bmp).unionByName(png).unionByName(rle)
-            .unionByName(nf).unionByName(av))
+            .unionByName(nf).unionByName(av).unionByName(fl))
 
 
 O_MULTIMODAL_CODEC_META = """
@@ -1909,6 +1926,14 @@ SELECT printf('av-%06d-%02d', i, j) AS asset_id, 'avro' AS codec,
        CAST(length('turn-' || i || '-' || j) AS BIGINT) AS m4
 FROM generate_series(0, 99) t(i) CROSS JOIN generate_series(0, 6) s(j)
 WHERE j < 1 + i % 7
+UNION ALL
+SELECT printf('fl-%06d-%02d', i, j) AS asset_id, 'fluent' AS codec,
+       CAST(i * 100 + j AS BIGINT) AS m1,
+       CAST(1700000000 + i * 60 + j AS BIGINT) AS m2,
+       CAST(i % 5 AS BIGINT) AS m3,
+       CAST((i + j) % 3 AS BIGINT) AS m4
+FROM generate_series(0, 99) t(i) CROSS JOIN generate_series(0, 5) s(j)
+WHERE j < 1 + i % 6
 """
 
 
