@@ -1095,9 +1095,35 @@ def q_cef_raw_lines(spark, sf_dir):
             F.col("value").cast("long").cast("string"), F.lit("/"),
             F.col("ts").cast("string"))).alias("s2"))
 
+    # rfc5424 variant (round 6): the RFC 5424 syslog grammar incl. full
+    # STRUCTURED-DATA decomposition (syslog_pri.parse_syslog5424) —
+    # closed-form lines (every 9th garbage), s1 = host/app, s2 packs
+    # facility.severity / the sd param value / the free-text msg; the
+    # oracle restates the pre-render arithmetic (never parses a line).
+    from .syslog_pri import parse_syslog5424
+
+    sline = F.when(eid % 9 == 0, F.lit("no syslog here")).otherwise(F.concat(
+        F.lit("<"), (eid % 192).cast("string"),
+        F.lit(">1 2026-01-01T00:00:00Z host-"), (eid % 50).cast("string"),
+        F.lit(" app"), (eid % 7).cast("string"), F.lit(" "),
+        (eid % 3000 + 1).cast("string"), F.lit(" ID"),
+        (eid % 10).cast("string"), F.lit(' [m@1 a="'),
+        (eid % 100).cast("string"), F.lit('"] done-'), eid.cast("string")))
+    sl = parse_syslog5424(
+        _events(spark, sf_dir).select("event_id", sline.alias("message")))
+    s24 = sl.select(
+        F.lit("rfc5424").alias("variant"), "event_id",
+        F.when(F.col("pri5424").isNotNull(),
+               F.concat_ws("/", "hostname5424", "appname")).alias("s1"),
+        F.when(F.col("pri5424").isNotNull(), F.concat(
+            F.col("facility5424").cast("string"), F.lit("."),
+            F.col("severity5424").cast("string"), F.lit("/"),
+            F.element_at(F.col("sd_params"), "m@1/a"), F.lit("/"),
+            F.col("msg5424"))).alias("s2"))
+
     return (cef.unionByName(gk).unionByName(ga)
             .unionByName(di).unionByName(kvv).unionByName(mlv)
-            .unionByName(cs).unionByName(gp))
+            .unionByName(cs).unionByName(gp).unionByName(s24))
 
 
 O_CEF_RAW_LINES = """
@@ -1112,6 +1138,17 @@ SELECT 'graphite' AS variant, event_id,
        CASE WHEN event_id % 11 = 0 THEN NULL
             ELSE CAST(event_id * 3 % 1000 AS VARCHAR) || '/'
                  || CAST(event_id + 1700000000 AS VARCHAR) END AS s2
+FROM events
+UNION ALL
+SELECT 'rfc5424' AS variant, event_id,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE 'host-' || CAST(event_id % 50 AS VARCHAR) || '/app'
+                 || CAST(event_id % 7 AS VARCHAR) END AS s1,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE CAST(event_id % 192 // 8 AS VARCHAR) || '.'
+                 || CAST(event_id % 192 % 8 AS VARCHAR) || '/'
+                 || CAST(event_id % 100 AS VARCHAR) || '/done-'
+                 || CAST(event_id AS VARCHAR) END AS s2
 FROM events
 UNION ALL
 SELECT 'charset' AS variant, event_id,

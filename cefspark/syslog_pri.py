@@ -76,3 +76,60 @@ def parse_syslog_pri(df: DataFrame, col: str = "message",
         f"{prefix}_severity": sev_lbl,
         col: rest,
     })
+
+
+# ------------------------------------------------------------------------------
+# RFC 5424 (the "new" syslog protocol; logstash-input-syslog's other grammar)
+# ------------------------------------------------------------------------------
+
+_5424_HEAD = (r"^<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) "
+              r"(-|(?:\[[^\]\\]*(?:\\.[^\]\\]*)*\])+)(?: (.*))?$")
+_SD_ELEM = r"\[([^\]\\]*(?:\\.[^\]\\]*)*)\]"
+_SD_PARAM = r'\S+="(?:[^"\\]|\\.)*"'
+
+
+def parse_syslog5424(df: DataFrame, col: str = "message") -> DataFrame:
+    """Parse RFC 5424 syslog lines: ``<PRI>VERSION TS HOST APP PROCID
+    MSGID SD [MSG]`` with full STRUCTURED-DATA decomposition.
+
+    Adds ``pri5424``/``facility5424``/``severity5424``, ``version``,
+    ``ts5424`` (timestamp; NULL for the nil ``-``), ``hostname5424``,
+    ``appname``, ``procid``, ``msgid`` (nil ``-`` → NULL), ``msg5424``,
+    and ``sd_params`` — a ``map<string,string>`` keyed ``<sd-id>/<param>``
+    with the spec's escapes (``\\"``, ``\\]``, ``\\\\``) undone. Non-5424
+    lines yield NULLs across the board (error-as-data).
+
+    Pure Catalyst: one anchored header regex, ``regexp_extract_all`` for
+    elements/params, higher-order ``transform``/``flatten`` +
+    ``map_from_entries`` for the SD map — codegen-resident, no UDF, no
+    shuffle, so it rides the framing scan like the 3164 filter above.
+    """
+    line = F.col(col)
+    grp = lambda i: F.regexp_extract(line, _5424_HEAD, i)  # noqa: E731
+    ok = line.rlike(_5424_HEAD)
+    pri = grp(1).cast("int")
+    ok = ok & (pri <= 191) & (grp(2).cast("int") >= 1)
+    nil = lambda c: F.when(c != "-", c)  # noqa: E731
+    sd = grp(8)
+    elems = F.regexp_extract_all(sd, F.lit(_SD_ELEM), 1)
+    unesc = lambda c: F.regexp_replace(c, r'\\(["\\\]])', r"$1")  # noqa: E731
+    entries = F.flatten(F.transform(elems, lambda e: F.transform(
+        F.regexp_extract_all(e, F.lit(_SD_PARAM), 0),
+        lambda kv: F.struct(
+            F.concat(F.substring_index(e, " ", 1), F.lit("/"),
+                     F.substring_index(kv, "=", 1)).alias("key"),
+            unesc(F.regexp_replace(kv, r'^\S+="(.*)"$', r"$1"))
+            .alias("value")))))
+    return df.withColumns({
+        "pri5424": F.when(ok, pri),
+        "facility5424": F.when(ok, F.floor(pri / 8).cast("int")),
+        "severity5424": F.when(ok, pri % 8),
+        "version": F.when(ok, grp(2).cast("int")),
+        "ts5424": F.when(ok, nil(grp(3)).try_cast("timestamp")),
+        "hostname5424": F.when(ok, nil(grp(4))),
+        "appname": F.when(ok, nil(grp(5))),
+        "procid": F.when(ok, nil(grp(6))),
+        "msgid": F.when(ok, nil(grp(7))),
+        "sd_params": F.when(ok & (sd != "-"), F.map_from_entries(entries)),
+        "msg5424": F.when(ok, nil(F.when(grp(9) != "", grp(9)))),
+    })
