@@ -207,6 +207,12 @@ def _f_aggregate(df, o):
                            order_cols=o.get("order_cols"))
 
 
+def _f_syslog5424(df, o):
+    from .syslog_pri import parse_syslog5424
+    _opts(o, {"field"}, "syslog5424")
+    return parse_syslog5424(df, o.get("field", "message"))
+
+
 def _f_cipher(df, o):
     from .cipher import decrypt_field, encrypt_field
     _opts(o, {"mode", "field", "key", "target", "iv_random_length"},
@@ -257,7 +263,7 @@ FILTERS = {
     "split": _f_split, "metricize": _f_metricize,
     "useragent": _f_useragent, "urldecode": _f_urldecode,
     "truncate": _f_truncate, "range": _f_range, "dns": _f_dns,
-    "cipher": _f_cipher,
+    "cipher": _f_cipher, "syslog5424": _f_syslog5424,
 }
 
 

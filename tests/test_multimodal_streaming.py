@@ -1700,3 +1700,34 @@ def test_windowed_unique_counts_stream_equals_batch(spark, tmp_path):
     assert got == exp and len(got) > 0
     # sanity: windows genuinely aggregate multiple distinct conversations
     assert max(got.values()) > 1
+
+
+def test_binary_codec_decode_streams_equal_batch(spark, tmp_path):
+    """The new binary codecs are pure mapInPandas projections, so they run
+    unchanged on a file stream: availableNow drain == batch decode for
+    NetFlow packets and fluent blobs."""
+    from cefspark import msgpackc, netflow
+
+    nf_src = str(tmp_path / "nf_in")
+    netflow.synthesize_netflow_assets(spark, 30).write.parquet(nf_src)
+    fl_src = str(tmp_path / "fl_in")
+    msgpackc.synthesize_fluent_assets(spark, 30).write.parquet(fl_src)
+
+    for name, src, decode in [
+        ("nf", nf_src,
+         lambda d: netflow.decode_netflow(d).where(F.col("error").isNull())
+         .select("asset_id", "record_idx", "srcaddr", "d_octets")),
+        ("fl", fl_src,
+         lambda d: msgpackc.decode_fluent(d).where(F.col("error").isNull())
+         .select("asset_id", "event_idx", "tag", "record_json")),
+    ]:
+        batch = {tuple(r) for r in decode(spark.read.parquet(src)).collect()}
+        stream = decode(spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src))
+        q = (stream.writeStream.format("memory")
+             .queryName(f"codec_{name}")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {tuple(r) for r in
+               spark.sql(f"SELECT * FROM codec_{name}").collect()}
+        assert got == batch and len(got) > 0, name
