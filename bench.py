@@ -449,8 +449,18 @@ def main() -> None:
             pair_readings_adj = [p["eff_adj"] for p in pairs]
             best = min(pairs, key=lambda p: (p["contaminated"], p["steal"]))
             levels, level_attempts = best["levels"], best["attempts"]
-            eff = best["eff"]
-            eff_adj = best["eff_adj"]
+            # two CLEAN pairs are independent measurements of the same
+            # quantity: cite their mean (unbiased, halves the variance)
+            # rather than discarding one; under contamination fall back to
+            # the least-stolen pair (selection by noise, not by outcome)
+            clean = [p for p in pairs if not p["contaminated"]]
+            if len(clean) >= 2:
+                eff = round(sum(p["eff"] for p in clean) / len(clean), 3)
+                eff_adj = round(
+                    sum(p["eff_adj"] for p in clean) / len(clean), 3)
+            else:
+                eff = best["eff"]
+                eff_adj = best["eff_adj"]
     except Exception:
         levels, eff, pair_readings = {}, None, []
         eff_adj, pair_readings_adj = None, []
