@@ -1121,9 +1121,43 @@ def q_cef_raw_lines(spark, sf_dir):
             F.element_at(F.col("sd_params"), "m@1/a"), F.lit("/"),
             F.col("msg5424"))).alias("s2"))
 
+    # esbulk variant (round 6): the Elasticsearch bulk NDJSON codec —
+    # POSITIONAL action/source pairing walked per shard
+    # (esbulk.decode_es_bulk, sequential within a shard like multiline,
+    # parallel across the 8 shards); every 5th event is a delete (no
+    # source line). The oracle restates the per-event closed form keyed
+    # by the recovered _id — it never walks the stream.
+    from . import esbulk as _eb
+
+    verb6 = F.when(eid % 5 == 0, F.lit("delete")).otherwise(
+        F.element_at(F.array(F.lit("index"), F.lit("create"),
+                             F.lit("update")), (eid % 3).cast("int") + 1))
+    act_line = F.concat(
+        F.lit('{"'), verb6, F.lit('":{"_index":"idx-'),
+        (eid % 4).cast("string"), F.lit('","_id":"'), eid.cast("string"),
+        F.lit('"}}'))
+    doc_line = F.concat(F.lit('{"eid":'), eid.cast("string"), F.lit("}"))
+    pair = F.when(
+        eid % 5 == 0,
+        F.array(F.struct(F.lit(0).alias("o"), act_line.alias("l")))
+    ).otherwise(F.array(F.struct(F.lit(0).alias("o"), act_line.alias("l")),
+                        F.struct(F.lit(1).alias("o"), doc_line.alias("l"))))
+    bulk_lines = (_events(spark, sf_dir)
+                  .select("event_id", F.explode(pair).alias("p"))
+                  .select((eid % 8).cast("string").alias("shard"),
+                          (eid * 2 + F.col("p.o")).alias("line_no"),
+                          F.col("p.l").alias("line")))
+    eb = (_eb.decode_es_bulk(bulk_lines)
+          .where(F.col("error").isNull())
+          .select(F.lit("esbulk").alias("variant"),
+                  F.col("doc_id").cast("long").alias("event_id"),
+                  F.concat_ws("/", "verb", "target_index").alias("s1"),
+                  F.coalesce("doc_json", F.lit("")).alias("s2")))
+
     return (cef.unionByName(gk).unionByName(ga)
             .unionByName(di).unionByName(kvv).unionByName(mlv)
-            .unionByName(cs).unionByName(gp).unionByName(s24))
+            .unionByName(cs).unionByName(gp).unionByName(s24)
+            .unionByName(eb))
 
 
 O_CEF_RAW_LINES = """
@@ -1138,6 +1172,15 @@ SELECT 'graphite' AS variant, event_id,
        CASE WHEN event_id % 11 = 0 THEN NULL
             ELSE CAST(event_id * 3 % 1000 AS VARCHAR) || '/'
                  || CAST(event_id + 1700000000 AS VARCHAR) END AS s2
+FROM events
+UNION ALL
+SELECT 'esbulk' AS variant, event_id,
+       (CASE WHEN event_id % 5 = 0 THEN 'delete'
+             ELSE CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'index'
+                       WHEN 1 THEN 'create' ELSE 'update' END END)
+       || '/idx-' || CAST(event_id % 4 AS VARCHAR) AS s1,
+       CASE WHEN event_id % 5 = 0 THEN ''
+            ELSE '{"eid":' || CAST(event_id AS VARCHAR) || '}' END AS s2
 FROM events
 UNION ALL
 SELECT 'rfc5424' AS variant, event_id,
