@@ -420,7 +420,9 @@ def main() -> None:
     levels: dict[int, dict] = {}
     level_attempts: dict[int, int] = {}
     eff = None
+    eff_adj = None
     pair_readings: list = []
+    pair_readings_adj: list = []
     try:
         if steady is not None:
             pairs = []

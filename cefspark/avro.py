@@ -84,6 +84,13 @@ def _write_bytes(out: io.BytesIO, b: bytes) -> None:
     out.write(b)
 
 
+def _need(buf: io.BytesIO, n: int) -> bytes:
+    b = buf.read(n)
+    if len(b) != n:
+        raise ValueError("truncated avro data")
+    return b
+
+
 def _read_bytes(buf: io.BytesIO) -> bytes:
     n = _read_long(buf)
     if n < 0:
@@ -94,14 +101,38 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return b
 
 
+def _branch_accepts(branch: Any, v: Any) -> bool:
+    """Spec-faithful union resolution: match the VALUE'S TYPE to the
+    branch, not merely null vs non-null."""
+    bt = branch["type"] if isinstance(branch, dict) else branch
+    if bt == "null":
+        return v is None
+    if v is None:
+        return False
+    if bt == "boolean":
+        return isinstance(v, bool)
+    if bt in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if bt in ("float", "double"):
+        return isinstance(v, float)
+    if bt == "string":
+        return isinstance(v, str)
+    if bt in ("bytes", "fixed"):
+        return isinstance(v, (bytes, bytearray))
+    if bt in ("record", "map"):
+        return isinstance(v, dict)
+    if bt == "array":
+        return isinstance(v, (list, tuple))
+    if bt == "enum":
+        return isinstance(v, str)
+    return False
+
+
 def _write_datum(out: io.BytesIO, schema: Any, v: Any) -> None:
     s = schema["type"] if isinstance(schema, dict) else schema
     if isinstance(s, list):  # union: branch index + datum
         for i, branch in enumerate(s):
-            bt = branch["type"] if isinstance(branch, dict) else branch
-            if (v is None) == (bt == "null"):
-                if v is None and bt != "null":
-                    continue
+            if _branch_accepts(branch, v):
                 _write_long(out, i)
                 return _write_datum(out, branch, v)
         raise ValueError(f"no union branch for {v!r}")
@@ -162,9 +193,9 @@ def _read_datum(buf: io.BytesIO, schema: Any) -> Any:
     if s in ("int", "long"):
         return _read_long(buf)
     if s == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _need(buf, 4))[0]
     if s == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _need(buf, 8))[0]
     if s == "bytes":
         return _read_bytes(buf)
     if s == "string":
@@ -198,7 +229,7 @@ def _read_datum(buf: io.BytesIO, schema: Any) -> Any:
     if s == "enum":
         return schema["symbols"][_read_long(buf)]
     if s == "fixed":
-        return buf.read(schema["size"])
+        return _need(buf, schema["size"])
     raise ValueError(f"unsupported schema {s!r}")
 
 

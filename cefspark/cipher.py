@@ -15,9 +15,11 @@ targets pipeline-parity and deterministic obfuscation (tokenization of
 quasi-identifiers in test corpora), not confidentiality. The docstring of
 every entry point says so; nothing here should guard real secrets.
 
-Scale shape: one Arrow-batched pandas UDF per direction, no shuffle; the
-keystream state is per-row sequential (inherent to stream ciphers), but
-key scheduling is cached per (key, iv) within a batch.
+Scale shape: one Arrow-batched pandas UDF per direction, no shuffle.
+Without an IV every row shares ONE keystream (a stream cipher's keystream
+is a fixed sequence per key), so each batch generates a single keystream
+prefix of the longest plaintext and slices it per row; with per-event
+random IVs the schedule is necessarily per-row (that is the IV's point).
 """
 
 from __future__ import annotations
@@ -72,15 +74,22 @@ def encrypt_field(df: DataFrame, field: str, key: str,
     def enc(vals: pd.Series) -> pd.Series:
         import os
 
+        pts = [None if v is None else str(v).encode("utf-8") for v in vals]
+        shared = None
+        if not iv_random_length:  # one keystream serves the whole batch
+            longest = max((len(p) for p in pts if p is not None), default=0)
+            shared = rc4_keystream(kb, longest) if longest else b""
         out = []
-        for v in vals:
-            if v is None:
+        for pt in pts:
+            if pt is None:
                 out.append(None)
                 continue
-            pt = str(v).encode("utf-8")
-            iv = os.urandom(iv_random_length) if iv_random_length else b""
-            ct = _xor(pt, rc4_keystream(kb + iv, len(pt)))
-            out.append(_b64.b64encode(iv + ct).decode("ascii"))
+            if shared is not None:
+                iv, ks = b"", shared[:len(pt)]
+            else:
+                iv = os.urandom(iv_random_length)
+                ks = rc4_keystream(kb + iv, len(pt))
+            out.append(_b64.b64encode(iv + _xor(pt, ks)).decode("ascii"))
         return pd.Series(out, dtype=object)
 
     return df.withColumn(out_col, enc(F.col(field)))
@@ -102,6 +111,7 @@ def decrypt_field(df: DataFrame, field: str, key: str,
     @F.pandas_udf("string")
     def dec(vals: pd.Series) -> pd.Series:
         out = []
+        shared: dict = {}  # iv-free path: one keystream per batch
         for v in vals:
             if v is None:
                 out.append(None)
@@ -111,8 +121,13 @@ def decrypt_field(df: DataFrame, field: str, key: str,
                 if len(raw) < iv_random_length:
                     raise ValueError("short IV")
                 iv, ct = raw[:iv_random_length], raw[iv_random_length:]
-                pt = _xor(ct, rc4_keystream(kb + iv, len(ct)))
-                out.append(pt.decode("utf-8"))
+                if not iv:
+                    if len(shared.get(b"", b"")) < len(ct):
+                        shared[b""] = rc4_keystream(kb, len(ct))
+                    ks = shared[b""][:len(ct)]
+                else:
+                    ks = rc4_keystream(kb + iv, len(ct))
+                out.append(_xor(ct, ks).decode("utf-8"))
             except Exception:
                 out.append(None)
         return pd.Series(out, dtype=object)

@@ -31,6 +31,25 @@ from pyspark.sql import functions as F
 __all__ = ["dns_lookup", "dns_resolve_udf", "fake_resolver"]
 
 
+def _tag_and_route(df, field, target, failed_tag, tags_col):
+    """Shared post-resolution step: tag misses, route the hit value
+    in-place (target=None) or into ``target``, drop the scratch column."""
+    hit = F.col("_dns_addr").isNotNull()
+    base_tags = (F.col(tags_col) if tags_col in df.columns
+                 else F.lit(None).cast("array<string>"))
+    result = df.withColumn(
+        tags_col,
+        F.when(~hit, F.array_union(F.coalesce(base_tags, F.array()),
+                                   F.array(F.lit(failed_tag))))
+        .otherwise(base_tags))
+    if target is None:
+        result = result.withColumn(
+            field, F.when(hit, F.col("_dns_addr")).otherwise(F.col(field)))
+    else:
+        result = result.withColumn(target, F.col("_dns_addr"))
+    return result.drop("_dns_addr")
+
+
 def dns_lookup(df: DataFrame, field: str, lookup: DataFrame,
                name_col: str = "name", addr_col: str = "addr",
                target: Optional[str] = None,
@@ -44,24 +63,17 @@ def dns_lookup(df: DataFrame, field: str, lookup: DataFrame,
     """
     if field not in df.columns:
         raise ValueError(f"dns_lookup: unknown field {field!r}")
-    dim = lookup.select(F.col(name_col).alias("_dns_name"),
-                        F.col(addr_col).alias("_dns_addr"))
+    # one address per name (min-addr wins, deterministically): a zone
+    # export with round-robin A records must never MULTIPLY event rows —
+    # the logstash filter resolves to a single value per event
+    dim = (lookup.select(F.col(name_col).alias("_dns_name"),
+                         F.col(addr_col).alias("_dns_addr"))
+           .groupBy("_dns_name")
+           .agg(F.min("_dns_addr").alias("_dns_addr")))
     joined = df.join(F.broadcast(dim),
                      F.col(field) == F.col("_dns_name"), "left")
-    hit = F.col("_dns_addr").isNotNull()
-    base_tags = (F.col(tags_col) if tags_col in df.columns
-                 else F.lit(None).cast("array<string>"))
-    result = joined.withColumn(
-        tags_col,
-        F.when(~hit, F.array_union(F.coalesce(base_tags, F.array()),
-                                   F.array(F.lit(failed_tag))))
-        .otherwise(base_tags))
-    if target is None:
-        result = result.withColumn(
-            field, F.when(hit, F.col("_dns_addr")).otherwise(F.col(field)))
-    else:
-        result = result.withColumn(target, F.col("_dns_addr"))
-    return result.drop("_dns_name", "_dns_addr")
+    return _tag_and_route(joined, field, target, failed_tag,
+                          tags_col).drop("_dns_name")
 
 
 def fake_resolver(name: str) -> Optional[str]:
@@ -102,20 +114,7 @@ def dns_resolve_udf(df: DataFrame, field: str,
         return pd.Series(out, dtype=object)
 
     resolved = df.withColumn("_dns_addr", resolve(F.col(field)))
-    hit = F.col("_dns_addr").isNotNull()
-    base_tags = (F.col(tags_col) if tags_col in df.columns
-                 else F.lit(None).cast("array<string>"))
-    result = resolved.withColumn(
-        tags_col,
-        F.when(~hit, F.array_union(F.coalesce(base_tags, F.array()),
-                                   F.array(F.lit(failed_tag))))
-        .otherwise(base_tags))
-    if target is None:
-        result = result.withColumn(
-            field, F.when(hit, F.col("_dns_addr")).otherwise(F.col(field)))
-    else:
-        result = result.withColumn(target, F.col("_dns_addr"))
-    return result.drop("_dns_addr")
+    return _tag_and_route(resolved, field, target, failed_tag, tags_col)
 
 
 _CACHES: dict = {}

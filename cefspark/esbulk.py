@@ -114,13 +114,12 @@ def encode_es_bulk(df: DataFrame, verb_col: str = "verb",
     action line, then the source line for non-delete verbs), ordered by
     (row position, line rank). Pure Catalyst — to_json for the action
     metadata, explode for the 1-or-2 line fan-out."""
-    meta = F.concat(
-        F.lit("{\""), F.col(verb_col), F.lit("\":{"),
-        F.concat_ws(",", *[
-            F.when(F.col(c).isNotNull(),
-                   F.concat(F.lit(f"\"{k}\":\""), F.col(c), F.lit("\"")))
-            for k, c in (("_index", index_col), ("_id", id_col))]),
-        F.lit("}}"))
+    # real JSON generation (quotes/backslashes in ids escape correctly);
+    # ignoreNullFields (default true) drops absent _index/_id
+    meta = F.to_json(F.create_map(
+        F.col(verb_col),
+        F.struct(F.col(index_col).alias("_index"),
+                 F.col(id_col).alias("_id"))))
     lines = F.when(F.col(verb_col) == "delete", F.array(meta)).otherwise(
         F.array(meta, F.col(doc_col)))
     return df.select(F.explode(lines).alias(out_col))

@@ -136,6 +136,15 @@ def _need(buf: io.BytesIO, n: int) -> bytes:
 _EXT_FIX = {0xD4: 1, 0xD5: 2, 0xD6: 4, 0xD7: 8, 0xD8: 16}
 
 
+def _map_key(buf: io.BytesIO) -> Any:
+    """Map keys must be hashable — arrays/maps as keys are a typed decode
+    error, not a TypeError escaping the error-as-data contract."""
+    k = _unpack_one(buf)
+    if isinstance(k, (list, dict)):
+        raise ValueError("unhashable msgpack map key (array/map)")
+    return k
+
+
 def _unpack_one(buf: io.BytesIO) -> Any:
     t = _need(buf, 1)[0]
     if t <= 0x7F:
@@ -143,7 +152,7 @@ def _unpack_one(buf: io.BytesIO) -> Any:
     if t >= 0xE0:
         return t - 0x100
     if 0x80 <= t <= 0x8F:
-        return {_unpack_one(buf): _unpack_one(buf) for _ in range(t & 0x0F)}
+        return {_map_key(buf): _unpack_one(buf) for _ in range(t & 0x0F)}
     if 0x90 <= t <= 0x9F:
         return [_unpack_one(buf) for _ in range(t & 0x0F)]
     if 0xA0 <= t <= 0xBF:
@@ -208,10 +217,10 @@ def _unpack_one(buf: io.BytesIO) -> Any:
         return [_unpack_one(buf)
                 for _ in range(struct.unpack(">I", _need(buf, 4))[0])]
     if t == 0xDE:
-        return {_unpack_one(buf): _unpack_one(buf)
+        return {_map_key(buf): _unpack_one(buf)
                 for _ in range(struct.unpack(">H", _need(buf, 2))[0])}
     if t == 0xDF:
-        return {_unpack_one(buf): _unpack_one(buf)
+        return {_map_key(buf): _unpack_one(buf)
                 for _ in range(struct.unpack(">I", _need(buf, 4))[0])}
     raise ValueError(f"reserved/unsupported type byte 0x{t:02x}")
 

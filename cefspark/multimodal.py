@@ -1738,8 +1738,18 @@ def phash_hamming_pairs(df: DataFrame, hash_col: str = "dhash_hex",
     For larger ``max_dist`` the result is candidate-recall (documented
     approximation), like any banded LSH.
     """
+    if n_bands not in (1, 2, 4, 8):
+        raise ValueError("n_bands must divide the 16-hex digest: 1/2/4/8")
     hl = 16 // n_bands  # hex chars per band
-    src = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    # the popcount verify below is written for 64-bit (16-hex) digests —
+    # fail loudly on any other width instead of silently dropping pairs
+    # (raise_error only evaluates on offending rows; the guarded column
+    # feeds every downstream expression, so it cannot be pruned away)
+    checked = F.when(F.length(F.col(hash_col)) == 16, F.col(hash_col)) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit("phash_hamming_pairs needs 16-hex digests (grid=8), "
+                  "got: "), F.col(hash_col))))
+    src = df.select(F.col(id_col).alias("_id"), checked.alias("_h"))
     bands = src.select(
         "_id", "_h", F.posexplode(F.array(*[
             F.substring("_h", j * hl + 1, hl) for j in range(n_bands)]))

@@ -162,3 +162,22 @@ def test_our_parser_reads_jvm_bytes(spark, tmp_path):
             _, recs = avro.parse_container(f.read())
         assert recs == [{"k": f"key-{i}", "n": i * 11 - 5}
                         for i in range(10)], codec
+
+
+def test_union_resolves_by_value_type():
+    sch = {"type": "record", "name": "U", "fields": [
+        {"name": "v", "type": ["null", "string", "long"]},
+        {"name": "w", "type": ["null", "long", "string"]}]}
+    recs = [{"v": 5, "w": "hello"}, {"v": "five", "w": 7},
+            {"v": None, "w": None}]
+    _, out = avro.parse_container(avro.build_container(sch, recs))
+    assert out == recs  # 5 stays a long, "hello" stays a string
+
+
+def test_truncated_float_and_fixed_are_typed_errors():
+    import io
+    with pytest.raises(ValueError):
+        avro._read_datum(io.BytesIO(b"\x00\x01"), "double")
+    with pytest.raises(ValueError):
+        avro._read_datum(io.BytesIO(b"ab"),
+                         {"type": "fixed", "name": "F", "size": 3})

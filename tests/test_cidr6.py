@@ -63,11 +63,7 @@ def test_bounds_match_stdlib_networks(spark):
                           net.prefixlen), n
 
 
-def test_hex_inc():
-    import pyspark.sql.functions as F  # noqa: F811
-    from cefspark.session import get_spark
-
-    spark = get_spark(cores=4)
+def test_hex_inc(spark):
     cases = [("0" * 32, "0" * 31 + "1"),
              ("0" * 31 + "f", "0" * 30 + "10"),
              ("2001" + "f" * 28, "2002" + "0" * 28),

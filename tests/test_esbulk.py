@@ -80,3 +80,14 @@ def test_roundtrip(spark):
         assert o.error is None
     # action metadata is real JSON
     assert json.loads(lines[0]) == {"index": {"_index": "logs", "_id": "1"}}
+
+
+def test_encode_escapes_metadata(spark):
+    src = spark.createDataFrame(
+        [("index", 'lo"gs', 'a"b\\c', '{"m":1}')],
+        "verb string, target_index string, doc_id string, doc_json string")
+    lines = [r.line for r in esbulk.encode_es_bulk(src).collect()]
+    assert json.loads(lines[0]) == {
+        "index": {"_index": 'lo"gs', "_id": 'a"b\\c'}}
+    back = esbulk.decode_es_bulk(_df(spark, lines)).collect()
+    assert back[0].error is None and back[0].doc_id == 'a"b\\c'

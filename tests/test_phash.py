@@ -109,3 +109,13 @@ def test_grid_bounds_validated(spark):
     df = spark.createDataFrame([("x", b"")], "asset_id string, payload binary")
     with pytest.raises(ValueError):
         multimodal.perceptual_hashes(df, grid=1)
+
+
+def test_hamming_pairs_rejects_non64bit_digests(spark):
+    df = spark.createDataFrame([("a", "ff"), ("b", "0f")],
+                               "asset_id string, dhash_hex string")
+    with pytest.raises(Exception) as ei:
+        multimodal.phash_hamming_pairs(df).collect()
+    assert "16-hex" in str(ei.value)
+    with pytest.raises(ValueError):
+        multimodal.phash_hamming_pairs(df, n_bands=3)

@@ -106,3 +106,13 @@ def test_config_chain_dispatch(spark):
     assert r.tags == ["slow"] and r.host == "10.0.0.5"
     with pytest.raises(ValueError):
         apply_filters(df, [{"dns": {"field": "host"}}])
+
+
+def test_dns_round_robin_records_never_multiply_rows(spark):
+    df = spark.createDataFrame([("db.internal",)], "host string")
+    lookup = spark.createDataFrame(
+        [("db.internal", "10.0.0.6"), ("db.internal", "10.0.0.5")],
+        "name string, addr string")
+    out = dnsres.dns_lookup(df, "host", lookup).collect()
+    assert len(out) == 1
+    assert out[0].host == "10.0.0.5"  # deterministic min-addr pick
