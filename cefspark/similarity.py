@@ -429,3 +429,52 @@ def hash_embed(df: DataFrame, dim: int = 64, text_col: str = "text",
              .withColumn("embedding",
                          F.array_repeat(F.lit(0.0), dim)))
     return embedded.unionByName(zeros)
+
+
+# ------------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss) — embedding dim reduction
+# ------------------------------------------------------------------------------
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: str = "jl") -> list:
+    """Deterministic Rademacher (+1/-1) matrix derived from md5(seed:k:i) —
+    a pure function of (dims, seed), so index build and query side always
+    agree, and a resumed job re-derives the identical projection."""
+    import hashlib
+
+    return [[1 if hashlib.md5(f"{seed}:{k}:{i}".encode()).digest()[0] % 2
+             else -1
+             for i in range(in_dim)]
+            for k in range(out_dim)]
+
+
+def project_embeddings(df: DataFrame, in_dim: int, out_dim: int,
+                       vec_col: str = "embedding", out_col: str = "proj",
+                       seed: str = "jl") -> DataFrame:
+    """Johnson-Lindenstrauss random projection: ``out[k] =
+    Σ_i vec[i]·sign(k,i) / sqrt(out_dim)`` with the deterministic
+    Rademacher matrix above. The JL lemma bounds pairwise-distance
+    distortion, so ANN/near-dup pipelines can run on 4-8× narrower
+    vectors (storage/shuffle/compute all shrink) with bounded recall
+    loss — pytest pins linearity, determinism, norm concentration, and
+    top-k agreement with the unprojected exact path.
+
+    Spark shape: the sign matrix rides into the plan as literals
+    (driver-computed once, never a per-row hash), each output component
+    is one ordered ``aggregate(zip_with(...))`` over the input array —
+    pure whole-stage codegen, no UDF, no shuffle. Floats are ordered
+    sums, deterministic per row, but not SQL-oracle-gated (float
+    functional — same doctrine as the int8 quantization path).
+    """
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("dims must be >= 1")
+    signs = jl_sign_matrix(in_dim, out_dim, seed)
+    inv = 1.0 / (out_dim ** 0.5)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = [
+        (F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[F.lit(float(s)) for s in signs[k]]),
+                       lambda x, s: x * s),
+            F.lit(0.0), lambda acc, y: acc + y) * F.lit(inv)).alias(f"_c{k}")
+        for k in range(out_dim)]
+    return df.withColumn(out_col, F.array(*comps))

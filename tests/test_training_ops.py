@@ -1436,3 +1436,72 @@ def test_cooccurrence_pmi_counts_and_float(spark):
     plan = (cooccurrence_pmi(df)._jdf.queryExecution().executedPlan()
             .toString())
     assert "SortMergeJoin" not in plan
+
+
+def test_jl_projection_properties(spark):
+    import math
+
+    from cefspark import similarity
+
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+           .where(F.col("vec_id") < 400))
+    proj = similarity.project_embeddings(emb, in_dim=64, out_dim=16)
+    rows = {r.vec_id: (list(r.embedding), list(r.proj))
+            for r in proj.collect()}
+    assert all(len(p) == 16 for _, p in rows.values())
+
+    # determinism under re-partitioning (pure function of the vector)
+    rows2 = {r.vec_id: list(r.proj) for r in
+             similarity.project_embeddings(
+                 emb.repartition(7), 64, 16).collect()}
+    assert rows2 == {k: p for k, (_, p) in rows.items()}
+
+    # linearity: proj(1.5 v) == 1.5 proj(v) exactly (pure float algebra)
+    scaled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(1.5)))
+    sp = {r.vec_id: list(r.proj) for r in
+          similarity.project_embeddings(scaled, 64, 16).collect()}
+    some = next(iter(rows))
+    assert sp[some] == [1.5 * v for v in rows[some][1]]
+
+    # norm concentration: E||proj||^2 == ||v||^2; the MEAN ratio over 400
+    # vectors concentrates hard even though k=16 is narrow
+    ratios = [sum(p * p for p in proj_v) / sum(v * v for v in vec)
+              for vec, proj_v in rows.values() if any(vec)]
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.85 <= mean_ratio <= 1.15, mean_ratio
+
+    # retrieval survives the projection for SEPARATED neighbours: a
+    # planted near-duplicate of the probe (tiny perturbation) stays the
+    # projected top-1 — JL preserves near-zero distances; ambient random
+    # vectors (all roughly equidistant) are allowed to reshuffle
+    probe = sorted(rows)[0]
+    base_vec = rows[probe][0]
+    near = [v + (0.01 if i % 3 == 0 else -0.01)
+            for i, v in enumerate(base_vec)]
+    planted = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(999999, [float(x) for x in near])],
+                              "vec_id long, embedding array<float>"))
+    pspace = {r.vec_id: list(r.proj) for r in
+              similarity.project_embeddings(planted, 64, 16).collect()}
+
+    def top1(space, probe_id):
+        pv = space[probe_id]
+        best, best_s = None, -2.0
+        for vid, v in space.items():
+            if vid == probe_id:
+                continue
+            dp = sum(a * b for a, b in zip(pv, v))
+            na = math.sqrt(sum(a * a for a in pv))
+            nb = math.sqrt(sum(b * b for b in v))
+            s = dp / (na * nb + 1e-12)
+            if s > best_s:
+                best, best_s = vid, s
+        return best
+
+    assert top1(pspace, probe) == 999999
+
+    # plan stays codegen (no python, no shuffle)
+    plan = (similarity.project_embeddings(emb, 64, 16)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
