@@ -183,16 +183,93 @@ def encode_batch(events: pd.DataFrame, config: Optional[EncoderConfig] = None) -
 
     NaN/None cells are absent fields. Returns a Series of CEF lines aligned
     with the input index.
+
+    Batch-specialized implementation of :func:`encode_event` (which remains
+    the per-event semantics of record, differentially pinned by
+    test_encoder.py's batch-vs-event comparison): everything row-invariant
+    is hoisted out of the row loop (r7, guide §4.2) — headers without a
+    ``%{field}`` template (the common config) sanitize ONCE per batch, as
+    does each extension field's sanitized key and the severity fallback;
+    per row only templated headers, null-skips and value sanitizing remain,
+    with a no-op fast path when the value contains no sanitized character.
     """
     cfg = config or EncoderConfig()
-    recs = events.to_dict("records")
-    out = []
-    for rec in recs:
-        # scalar null filter must cover pd.NaT (a null TimestampType cell is
-        # NaT in pandas: not None, not a float NaN — the reference's nil-skip
-        # at cef.rb:352 drops it, so we must too)
-        clean = {k: v for k, v in rec.items()
-                 if v is not None and v is not pd.NaT
-                 and not (isinstance(v, float) and math.isnan(v))}
-        out.append(encode_event(clean, cfg))
-    return pd.Series(out, index=events.index, dtype=object)
+    maps = cfg.mappings()
+    n = len(events)
+    idx = events.index
+    cols = {c: events[c].to_numpy(dtype=object, copy=False)
+            for c in events.columns}
+
+    # headers: constant templates render+sanitize once (sprintf of a
+    # template without %{ is the identity; empty -> plugin default)
+    hdr_attrs = ("vendor", "product", "version", "signature", "name")
+    parts: list = ["CEF:0"]  # str for constants, (attr, template) for %{}
+    templated = False
+    for attr in hdr_attrs:
+        tmpl = getattr(cfg, attr)
+        if "%{" not in tmpl:
+            parts.append(sanitize_header_field(tmpl) or _DEFAULTS[attr])
+        else:
+            parts.append((attr, tmpl))
+            templated = True
+    sev_tmpl = cfg.severity
+    const_sev = None if "%{" in sev_tmpl else _sanitize_severity({}, sev_tmpl)
+
+    # the row dict only feeds %{field} lookups; build it lazily per row
+    # from just the referenced columns (never the whole row)
+    ref_fields = sorted({f for attr in (*hdr_attrs, "severity")
+                         for f in _SPRINTF.findall(getattr(cfg, attr))
+                         if f in cols})
+
+    # extension fields: sanitized key + column array resolved once
+    enc_get = maps.encode_map.get
+    ext_fields = [(sanitize_extension_key(enc_get(f, f)) + "=", cols[f])
+                  for f in cfg.fields if f in cols]
+    ext_san_search = _EXT_SAN.search
+    ext_san_sub = _EXT_SAN.sub
+    ext_san_map = _EXT_SAN_MAP
+    delimiter = cfg.delimiter
+    isnan = math.isnan
+    NaT = pd.NaT
+
+    def _is_null(v) -> bool:
+        return (v is None or v is NaT
+                or (isinstance(v, float) and isnan(v)))
+
+    dynamic = templated or const_sev is None
+    prefix = "" if dynamic else "|".join([*parts, const_sev])
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if dynamic:
+            event = {}
+            for f in ref_fields:
+                v = cols[f][i]
+                if not _is_null(v):
+                    event[f] = v
+            headers = [p if isinstance(p, str) else
+                       (sanitize_header_field(_sprintf(p[1], event))
+                        or _DEFAULTS[p[0]])
+                       for p in parts]
+            headers.append(const_sev if const_sev is not None
+                           else _sanitize_severity(event, sev_tmpl))
+            prefix = "|".join(headers)
+        pairs = []
+        for key_eq, vals in ext_fields:
+            v = vals[i]
+            if _is_null(v):
+                continue  # nil skip (cef.rb:352); NaT is the datetime null
+            if type(v) is str:
+                s = v
+            elif isinstance(v, (pd.Timestamp, dt.datetime)):
+                # timestamps are not re-sanitized (cef.rb:629)
+                pairs.append(key_eq + _stringify(v))
+                continue
+            else:
+                s = _stringify(v)
+            if "\r\n" in s:
+                s = s.replace("\r\n", "\n")
+            if ext_san_search(s) is not None:
+                s = ext_san_sub(lambda m: ext_san_map[m.group(0)], s)
+            pairs.append(key_eq + s)
+        out[i] = prefix + "|" + " ".join(pairs) + delimiter
+    return pd.Series(out, index=idx, dtype=object)

@@ -29,13 +29,26 @@ from .udfs import decode_dataframe, encode_dataframe, ext
 NOW = "2026-08-16T00:00:00Z"  # injected clock for ECS yearless inference
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame,
+            key: Optional[str] = None) -> DataFrame:
     """Fan a low-parallelism scan out to the executor pool.
 
     The sf* testdata ships one unsplittable row group per table, which would
     pin the downstream UDF stages to 1-2 cores. At production scale a table
-    has thousands of splits and this branch never fires; here a round-robin
-    repartition of a few MB buys full parallelism for CPU-bound stages.
+    has thousands of splits and this branch never fires; here a repartition
+    of a few MB buys full parallelism for CPU-bound stages.
+
+    The fan-out is a HASH repartition on ``key`` (default: the frame's
+    first column — a unique id in every fixture table), not round-robin
+    (r7, guide §2.4/§2.5): round-robin pays a per-task local sort of its
+    whole input (`spark.sql.execution.sortBeforeRepartition`, needed so
+    retried tasks reproduce their row placement) — measured 1.33 s vs
+    0.70 s for the same 1M-row fan-out — while a hash of a deterministic
+    unique key needs no sort for retry safety and spreads just as evenly.
+    Keying events on ``user_id`` additionally lets every downstream
+    user-keyed window/aggregate/join reuse the fan-out's partitioning
+    (HashPartitioning(user_id) satisfies any clustering that includes
+    user_id), deleting whole per-branch exchanges in the union gates.
 
     The check is LISTING-based (`df.inputFiles()` reads the scan's file
     index — plan metadata, no job): the old `df.rdd.getNumPartitions()`
@@ -69,12 +82,16 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
             else:
                 return df  # remote FS: assume production-sized, splittable
         if total < 32 * 1024 * 1024:
-            df = df.repartition(par)
+            df = df.repartition(par, F.col(key or df.columns[0]))
     return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # keyed on user_id: the sessionizer/ordering gates' windows, joins and
+    # aggregates all cluster on user_id, so the fan-out partitioning is
+    # reused downstream instead of re-shuffled per union branch
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"),
+                   key="user_id")
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +186,10 @@ FROM events
 
 def q_cef_decode_extensions(spark, sf_dir):
     """D11/D12: extension tokenizer + abbreviated-key expansion."""
-    df = decode_dataframe(_with_payload(_events(spark, sf_dir)))
+    # columns=: only the extensions map crosses the Arrow boundary (the
+    # decode still parses everything; Catalyst can't prune inside the UDF)
+    df = decode_dataframe(_with_payload(_events(spark, sf_dir)),
+                          columns=["extensions"])
     return df.select(
         "event_id",
         ext("sourceAddress").alias("src_ip"),
@@ -619,7 +639,8 @@ def q_cef_roundtrip(spark, sf_dir):
     enc = encode_dataframe(df, ["sourceAddress", "event_type"],
                            EncoderConfig(vendor="%{event_type}", severity="7"),
                            encode_fields=["sourceAddress"])
-    dec = decode_dataframe(enc, text_col="cef_line")
+    dec = decode_dataframe(enc, text_col="cef_line",
+                           columns=["deviceVendor", "severity", "extensions"])
     return dec.select("event_id", F.col("deviceVendor").alias("vendor_rt"),
                       ext("sourceAddress").alias("src_rt"), "severity")
 
@@ -641,7 +662,8 @@ def q_cef_ts_epoch(spark, sf_dir):
         "text", F.concat(F.lit("CEF:0|v|p|1.0|100|ev|5|rt="),
                          F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
                          F.lit(" src=10.0.0.1")))
-    dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, now=NOW))
+    dec = decode_dataframe(df, config=DecodeConfig(ecs_mode=True, now=NOW),
+                           columns=["extensions"])
     iso = ext("@timestamp")  # '%Y-%m-%dT%H:%M:%S.%f(9)Z'
     return dec.select(
         "event_id",
@@ -2410,13 +2432,18 @@ def q_event_sessions(spark, sf_dir):
       day, offset counts)."""
     from pyspark.sql.window import Window
 
-    from .asof import asof_join, interval_join
+    from .asof import asof_join
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     gap = ms - F.lag(ms).over(w)
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # The union re-evaluates the scan+fan-out subtree per branch; an eager
+    # localCheckpoint here was A/B-measured SLOWER (7.1 s vs 5.8 s at
+    # sf1.0): the 24 pruned scans run concurrently and cost less than the
+    # serialized materialization. The branches instead skip their own
+    # exchanges because the fan-out already hash-partitions on user_id.
     ev = _events(spark, sf_dir)
     sess = ev.select(
         "event_id", F.lit("session").alias("variant"),
@@ -2425,26 +2452,29 @@ def q_event_sessions(spark, sf_dir):
     states = (ev.where(F.col("event_type") == "purchase")
               .groupBy("user_id", F.col("ts").alias("valid_from"))
               .agg(F.max("event_id").alias("state_event_id")))
+    # ONE asof pass feeds both the `asof` and `range` variants (r7, guide
+    # §2.4): with valid_to = least(next purchase, valid_from + 48 h) and
+    # the as-of match being the LATEST purchase at or before ts (so ts is
+    # always before the next purchase), interval containment reduces to
+    # ts < matched_valid_from + 48 h — a row-local check on the shared
+    # asof output, replacing the second union-window pass (and the lead
+    # window building valid_to). interval_join itself implements exactly
+    # this asof-plus-expiry reduction; here the asof half is additionally
+    # shared with the `asof` variant. Equivalence is pinned by the
+    # unchanged oracle (the literal inequality LEFT JOIN).
     enriched = asof_join(ev.select("event_id", "user_id", "ts"), states,
                          key="user_id", left_ts="ts", right_ts="valid_from",
-                         value_cols=["state_event_id"])
+                         value_cols=["state_event_id"],
+                         keep_state_ts="_state_ts")
     asof = enriched.select(
         "event_id", F.lit("asof").alias("variant"),
         F.coalesce(F.col("state_event_id"), F.lit(-1)).cast("long").alias("val"))
 
-    wst = Window.partitionBy("user_id").orderBy("valid_from")
-    intervals = states.withColumn(
-        "valid_to",
-        F.least(F.coalesce(F.lead("valid_from").over(wst),
-                           F.lit("9999-12-31 00:00:00").cast("timestamp")),
-                F.col("valid_from") + F.expr("INTERVAL 48 HOURS")))
-    ranged = interval_join(ev.select("event_id", "user_id", "ts"), intervals,
-                           key="user_id", left_ts="ts",
-                           valid_from="valid_from", valid_to="valid_to",
-                           value_cols=["state_event_id"])
-    rng = ranged.select(
+    alive = F.col("ts") < F.col("_state_ts") + F.expr("INTERVAL 48 HOURS")
+    rng = enriched.select(
         "event_id", F.lit("range").alias("variant"),
-        F.coalesce(F.col("state_event_id"), F.lit(-1)).cast("long").alias("val"))
+        F.coalesce(F.when(alive, F.col("state_event_id")), F.lit(-1))
+        .cast("long").alias("val"))
     # throttle (round 6): per-user per-hour rate limit, mark_only so every
     # event reports its deterministic in-bucket rank (kept ? rank : 0) —
     # the oracle replays the row_number rule verbatim
