@@ -187,7 +187,8 @@ def _classify_failure(s: str) -> str:
     return "unparseable payload"
 
 
-def decode_batch(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.DataFrame:
+def decode_batch(texts: pd.Series, config: Optional[DecodeConfig] = None,
+                 columns: Optional[list] = None) -> pd.DataFrame:
     """Decode a batch of CEF payload strings into an event frame.
 
     Output columns: the 7 header fields (physical long names), ``syslog``,
@@ -195,11 +196,22 @@ def decode_batch(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.
     failure), ``message`` + ``tags`` (populated only on parse failure —
     error-as-data, the Spark rendition of the reference's rescue at
     cef.rb:323-327), and ``error`` (diagnostic reason string).
+
+    ``columns`` optionally names the output columns the caller will consume
+    (the UDF-level ``columns=`` projection): when ``extensions`` is not
+    among them and no ECS normalizer is configured, the per-row KV
+    tokenization + dict build is skipped outright (r7, guide §4.2) — the
+    header fullmatch already validated the extension-block grammar, and
+    without a normalizer the extension content cannot influence any other
+    output column (error/tags/message fire on grammar alone). With
+    ``ecs_mode`` the KV pass always runs: a bad timestamp must still flip
+    the row to a failure event.
     """
-    return _decode_batch_fast(texts, config)
+    return _decode_batch_fast(texts, config, columns=columns)
 
 
-def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) -> pd.DataFrame:
+def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None,
+                       columns: Optional[list] = None) -> pd.DataFrame:
     """Single-pass hot path: one possessive mega-regex fullmatch per row."""
     cfg = config or DecodeConfig()
     maps = cfg.mappings()
@@ -224,6 +236,19 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
     desan_sub = _DESANITIZE_PATTERN.sub
     desan_map = _DESANITIZE_MAP
     dmap_get = decode_map.get
+    # KV pass elidable: caller doesn't consume `extensions` and no
+    # normalizer can turn extension content into a row failure
+    parse_ext = (normalizer is not None or columns is None
+                 or "extensions" in columns)
+    # column arrays hoisted out of the loop (r7, guide §4.2: per-row dict
+    # lookups were ~10% of the loop body)
+    c_ver = cols["cefVersion"]; c_vendor = cols["deviceVendor"]  # noqa: E702
+    c_prod = cols["deviceProduct"]; c_dver = cols["deviceVersion"]  # noqa: E702
+    c_cls = cols["deviceEventClassId"]; c_name = cols["name"]  # noqa: E702
+    c_sev = cols["severity"]; c_syslog = cols["syslog"]  # noqa: E702
+    c_ext = cols["extensions"]; c_msg = cols["message"]  # noqa: E702
+    c_tags = cols["tags"]; c_err = cols["error"]  # noqa: E702
+    c_raw = cols[cfg.raw_data_field] if cfg.raw_data_field else None
 
     for i in range(n):
         raw = arr[i]
@@ -240,9 +265,10 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
             # (rescue at cef.rb:326 yields the reassigned local), not the
             # original bytes — chomp/strip happen on a separate variable.
             failure_payload = s
-            if s.endswith("\r\n"):
-                s = s[:-2]
-            elif s.endswith(("\n", "\r")):
+            last = s[-1:]
+            if last == "\n":
+                s = s[:-2] if s[-2:-1] == "\r" else s[:-1]
+            elif last == "\r":
                 s = s[:-1]
             if "\n" in s:
                 err = ("message is not valid CEF because it contains unescaped newline characters; "
@@ -253,31 +279,42 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
             if m is None:
                 err = _classify_failure(s)
             else:
-                h = list(m.groups())
-                for j in range(7):
-                    if "\\" in h[j]:  # D8 header unescape (cef.rb:263)
-                        h[j] = hdr_sub(r"\1", h[j])
+                # one backslash scan gates every unescape path (headers D8
+                # and values D14): escape-free payloads — the overwhelming
+                # case — skip all per-field checks
+                has_bs = "\\" in s
+                h = m.groups()
+                if has_bs:
+                    h = [hdr_sub(r"\1", g) if "\\" in g else g for g in h]
                 v0 = h[0]
                 if " " in v0:  # D9 syslog prelude (cef.rb:272-278)
                     syslog, _, v0 = v0.rpartition(" ")
-                    cols["syslog"][i] = syslog
+                    c_syslog[i] = syslog
                 if v0.startswith(CEF_PREFIX):  # D10 (cef.rb:281)
                     v0 = v0[4:]
-                cols["cefVersion"][i] = v0
-                cols["deviceVendor"][i] = h[1]
-                cols["deviceProduct"][i] = h[2]
-                cols["deviceVersion"][i] = h[3]
-                cols["deviceEventClassId"][i] = h[4]
-                cols["name"][i] = h[5]
-                cols["severity"][i] = h[6]
+                c_ver[i] = v0
+                c_vendor[i] = h[1]
+                c_prod[i] = h[2]
+                c_dver[i] = h[3]
+                c_cls[i] = h[4]
+                c_name[i] = h[5]
+                c_sev[i] = h[6]
                 fields: dict = {}
-                for k, v in kv_findall(s, m.end(7)):
-                    k = dmap_get(k, k)  # D12 key expansion (cef.rb:293)
-                    if k.endswith("]"):  # D13 array-like rewrite (cef.rb:296)
-                        k = arr_sub(r"[\1]\2", k)
-                    if "\\" in v:  # D14 desanitize (cef.rb:299)
-                        v = desan_sub(lambda mm: desan_map[mm.group(0)], v)
-                    fields[k] = v
+                if parse_ext:
+                    if has_bs:
+                        for k, v in kv_findall(s, m.end(7)):
+                            k = dmap_get(k, k)  # D12 key expansion (cef.rb:293)
+                            if k[-1:] == "]":  # D13 array-like rewrite (cef.rb:296)
+                                k = arr_sub(r"[\1]\2", k)
+                            if "\\" in v:  # D14 desanitize (cef.rb:299)
+                                v = desan_sub(lambda mm: desan_map[mm.group(0)], v)
+                            fields[k] = v
+                    else:
+                        for k, v in kv_findall(s, m.end(7)):
+                            k = dmap_get(k, k)  # D12 key expansion (cef.rb:293)
+                            if k[-1:] == "]":  # D13 array-like rewrite (cef.rb:296)
+                                k = arr_sub(r"[\1]\2", k)
+                            fields[k] = v
                 if normalizer is not None and fields:
                     # D15 ECS timestamp normalization (cef.rb:307-315)
                     device_tz = fields.get(tz_field)
@@ -293,19 +330,19 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None) 
                     except ts_mod.InvalidTimestamp as e:
                         err = str(e)
                 if err is None:
-                    cols["extensions"][i] = fields
-                    if cfg.raw_data_field:
-                        cols[cfg.raw_data_field][i] = raw  # D3 (cef.rb:234)
+                    c_ext[i] = fields
+                    if c_raw is not None:
+                        c_raw[i] = raw  # D3 (cef.rb:234)
         if err is not None:
             # D17 failure fallback (cef.rb:323-327): wipe partial decode state
-            for c in ("cefVersion", "deviceVendor", "deviceProduct", "deviceVersion",
-                      "deviceEventClassId", "name", "severity", "syslog", "extensions"):
-                cols[c][i] = None
-            if cfg.raw_data_field:
-                cols[cfg.raw_data_field][i] = None
-            cols["message"][i] = failure_payload
-            cols["tags"][i] = [PARSE_FAILURE_TAG]
-            cols["error"][i] = err
+            c_ver[i] = None; c_vendor[i] = None; c_prod[i] = None  # noqa: E702
+            c_dver[i] = None; c_cls[i] = None; c_name[i] = None  # noqa: E702
+            c_sev[i] = None; c_syslog[i] = None; c_ext[i] = None  # noqa: E702
+            if c_raw is not None:
+                c_raw[i] = None
+            c_msg[i] = failure_payload
+            c_tags[i] = [PARSE_FAILURE_TAG]
+            c_err[i] = err
 
     return pd.DataFrame({c: pd.Series(v, index=idx, dtype=object) for c, v in cols.items()})
 

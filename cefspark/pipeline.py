@@ -372,21 +372,26 @@ def elapsed(df: DataFrame, id_col: str, start_pred, end_pred,
     end events strictly before the first start are ignored when a start
     exists.
 
-    Shape: filter to tagged rows → per-id min-start window → one hash
-    aggregation. The window and the groupBy share the ``id_col``
-    exchange (AQE reuses it), so the operator costs ONE shuffle keyed by
-    the transaction id — no self-join, no pair explosion, skew-free for
-    unique transaction ids."""
-    from pyspark.sql.window import Window
-
+    Shape: filter to tagged rows → ONE hash aggregation keyed on the
+    transaction id — no self-join, no pair explosion, skew-free for
+    unique transaction ids. The "first end at-or-after the first start"
+    pick collects the per-id end timestamps and filters them row-locally
+    against the aggregated min start (r7: this replaces a min-start
+    window + groupBy pair — same single shuffle, but no per-partition
+    sort and one pass instead of two). The collect is bounded by
+    transaction size — ids are unique per transaction by the filter's own
+    contract (a handful of events each, the same memory the logstash
+    filter holds per id), NOT by corpus size."""
     ts = F.col(ts_col)
-    w = Window.partitionBy(id_col)
-    x = (df.where(start_pred | end_pred)
-         .withColumn("_s", F.min(F.when(start_pred, ts)).over(w)))
+    x = df.where(start_pred | end_pred)
     agg = x.groupBy(id_col).agg(
-        F.min("_s").alias("start_ts"),
-        F.min(F.when(end_pred & (ts >= F.col("_s")), ts)).alias("end_ts"),
-        F.min(F.when(end_pred, ts)).alias("_end_any"))
+        F.min(F.when(start_pred, ts)).alias("start_ts"),
+        F.collect_list(F.when(end_pred, ts)).alias("_ends"))
+    agg = agg.select(
+        id_col, "start_ts",
+        F.array_min(F.filter("_ends",
+                             lambda e: e >= F.col("start_ts"))).alias("end_ts"),
+        F.array_min("_ends").alias("_end_any"))
     # cast: events tables carry TIMESTAMP_NTZ; the difference is tz-invariant
     el = (F.unix_millis(F.col("end_ts").cast("timestamp"))
           - F.unix_millis(F.col("start_ts").cast("timestamp")))

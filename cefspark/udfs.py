@@ -107,7 +107,7 @@ def make_decode_udf(config: Optional[DecodeConfig] = None,
 
     @F.pandas_udf(schema)
     def decode_cef(texts: pd.Series) -> pd.DataFrame:
-        out = decode_batch(texts, cfg)
+        out = decode_batch(texts, cfg, columns=out_cols)
         if acc_parsed is not None:
             n_failed = int(out["error"].notna().sum())
             acc_failed.add(n_failed)

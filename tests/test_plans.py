@@ -399,3 +399,19 @@ def test_zorder_value_rejects_out_of_range_keys(spark):
                                F.lit(1).alias("b"))
     with pytest.raises(Exception, match="quantize first"):
         df.select(zorder_value(F.col("a"), F.col("b"))).collect()
+
+
+def test_elapsed_single_shuffle_no_window_sort(spark, transcripts):
+    """r7: elapsed pairs in ONE hash aggregation keyed on the transaction
+    id — the old min-start window (whole-partition sort) is gone; the
+    first-end-at-or-after-start pick is a row-local array filter over the
+    per-id collected ends (bounded by transaction size by contract)."""
+    df = spark.range(100).repartition(4).select(
+        F.col("id").alias("pair_id"),
+        F.when(F.col("id") % 2 == 0, "S").otherwise("E").alias("kind"),
+        F.timestamp_seconds(F.col("id")).alias("ts"))
+    pairs = pipeline.elapsed(df, "pair_id", F.col("kind") == "S",
+                             F.col("kind") == "E", timeout_s=600)
+    plan = plan_of(pairs)
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
