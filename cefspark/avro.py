@@ -213,7 +213,13 @@ def _read_datum(buf: io.BytesIO, schema: Any) -> Any:
                 _read_long(buf)
                 n = -n
             for _ in range(n):
+                before = buf.tell()
                 out.append(_read_datum(buf, schema["items"]))
+                if buf.tell() == before:
+                    # zero-width item + attacker-controlled count (up to
+                    # ~2^62) would spin this loop forever; a corrupt blob
+                    # must yield one typed error row instead (ADVICE r6)
+                    raise ValueError("zero-byte array item with nonzero count")
     if s == "map":
         out = {}
         while True:
@@ -224,10 +230,19 @@ def _read_datum(buf: io.BytesIO, schema: Any) -> Any:
                 _read_long(buf)
                 n = -n
             for _ in range(n):
+                before = buf.tell()
                 k = _read_bytes(buf).decode("utf-8")
                 out[k] = _read_datum(buf, schema["values"])
+                if buf.tell() == before:
+                    raise ValueError("zero-byte map entry with nonzero count")
     if s == "enum":
-        return schema["symbols"][_read_long(buf)]
+        idx = _read_long(buf)
+        if not 0 <= idx < len(schema["symbols"]):
+            # mirror the union-branch range check: a negative zigzag index
+            # must be a typed error, not Python negative indexing silently
+            # returning the wrong symbol (ADVICE r6)
+            raise ValueError("enum index out of range")
+        return schema["symbols"][idx]
     if s == "fixed":
         return _need(buf, schema["size"])
     raise ValueError(f"unsupported schema {s!r}")
@@ -313,7 +328,13 @@ def parse_container(payload: bytes) -> tuple[dict, list]:
             body = zlib.decompress(body, wbits=-15)
         bb = io.BytesIO(body)
         for _ in range(count):
+            before = bb.tell()
             records.append(_read_datum(bb, schema))
+            if bb.tell() == before:
+                # a zero-field-record schema plus a huge varint count would
+                # spin effectively forever consuming nothing; corrupt blobs
+                # must stay one typed error row (ADVICE r6)
+                raise ValueError("zero-byte datum in block")
         if bb.read(1):
             raise ValueError("trailing bytes inside block")
         if buf.read(16) != sync:

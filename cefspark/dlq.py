@@ -93,8 +93,19 @@ def drain(spark: SparkSession, table: ManifestTable,
     recovered rows are gone from every future read, superseded
     snapshots become expirable orphans, time travel keeps pre-drain
     history. The drain itself is ledgered under its own token so a
-    retried drain doesn't stack empty rewrites."""
+    retried drain doesn't stack empty rewrites (guarded below, like
+    quarantine's token check).
+
+    Single-writer caveat (same as upsert/delete_where): the drain is a
+    read->rewrite span — a quarantine committed between this drain's read
+    and its re-root publish is silently dropped by the re-root. Run
+    drains in the queue's single-writer maintenance window."""
     token = _TOKEN.format(tag=batch_tag)
+    if token in table.consumed_inputs():
+        # the documented no-op contract (mirrors quarantine's guard): a
+        # retried drain must not stack another full-state rewrite and
+        # orphan a snapshot per retry (ADVICE r6)
+        return table.snapshot()
     out = still_failing.select(
         F.col("dlq_id"), F.col("payload"),
         F.coalesce(F.col("error"), F.col("dlq_error")).alias("dlq_error"))

@@ -459,7 +459,12 @@ def aggregate_tasks(df: DataFrame, task_col: str, map_col: str,
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
         F.max(F.when(ev["_end"], True).otherwise(False)).alias("_closed"),
-        F.collect_list(ev).alias("_raw"))
+        # empty-map events are identity elements of the later-wins merge
+        # (map_concat with nothing to add), and end/count/ts facts are
+        # aggregated separately above — so only map-carrying events enter
+        # the collected array (r7: halves the collect/sort/fold volume on
+        # sparse-map streams; collect_list drops the NULLs)
+        F.collect_list(F.when(F.size(ev["_m"]) > 0, ev)).alias("_raw"))
     merged = F.expr(
         f"aggregate(array_sort(_raw, {cmp}),"
         " cast(map() as map<string,string>),"

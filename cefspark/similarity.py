@@ -469,7 +469,16 @@ def project_embeddings(df: DataFrame, in_dim: int, out_dim: int,
         raise ValueError("dims must be >= 1")
     signs = jl_sign_matrix(in_dim, out_dim, seed)
     inv = 1.0 / (out_dim ** 0.5)
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # loud-misuse guard (the zorder_value pattern, ADVICE r6): a row whose
+    # embedding length differs from in_dim would otherwise zip_with-pad
+    # with NULLs and silently yield a NULL projection; NULL embeddings
+    # still project to NULL (size(NULL) is NULL -> no error)
+    src = F.when(
+        F.size(F.col(vec_col)) != in_dim,
+        F.raise_error(F.lit(
+            f"project_embeddings: embedding length != in_dim={in_dim}"))
+    ).otherwise(F.col(vec_col))
+    vec = F.transform(src, lambda x: x.cast("double"))
     comps = [
         (F.aggregate(
             F.zip_with(vec,

@@ -557,7 +557,15 @@ class ManifestTable:
             merged = updates
         else:
             keys = updates.select(*key_cols).distinct()
-            merged = (current.join(keys, on=key_cols, how="left_anti")
+            # null-safe anti-join (ADVICE r6): with plain equality an
+            # existing NULL-key row never matches an update's NULL key, so
+            # the update would INSERT beside the surviving row instead of
+            # replacing it — a silent divergence from MERGE semantics
+            cond = None
+            for k in key_cols:
+                c = current[k].eqNullSafe(keys[k])
+                cond = c if cond is None else (cond & c)
+            merged = (current.join(keys, on=cond, how="left_anti")
                       .unionByName(updates))
         snap = self.commit(merged, inputs=self._chain_inputs(),
                            partition_by=partition_by,
