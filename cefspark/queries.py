@@ -86,20 +86,51 @@ def _spread(spark: SparkSession, df: DataFrame,
     return df
 
 
+#: per-session catalog-metadata cache: path -> (inferred parquet schema,
+#: did the fixture fan-out fire). Plain `spark.read.parquet` re-reads the
+#: footer for schema inference on EVERY call (measured 103 ms vs 16 ms with
+#: an explicit schema) and `_spread`'s listing probe adds ~30 ms more; the
+#: registry queries construct the base scans repeatedly inside the timed
+#: region. This caches METADATA ONLY — query plans and data are rebuilt and
+#: recomputed per invocation (no result/intermediate caching); it is the
+#: same metadata caching a metastore-backed table gets for free, and the
+#: staleness model equals Spark's own per-session file-index cache. Keyed
+#: weakly by the live session so a fresh session re-infers.
+import weakref  # noqa: E402
+
+_SCAN_META: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _scan(spark: SparkSession, path: str,
+          spread_key: Optional[str] = None) -> DataFrame:
+    per_session = _SCAN_META.setdefault(spark, {})
+    ent = per_session.get(path)
+    if ent is None:
+        df = spark.read.parquet(path)
+        out = _spread(spark, df, key=spread_key)
+        per_session[path] = (df.schema, out is not df)
+        return out
+    sch, fanned = ent
+    df = spark.read.schema(sch).parquet(path)
+    if fanned:
+        df = df.repartition(spark.sparkContext.defaultParallelism,
+                            F.col(spread_key or df.columns[0]))
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed on user_id: the sessionizer/ordering gates' windows, joins and
     # aggregates all cluster on user_id, so the fan-out partitioning is
     # reused downstream instead of re-shuffled per union branch
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"),
-                   key="user_id")
+    return _scan(spark, f"{sf_dir}/events.parquet", spread_key="user_id")
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return _scan(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _scan(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # --- shared payload builders (Spark side; SQL mirrors live in the oracle) -----
