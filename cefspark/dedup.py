@@ -219,27 +219,30 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
         # each node adopts min(own comp, neighbors' comps); the changed count
-        # comes from the SAME join (new_comp < comp), not a second one
+        # comes from the SAME join (new_comp < comp), not a second one.
+        # ONE materialization per round (r7): the joined frame itself is the
+        # round's checkpoint — the convergence count then reads its cached
+        # blocks and the next round's labels are a projection of it (lineage
+        # stays rooted at the checkpoint), replacing the old
+        # persist -> count -> second-checkpoint sequence (3 jobs -> 2, one
+        # of which is a cached-block count).
         nbr = (edges.join(labels.withColumnRenamed("id", "y"), "y")
                .groupBy("x").agg(F.min("comp").alias("nbr_comp")))
         joined = (labels.join(nbr.withColumnRenamed("x", "id"), "id", "left")
                   .select("id", "comp",
                           F.least("comp", F.coalesce("nbr_comp", "comp"))
                           .alias("new_comp"))
-                  .persist())
+                  .localCheckpoint(eager=True))
         changed = joined.where(F.col("new_comp") < F.col("comp")).count()
         if changed == 0:
-            joined.unpersist()
             return labels
-        # rebinding `labels` drops the last driver reference to the previous
-        # checkpoint; CPython refcounting + Spark's ContextCleaner then
-        # reclaim its blocks (no public API unpersists a localCheckpoint
+        # rebinding `labels`/`joined` drops the last driver reference to the
+        # previous checkpoint; CPython refcounting + Spark's ContextCleaner
+        # then reclaim its blocks (no public API unpersists a localCheckpoint
         # directly — verified: DataFrame.unpersist()/.rdd.unpersist() are
         # no-ops on it), so at most a couple of superseded label tables are
         # ever resident
-        labels = (joined.select("id", F.col("new_comp").alias("comp"))
-                  .localCheckpoint(eager=True))
-        joined.unpersist()
+        labels = joined.select("id", F.col("new_comp").alias("comp"))
     raise RuntimeError(f"components did not converge in {max_iter} iterations "
                        f"(graph diameter larger than expected for near-dup clusters)")
 
