@@ -70,19 +70,39 @@ def _spread(spark: SparkSession, df: DataFrame,
             df = df.repartition(par)
         return df
     if 0 < len(files) < par:
-        total = 0
+        paths, total = [], 0
         for f in files:
             if f.startswith("file:"):
                 from urllib.parse import unquote, urlparse
 
                 try:
-                    total += os.path.getsize(unquote(urlparse(f).path))
+                    p = unquote(urlparse(f).path)
+                    total += os.path.getsize(p)
+                    paths.append(p)
                 except OSError:
                     return df  # listing went stale; don't guess
             else:
                 return df  # remote FS: assume production-sized, splittable
-        if total < 32 * 1024 * 1024:
-            df = df.repartition(par, F.col(key or df.columns[0]))
+        # scan-parallelism estimate instead of a size constant (r7): Spark
+        # byte-splits files at maxPartitionBytes, but a split only yields
+        # rows for row groups whose midpoint it contains — effective
+        # parallelism is bounded by TOTAL ROW GROUPS. Fire the fan-out
+        # whenever the local fixture cannot feed `par` tasks; a table
+        # already carrying >= par row groups (or par x 128 MB of
+        # byte-splittable bulk) scans parallel on its own and is left
+        # alone. Footer reads cost ~1 ms each and the decision is cached
+        # per session by _scan.
+        if total < par * 128 * 1024 * 1024:
+            try:
+                import pyarrow.parquet as _pq
+
+                n_rg = sum(_pq.ParquetFile(p).num_row_groups for p in paths)
+            except Exception:
+                # non-parquet/unreadable footer: fall back to the old
+                # small-fixture size heuristic
+                n_rg = 0 if total < 32 * 1024 * 1024 else par
+            if n_rg < par:
+                df = df.repartition(par, F.col(key or df.columns[0]))
     return df
 
 
