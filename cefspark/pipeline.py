@@ -446,14 +446,16 @@ def aggregate_tasks(df: DataFrame, task_col: str, map_col: str,
         F.coalesce(F.col(map_col),
                    F.expr("map()").cast("map<string,string>")).alias("_m"),
         (F.lit(False) if end_pred is None else end_pred).alias("_end"))
-    # structs holding a map are not orderable — array_sort needs an
-    # explicit comparator over the order keys (nulls first, stable on ties)
-    cmp_cases = " ".join(
-        f"WHEN l.{k} IS NULL AND r.{k} IS NOT NULL THEN -1 "
-        f"WHEN l.{k} IS NOT NULL AND r.{k} IS NULL THEN 1 "
-        f"WHEN l.{k} < r.{k} THEN -1 WHEN l.{k} > r.{k} THEN 1"
-        for k in okeys)
-    cmp = f"(l, r) -> CASE {cmp_cases} ELSE 0 END"
+    # structs holding a map are not orderable, but a projection of just the
+    # order keys plus the element INDEX is — so sort THAT with array_sort's
+    # NATIVE comparator (codegen struct ordering: field-by-field ascending,
+    # nulls first — exactly the old lambda's CASE chain) and fold over the
+    # original array by index (r7: the interpreted per-comparison lambda
+    # was the stage's hot spot). The unique index both breaks ties
+    # deterministically (reproducing the stable sort's original-order ties)
+    # and addresses the map back out of `_raw`.
+    key_struct = ("struct(" + ", ".join(f"s.{k} AS {k}" for k in okeys)
+                  + ", i AS _i)")
     agg = df.groupBy(task_col).agg(
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("first_ts"),
@@ -466,10 +468,11 @@ def aggregate_tasks(df: DataFrame, task_col: str, map_col: str,
         # sparse-map streams; collect_list drops the NULLs)
         F.collect_list(F.when(F.size(ev["_m"]) > 0, ev)).alias("_raw"))
     merged = F.expr(
-        f"aggregate(array_sort(_raw, {cmp}),"
+        f"aggregate(array_sort(transform(_raw, (s, i) -> {key_struct})),"
         " cast(map() as map<string,string>),"
-        " (acc, s) -> map_concat("
-        "   map_filter(acc, (k, v) -> NOT map_contains_key(s._m, k)), s._m))")
+        " (acc, k) -> map_concat("
+        "   map_filter(acc, (x, v) -> NOT map_contains_key(_raw[k._i]._m, x)),"
+        "   _raw[k._i]._m))")
     if end_pred is not None and timeout_s is not None and now_ts is not None:
         expired = (~F.col("_closed")) & (
             F.unix_millis(F.lit(now_ts).cast("timestamp"))
