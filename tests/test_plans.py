@@ -415,3 +415,68 @@ def test_elapsed_single_shuffle_no_window_sort(spark, transcripts):
     plan = plan_of(pairs)
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fixture_fanout_hash_not_roundrobin(spark, tmp_path):
+    """r7: the fixture fan-out must be a HASH repartition on a deterministic
+    key (retry-safe without sortBeforeRepartition's per-task sort), never
+    round-robin, and must fire exactly when the local files cannot feed
+    defaultParallelism tasks — judged by ROW GROUPS, not a size constant."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cefspark import queries as q
+
+    par = spark.sparkContext.defaultParallelism
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame({"id": range(1000), "v": [i % 7 for i in range(1000)]}))
+
+    # one row group, one small file: guard fires, hash on the first column
+    one = str(tmp_path / "one_rg.parquet")
+    pq.write_table(tbl, one)
+    df = q._scan(spark, one)
+    plan = plan_of(df)
+    assert "roundrobin" not in plan.lower()
+    assert "Exchange hashpartitioning(id" in plan
+    assert df.rdd.getNumPartitions() == par
+
+    # spread_key override reaches the partitioning expression
+    df_k = q._scan(spark, str(tmp_path / "one_rg.parquet"),
+                   spread_key="v")
+    # cache key is the path string: same path + different key reuses the
+    # cached fan-out DECISION but must honor the caller's key
+    assert "Exchange hashpartitioning(v" in plan_of(df_k)
+
+    # >= par row groups in the same byte footprint: Spark's own splitting
+    # suffices, the guard must leave the scan alone
+    many = str(tmp_path / "many_rg.parquet")
+    pq.write_table(tbl, many, row_group_size=1000 // par)
+    assert pq.ParquetFile(many).metadata.num_row_groups >= par
+    df2 = q._scan(spark, many)
+    assert "Exchange" not in plan_of(df2)
+
+
+def test_scan_metadata_cache_schema_and_decision(spark, tmp_path):
+    """r7: _scan caches METADATA only (inferred schema + fan-out decision)
+    per session — the second call must produce the same plan shape and
+    schema without behavioral drift, and rows must still be recomputed
+    from the files (no result caching)."""
+    import pandas as pd
+
+    from cefspark import queries as q
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"id": range(100), "s": ["x"] * 100})
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    first = q._scan(spark, p)
+    cached = q._SCAN_META.get(spark, {}).get(p)
+    assert cached is not None and cached[0] == first.schema
+    second = q._scan(spark, p)
+    assert second.schema == first.schema
+    assert plan_of(second).count("Exchange") == plan_of(first).count("Exchange")
+    assert second.count() == 100
+    # InMemoryRelation would mean data caching — metadata cache only
+    assert "InMemoryRelation" not in plan_of(second)
