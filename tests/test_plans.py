@@ -480,3 +480,44 @@ def test_scan_metadata_cache_schema_and_decision(spark, tmp_path):
     assert second.count() == 100
     # InMemoryRelation would mean data caching — metadata cache only
     assert "InMemoryRelation" not in plan_of(second)
+
+
+def test_stream_microbatch_fanout_rule(spark, tmp_path):
+    """r7: the streaming micro-batch fan-out must fire exactly when the
+    per-trigger file cap times row-groups-per-file cannot feed the pool,
+    must be a hash repartition on the transcript identity, and must honor
+    an explicit fan_out override."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cefspark import streaming
+
+    par = spark.sparkContext.defaultParallelism
+    tbl = pa.Table.from_pandas(fixtures.transcripts_pdf(400))
+
+    one = tmp_path / "one_rg"
+    one.mkdir()
+    pq.write_table(tbl, str(one / "p0.parquet"))
+    # file-granular cap below the pool: starved
+    assert streaming._microbatch_starved(spark, str(one), 1)
+    # cap already feeds the pool: not starved
+    assert not streaming._microbatch_starved(spark, str(one), par)
+
+    many = tmp_path / "many_rg"
+    many.mkdir()
+    pq.write_table(tbl, str(many / "p0.parquet"), row_group_size=400 // par)
+    assert pq.ParquetFile(str(many / "p0.parquet")).metadata.num_row_groups >= par
+    # one file per trigger but >= par row groups inside it: not starved
+    assert not streaming._microbatch_starved(spark, str(many), 1)
+
+    def logical(df):
+        return df._jdf.queryExecution().logical().toString()
+
+    fanned = streaming.read_transcript_stream(spark, str(one), 1)
+    plan = logical(fanned)
+    assert "RepartitionByExpression" in plan
+    assert "conv_id" in plan and "turn_idx" in plan
+    plain = streaming.read_transcript_stream(spark, str(one), 1, fan_out=False)
+    assert "RepartitionByExpression" not in logical(plain)
+    forced = streaming.read_transcript_stream(spark, str(many), 1, fan_out=True)
+    assert "RepartitionByExpression" in logical(forced)
