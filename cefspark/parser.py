@@ -301,20 +301,33 @@ def _decode_batch_fast(texts: pd.Series, config: Optional[DecodeConfig] = None,
                 c_sev[i] = h[6]
                 fields: dict = {}
                 if parse_ext:
+                    # D12/D13 fusion: map-expanded keys skip the D13 regex —
+                    # every decode_map value is an arr_sub fixed point
+                    # (ECS refs like `[source][ip]` start with '[' so the
+                    # ^([^\[\]]+) anchor can't match; v1 long names carry no
+                    # ']' at all — pinned by test_mappings), so the rewrite
+                    # only ever applies to raw (unmapped) keys like `f[0]`.
+                    # In ECS mode ~all keys are mapped and END with ']', so
+                    # the old unconditional check paid one no-op regex sub
+                    # per mapped key per row (~2 µs/row measured, guide §4.2).
                     if has_bs:
                         for k, v in kv_findall(s, m.end(7)):
-                            k = dmap_get(k, k)  # D12 key expansion (cef.rb:293)
-                            if k[-1:] == "]":  # D13 array-like rewrite (cef.rb:296)
-                                k = arr_sub(r"[\1]\2", k)
+                            k2 = dmap_get(k)  # D12 key expansion (cef.rb:293)
+                            if k2 is None:
+                                k2 = k
+                                if k2[-1:] == "]":  # D13 rewrite (cef.rb:296)
+                                    k2 = arr_sub(r"[\1]\2", k2)
                             if "\\" in v:  # D14 desanitize (cef.rb:299)
                                 v = desan_sub(lambda mm: desan_map[mm.group(0)], v)
-                            fields[k] = v
+                            fields[k2] = v
                     else:
                         for k, v in kv_findall(s, m.end(7)):
-                            k = dmap_get(k, k)  # D12 key expansion (cef.rb:293)
-                            if k[-1:] == "]":  # D13 array-like rewrite (cef.rb:296)
-                                k = arr_sub(r"[\1]\2", k)
-                            fields[k] = v
+                            k2 = dmap_get(k)  # D12 key expansion (cef.rb:293)
+                            if k2 is None:
+                                k2 = k
+                                if k2[-1:] == "]":  # D13 rewrite (cef.rb:296)
+                                    k2 = arr_sub(r"[\1]\2", k2)
+                            fields[k2] = v
                 if normalizer is not None and fields:
                     # D15 ECS timestamp normalization (cef.rb:307-315)
                     device_tz = fields.get(tz_field)

@@ -70,3 +70,18 @@ def test_encode_map_disabled_identity_and_reverse():
     rev = get_mappings(ecs_mode=False, reverse_mapping=True)
     assert rev.encode_map["sourceAddress"] == "src"
     assert rev.encode_map["destinationLongitude"] == "dlong"
+
+
+def test_decode_map_values_are_array_rewrite_fixed_points():
+    """The hot decode loop skips the D13 array-key regex for map-expanded
+    keys (parser.py) — legal only while every decode_map value is a fixed
+    point of EXT_KEY_ARRAY_CAPTURE: ECS bracket refs start with '[' (the
+    ^([^\\[\\]]+) anchor can't match) and v1 long names carry no trailing
+    ']'. Any future mapping entry that breaks this must fail here."""
+    from cefspark.parser import EXT_KEY_ARRAY_CAPTURE
+
+    for ecs in (False, True):
+        for device in ("observer", "host"):
+            m = get_mappings(ecs, False, device)
+            for v in m.decode_map.values():
+                assert EXT_KEY_ARRAY_CAPTURE.sub(r"[\1]\2", v) == v, v
